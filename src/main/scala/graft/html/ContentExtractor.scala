@@ -1,0 +1,221 @@
+package graft.html
+
+import graft.core.{Block, Span}
+import scala.collection.mutable.ArrayBuffer
+
+/** Builds a flattened array of text [[Block]]s from the tokenizer's event
+  * stream — the web analog of the reference's pixel-space region
+  * detection (contours → candidate regions,
+  * /root/reference/ocrworker/form_detector.py:322-372): here a "region"
+  * is a run of text between block-level tags, and its features are word
+  * count, link density, tag depth, heading level, and whether any
+  * enclosing element is structural boilerplate (nav/header/footer/...).
+  *
+  * Whitespace contract (part of the byte-identity contract): within a
+  * block all runs of whitespace (incl. NBSP) collapse to a single space;
+  * blocks are trimmed; empty blocks are dropped.
+  */
+final class BlockBuilder extends HtmlHandler {
+  private val blocks = new ArrayBuffer[Block](32)
+  private val buf = new java.lang.StringBuilder(256)
+  private var words = 0
+  private var linkedWords = 0
+  private var pendingSpace = false
+  private var inWord = false
+
+  private var depth = 0
+  private var anchorDepth = 0
+  private var boilerDepth = 0   // nav/header/footer/aside/form nesting
+  private var skipDepth = 0     // head/title/etc. — text dropped entirely
+  private var headingLevel = 0
+  private var titleText: String = null
+  private var inTitle = false
+  private val titleBuf = new java.lang.StringBuilder(64)
+
+  import BlockBuilder._
+
+  def startTag(name: String, selfClosing: Boolean): Unit = {
+    if (blockTags.contains(name)) flushBlock()
+    if (!selfClosing && !voidTags.contains(name)) {
+      depth += 1
+      name match {
+        case "a" => anchorDepth += 1
+        case "title" => inTitle = true
+        case n if boilerTags.contains(n) => boilerDepth += 1
+        case n if skipTags.contains(n) => skipDepth += 1
+        case n if n.length == 2 && n.charAt(0) == 'h' && n.charAt(1) >= '1' && n.charAt(1) <= '6' =>
+          headingLevel = n.charAt(1) - '0'
+        case _ =>
+      }
+    }
+  }
+
+  def endTag(name: String): Unit = {
+    if (blockTags.contains(name)) flushBlock()
+    if (!voidTags.contains(name)) {
+      if (depth > 0) depth -= 1
+      name match {
+        case "a" => if (anchorDepth > 0) anchorDepth -= 1
+        case "title" => if (inTitle) { titleText = collapse(titleBuf.toString); inTitle = false }
+        case n if boilerTags.contains(n) => if (boilerDepth > 0) boilerDepth -= 1
+        case n if skipTags.contains(n) => if (skipDepth > 0) skipDepth -= 1
+        case n if n.length == 2 && n.charAt(0) == 'h' && n.charAt(1) >= '1' && n.charAt(1) <= '6' =>
+          headingLevel = 0
+        case _ =>
+      }
+    }
+  }
+
+  def text(s: String): Unit = {
+    if (inTitle) { titleBuf.append(s); return }
+    if (skipDepth > 0) return
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == ' ') {
+        if (inWord) { inWord = false }
+        pendingSpace = buf.length() > 0
+      } else {
+        if (pendingSpace) { buf.append(' '); pendingSpace = false }
+        if (!inWord) {
+          inWord = true
+          words += 1
+          if (anchorDepth > 0) linkedWords += 1
+        }
+        buf.append(c)
+      }
+      i += 1
+    }
+  }
+
+  private def flushBlock(): Unit = {
+    inWord = false
+    pendingSpace = false
+    if (buf.length() > 0) {
+      val t = buf.toString
+      blocks += Block(t, words, linkedWords, depth, headingLevel, boilerDepth > 0)
+    }
+    buf.setLength(0); words = 0; linkedWords = 0
+  }
+
+  def result(): (Array[Block], String) = {
+    flushBlock()
+    (blocks.toArray, titleText)
+  }
+
+  private def collapse(s: String): String =
+    s.trim.replaceAll("[\\s ]+", " ")
+}
+
+object BlockBuilder {
+  val blockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "dl", "dt", "dd", "table", "tr", "td", "th", "thead", "tbody",
+    "tfoot", "caption", "blockquote", "pre", "article", "section",
+    "main", "aside", "nav", "header", "footer", "form", "figure",
+    "figcaption", "br", "hr", "body", "html", "head", "title",
+    "fieldset", "legend", "address", "details", "summary")
+  val boilerTags: Set[String] = Set("nav", "header", "footer", "aside", "form")
+  val skipTags: Set[String] = Set("head")
+  val voidTags: Set[String] = Set(
+    "br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr")
+}
+
+/** Block-level main-content classifier: a deterministic decision tree
+  * over (link density, word counts of prev/curr/next) in the style of
+  * the published Boilerpipe NumWordsRulesClassifier (Kohlschütter et al.,
+  * "Boilerplate Detection using Shallow Text Features", WSDM 2010 — see
+  * /root/repo/PAPERS.md), with a structural veto for nav/header/footer
+  * containers and a heading-promotion pass. Plays the role of the
+  * reference's geometric threshold classifiers
+  * (/root/reference/ocrworker/form_detector.py:341-367,
+  * /root/reference/ocrworker/signature_extractor.py:205-227).
+  */
+object DensityClassifier {
+  val maxLinkDensity = 0.333
+  val prevLinkDensityLoose = 0.555
+
+  def classify(blocks: Array[Block]): Unit = {
+    val n = blocks.length
+    var i = 0
+    while (i < n) {
+      val curr = blocks(i)
+      val prev = if (i > 0) blocks(i - 1) else null
+      val next = if (i + 1 < n) blocks(i + 1) else null
+      val prevWords = if (prev == null) 0 else prev.words
+      val nextWords = if (next == null) 0 else next.words
+      val prevLd = if (prev == null) 0.0 else prev.linkDensity
+
+      val content =
+        if (curr.inBoilerplateTag) false
+        else if (curr.linkDensity > maxLinkDensity) false
+        else if (prevLd <= prevLinkDensityLoose)
+          curr.words > 16 || nextWords > 15 || prevWords > 4
+        else
+          curr.words > 40 || nextWords > 17
+
+      curr.isContent = content
+      curr.score =
+        if (curr.inBoilerplateTag) 0.0
+        else math.min(1.0, curr.words / 40.0) * (1.0 - curr.linkDensity)
+      i += 1
+    }
+    // heading promotion: a short heading directly above a content block
+    // belongs to the content (boilerpipe's heading handling, simplified)
+    i = n - 2
+    while (i >= 0) {
+      val b = blocks(i)
+      if (!b.isContent && b.headingLevel > 0 && !b.inBoilerplateTag &&
+          b.linkDensity <= maxLinkDensity && blocks(i + 1).isContent)
+        b.isContent = true
+      i -= 1
+    }
+  }
+}
+
+/** End-to-end HTML main-content extraction: tokenize → blocks →
+  * classify → assemble canonical text + char spans.
+  *
+  * Byte contract: content blocks joined with a single '\n'; block text
+  * whitespace-collapsed and trimmed; entities decoded; UTF-8 at the
+  * file boundary. This is the analog of the reference's sidecar text
+  * contract (exact-string page text,
+  * /root/reference/tests/test_document_version.py:49-52).
+  */
+object MainContentExtractor {
+  final case class HtmlResult(
+      text: String, spans: Array[Span], title: String,
+      nBlocks: Int, nContentBlocks: Int, confidence: Double)
+
+  def extract(html: String): HtmlResult = {
+    val builder = new BlockBuilder
+    HtmlTokenizer.tokenize(html, builder)
+    val (blocks, title) = builder.result()
+    DensityClassifier.classify(blocks)
+
+    val sb = new java.lang.StringBuilder(1024)
+    val spans = new ArrayBuffer[Span](blocks.length)
+    var scoreSum = 0.0
+    var nContent = 0
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      if (b.isContent) {
+        if (sb.length() > 0) sb.append('\n')
+        val start = sb.length()
+        sb.append(b.text)
+        val kind = if (b.headingLevel > 0) "heading" else "block"
+        spans += Span(start, sb.length(), kind, b.score)
+        scoreSum += b.score
+        nContent += 1
+      }
+      i += 1
+    }
+    HtmlResult(
+      sb.toString, spans.toArray, title,
+      blocks.length, nContent,
+      if (nContent == 0) 0.0 else scoreSum / nContent)
+  }
+}

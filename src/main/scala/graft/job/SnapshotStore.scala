@@ -1,0 +1,99 @@
+package graft.job
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot/manifest layer over partitioned Parquet.
+  *
+  * No Iceberg runtime exists in this sandbox (verified; see SURVEY.md
+  * §7.0), so the checkpoint contract of the north rule — "checkpointed
+  * snapshots carrying lineage (warc_ts range, partition id, row counts,
+  * extraction-version hash) so the job resumes idempotently" — is
+  * realized with the same mechanics Iceberg uses: immutable data files
+  * + a JSON manifest per snapshot + an atomically-replaced
+  * `version-hint.text` pointer. Snapshot sequence numbering mirrors the
+  * reference's monotonic DocumentVersion.number
+  * (/root/reference/ocrworker/db/api.py:128-137).
+  *
+  * Layout:
+  *   <root>/data/snap-<seq>/...parquet       immutable per-snapshot data
+  *   <root>/snapshots/v<seq>.json            manifest (lineage + files)
+  *   <root>/version-hint.text                current sequence (atomic)
+  */
+final case class PartitionLineage(
+    partitionId: Int,
+    rowCount: Long,
+    errorCount: Long,
+    warcTsMin: Long,
+    warcTsMax: Long)
+
+final case class Snapshot(
+    sequence: Int,
+    parent: Int,              // -1 for first
+    extractionVersion: String,
+    dataDir: String,
+    partitions: Seq[PartitionLineage],
+    rowCount: Long)
+
+object SnapshotStore {
+
+  def currentSequence(root: String): Int = {
+    val hint = Paths.get(root, "version-hint.text")
+    if (Files.exists(hint)) new String(Files.readAllBytes(hint), UTF_8).trim.toInt else 0
+  }
+
+  def dataDirs(root: String): Seq[String] = {
+    val seq = currentSequence(root)
+    (1 to seq).map(i => s"$root/data/snap-$i").filter(d => Files.exists(Paths.get(d)))
+  }
+
+  def nextDataDir(root: String): (Int, String) = {
+    val next = currentSequence(root) + 1
+    (next, s"$root/data/snap-$next")
+  }
+
+  /** Commit: write manifest JSON, then atomically flip version-hint.
+    * Write-temp-then-rename gives the same crash-atomicity Iceberg's
+    * catalog swap provides on a local FS. */
+  def commit(root: String, snap: Snapshot): Unit = {
+    val snapDir = Paths.get(root, "snapshots")
+    Files.createDirectories(snapDir)
+    val manifest = renderManifest(snap)
+    val mPath = snapDir.resolve(s"v${snap.sequence}.json")
+    writeAtomic(mPath, manifest.getBytes(UTF_8))
+    writeAtomic(Paths.get(root, "version-hint.text"), snap.sequence.toString.getBytes(UTF_8))
+  }
+
+  def readManifest(root: String, seq: Int): String = {
+    new String(Files.readAllBytes(Paths.get(root, "snapshots", s"v$seq.json")), UTF_8)
+  }
+
+  private def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.createDirectories(target.getParent)
+    Files.write(tmp, bytes)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def renderManifest(s: Snapshot): String = {
+    val parts = s.partitions.map { p =>
+      s"""{"partition_id":${p.partitionId},"row_count":${p.rowCount},"error_count":${p.errorCount},"warc_ts_min":${p.warcTsMin},"warc_ts_max":${p.warcTsMax}}"""
+    }.mkString("[", ",", "]")
+    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts}"""
+  }
+
+  def listFiles(dir: String): Seq[String] = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Nil
+    else Files.walk(p).iterator().asScala.filter(f => f.toString.endsWith(".parquet")).map(_.toString).toSeq
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Extract, Page}
+import graft.gen.PageGen
+import graft.html.MainContentExtractor
+import graft.pdf.PdfParser
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pure (no-Spark) tests of the extraction core: tokenizer edge cases,
+  * classifier behavior, PDF subset, totality, and generator-vs-extractor
+  * agreement (the classifier-quality gate; the distributed byte-identity
+  * gate lives in the Spark suites).
+  */
+class ExtractCoreSpec extends AnyFunSuite {
+
+  test("tokenizer: entities, comments, script/style skipped, quotes with '>'") {
+    val html =
+      """<html><head><title>T &amp; Co</title><style>a>b{c:1}</style>
+        |<script>if (1<2) { x = "</div>"; }</script></head><body>
+        |<!-- a > comment -->
+        |<p data-x="a>b">Alpha &amp; beta &mdash; gamma &#65; &hellip; end of the first long paragraph which has quite many words to count here today.</p>
+        |</body></html>""".stripMargin
+    val r = MainContentExtractor.extract(html)
+    assert(r.title == "T & Co")
+    assert(r.text == "Alpha & beta — gamma A … end of the first long paragraph which has quite many words to count here today.")
+    assert(r.spans.length == 1)
+    assert(r.spans(0).start == 0 && r.spans(0).end == r.text.length)
+  }
+
+  test("tokenizer: unclosed tags and stray '<' never throw") {
+    val html = "<body><p>one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen\n<p>a < b still text of the second paragraph with plenty of words to be considered as content here too</body>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.nBlocks == 2)
+    assert(r.text.contains("a < b"))
+  }
+
+  test("classifier: nav/footer boilerplate and link-dense blocks dropped") {
+    val nav = """<nav><ul><li><a href="/">Home</a></li><li><a href="/x">News</a></li></ul></nav>"""
+    val para = "word " * 50
+    val html = s"<html><body>$nav<p>$para</p><footer><p>Copyright legal words repeated many many many many many many many many many many many many many many many times</p></footer></body></html>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.text == para.trim)
+  }
+
+  test("classifier: heading directly above content is promoted") {
+    val para = ("alpha " * 45).trim
+    val html = s"<body><h2>Section Heading</h2><p>$para</p></body>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.text == s"Section Heading\n$para")
+    assert(r.spans(0).kind == "heading")
+  }
+
+  test("pdf: multi-page ordered stitch, Tj and TJ, escapes, flate") {
+    val rng = new PageGen.Rng(7)
+    val (bytes, intended) = PageGen.genPdf(rng, compress = true)
+    val r = PdfParser.extract(bytes)
+    assert(r.isRight)
+    assert(r.toOption.get.stitched == intended)
+  }
+
+  test("pdf: uncompressed and escaped parens") {
+    val rng = new PageGen.Rng(9)
+    val (bytes, intended) = PageGen.genPdf(rng, compress = false)
+    assert(PdfParser.extract(bytes).toOption.get.stitched == intended)
+  }
+
+  test("extract is total: junk, empty, null-ish payloads become error rows") {
+    val ts = new java.sql.Timestamp(0)
+    val junk = Extract(Page("u1", ts, Array[Byte](0x7f, 1, 2, 3), "", "eng"))
+    assert(junk.error == "unsupported_payload" && junk.extracted_text == "")
+    val empty = Extract(Page("u2", ts, Array.emptyByteArray, "", "eng"))
+    assert(empty.error != null)
+    val badPdf = Extract(Page("u3", ts, "%PDF-1.4 garbage".getBytes(UTF_8), "", "eng"))
+    assert(badPdf.payload_kind == "pdf" && badPdf.error != null)
+  }
+
+  test("generator ↔ extractor agreement on 500 deterministic pages") {
+    var htmlN = 0; var pdfN = 0; var junkN = 0; var mismatch = 0
+    (0 until 500).foreach { i =>
+      val g = PageGen.genRow(PageGen.DefaultSeed, i.toLong)
+      val e = Extract(g.page)
+      g.kind match {
+        case "html" =>
+          htmlN += 1
+          if (e.extracted_text != g.intended) mismatch += 1
+        case "pdf" =>
+          pdfN += 1
+          assert(e.extracted_text == g.intended, s"pdf mismatch at row $i")
+        case "junk" =>
+          junkN += 1
+          assert(e.error == "unsupported_payload")
+      }
+    }
+    assert(htmlN > 350 && pdfN > 20 && junkN > 5, s"mix off: $htmlN/$pdfN/$junkN")
+    // HTML classifier quality gate: the generator's well-formed pages
+    // must be recovered exactly
+    assert(mismatch == 0, s"$mismatch/$htmlN html pages mismatched")
+  }
+
+  test("extraction is deterministic (same row twice → same bytes)") {
+    val g = PageGen.genRow(PageGen.DefaultSeed, 123L)
+    val a = Extract(g.page).extracted_text.getBytes(UTF_8)
+    val b = Extract(PageGen.genRow(PageGen.DefaultSeed, 123L).page).extracted_text.getBytes(UTF_8)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("spans index into extracted_text exactly") {
+    (0 until 50).foreach { i =>
+      val g = PageGen.genRow(PageGen.DefaultSeed, i.toLong)
+      val e = Extract(g.page)
+      e.spans.foreach { sp =>
+        assert(sp.start >= 0 && sp.end <= e.extracted_text.length && sp.start <= sp.end)
+      }
+      // block spans reassemble the text
+      if (e.payload_kind == "html" && e.spans.nonEmpty) {
+        val re = e.spans.map(sp => e.extracted_text.substring(sp.start, sp.end)).mkString("\n")
+        assert(re == e.extracted_text)
+      }
+    }
+  }
+}

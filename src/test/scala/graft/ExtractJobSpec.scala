@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import graft.core.{Extract, Page}
+import graft.gen.PageGen
+import graft.job.{ExtractJob, SnapshotStore}
+
+/** Distributed-correctness gates (north rule):
+  *  - byte-identity: distributed extraction == single-threaded oracle
+  *    running the same pure function, per url, byte-for-byte
+  *    (the Spark analog of the reference's exact-string assertions,
+  *    /root/reference/tests/test_document_version.py:49-52);
+  *  - idempotent resume: partial run + resume == clean full run;
+  *  - lineage manifests: per-partition counts sum to total, error counts
+  *    match quarantine rows, warc_ts ranges sane.
+  */
+class ExtractJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graftspec").toString
+
+  val N = 400
+
+  test("byte-identity: distributed == single-threaded oracle, per url") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 7)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out", numPartitions = 5)
+    val rows = ExtractJob.readExtracted(spark, s"$dir/out")
+      .select("url", "extracted_text").collect()
+    assert(rows.length == N)
+    rows.foreach { r =>
+      val url = r.getString(0)
+      val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+      val golden = Extract(PageGen.genRow(PageGen.DefaultSeed, idx).page).extracted_text
+      assert(java.util.Arrays.equals(r.getString(1).getBytes(UTF_8), golden.getBytes(UTF_8)),
+        s"byte mismatch for $url")
+    }
+  }
+
+  test("resume: partial run + resume == clean full run (idempotent)") {
+    import spark.implicits._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 4)
+    // partial input = first half of the table
+    val all = spark.read.parquet(s"$dir/pages")
+    all.filter(expr_idx($"url") < N / 2).write.parquet(s"$dir/pages_half")
+
+    ExtractJob.run(spark, s"$dir/pages_half", s"$dir/resumed")
+    val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/resumed")
+    assert(snap2.rowCount == N - N / 2, s"resume re-did work: ${snap2.rowCount}")
+
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/clean")
+
+    val a = ExtractJob.readExtracted(spark, s"$dir/resumed")
+      .select("url", "extracted_text", "payload_kind", "error")
+    val b = ExtractJob.readExtracted(spark, s"$dir/clean")
+      .select("url", "extracted_text", "payload_kind", "error")
+    assert(a.count() == N && b.count() == N)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "resumed contents differ from clean run")
+  }
+
+  test("re-run on committed table is a no-op snapshot") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 100, s"$dir/pages")
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(snap2.rowCount == 0)
+    assert(SnapshotStore.currentSequence(s"$dir/out") == 2)
+  }
+
+  test("lineage manifest: partition counts sum, errors == quarantine rows") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, N, s"$dir/pages")
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out", numPartitions = 6)
+    assert(snap.partitions.map(_.rowCount).sum == N)
+    val quarantined = ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter("error is not null").count()
+    assert(snap.partitions.map(_.errorCount).sum == quarantined)
+    snap.partitions.foreach { p =>
+      assert(p.warcTsMin >= 1735689600000L && p.warcTsMax < 1735689600000L + 31L * 86400000)
+      assert(p.warcTsMin <= p.warcTsMax)
+    }
+    // manifest json round-trips and names the extraction version
+    val m = SnapshotStore.readManifest(s"$dir/out", snap.sequence)
+    assert(m.contains("\"extraction_version\":\"graft-extract-1\""))
+  }
+
+  test("crash-resilience: stray uncommitted data dir is overwritten, not double-counted") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 100, s"$dir/pages")
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // simulate a crashed writer: data for snap-2 exists but was never committed
+    val stray = new java.io.File(s"$dir/out/data/snap-2")
+    stray.mkdirs()
+    Files.writeString(stray.toPath.resolve("garbage.txt"), "crashed")
+    val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(snap2.sequence == 2 && snap2.rowCount == 0)
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 100)
+  }
+
+  // helper: parse the trailing row index from the generated url
+  private def expr_idx(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.expr("cast(regexp_extract(url, '/page/(\\\\d+)$', 1) as long)")
+}
