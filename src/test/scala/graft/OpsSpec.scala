@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Training-data operators vs brute-force ground truth computed on the
+  * collected (small) tables: MinHash-LSH and SimHash must find the
+  * planted near-duplicates, SRP-ANN must have sane recall vs exact
+  * brute force, lang-id must be accurate on the generated corpus.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Brute-force jaccard-≥threshold pairs (ground truth, driver-side). */
+  private def bruteJaccardPairs(shingleN: Int, threshold: Double): Set[(Long, Long)] = {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Dedup.shingleHashes(r.getString(1), shingleN)))
+    val out = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (i <- texts.indices; j <- (i + 1) until texts.length) {
+      val (ia, sa) = texts(i); val (ib, sb) = texts(j)
+      if (Dedup.jaccard(sa, sb) >= threshold)
+        out += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    out.toSet
+  }
+
+  test("minhash-LSH finds exactly the brute-force jaccard>=0.8 pairs") {
+    val truth = bruteJaccardPairs(2, 0.8)
+    assert(truth.nonEmpty, "expected planted near-dups in documents")
+    val got = Dedup.minhashDedup(docs, threshold = 0.8).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    // LSH with 16 bands x 4 rows at j>=0.9 has detection prob ~1-3e-10:
+    // candidate generation must not miss; verify step makes it exact.
+    assert(got == truth, s"minhash ${got.size} vs truth ${truth.size}")
+  }
+
+  test("simhash pairs all have verified low hamming and cover planted dups") {
+    val got = Dedup.simhashDedup(docs, maxHamming = 6).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(2) <= 6))
+    // planted pairs (jaccard >= 0.9) should nearly all appear
+    val gotPairs = got.map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    val truth = bruteJaccardPairs(2, 0.9)
+    val found = truth.count(gotPairs.contains)
+    assert(found >= (truth.size * 0.8).toInt, s"simhash found $found/${truth.size} planted pairs")
+  }
+
+  test("exact dedup groups by md5 and keeps min id") {
+    val n = docs.count()
+    val d = Dedup.exact(docs)
+    assert(d.count() <= n)
+    assert(d.agg(sum("n_dups")).first().getLong(0) == n)
+  }
+
+  test("srp-ann recall vs brute-force top-5 >= 0.4 at toy scale") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val srp = Similarity.srpTopK(emb, queries, 5, bits = 8, probeRadius = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = brute.count(srp.contains).toDouble / brute.size
+    info(f"srp recall@5 = $recall%.2f (candidates examined ≪ corpus)")
+    assert(recall >= 0.4, f"recall $recall%.2f too low")
+    // and the srp results must be genuinely high-cosine (no junk)
+    assert(srp.subsetOf(
+      Similarity.bruteForceTopK(emb, queries, 50).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet))
+  }
+
+  test("cosine column matches a scala double oracle bitwise") {
+    val rows = emb.filter(col("vec_id") < 3).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val a = rows(0)._2; val b = rows(1)._2
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+    import spark.implicits._
+    val got = Seq((rows(0)._2, rows(1)._2)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(got == expect)
+  }
+
+  test("lang-id >= 95% accurate on generated html pages") {
+    val pages = graft.queries.GraftQueries.extractedPages(spark, sfDir)
+      .filter(col("error").isNull && col("payload_kind") === "html")
+    val scored = TextStats.withPredictedLang(pages, "extracted_text")
+      .select(col("lang"), col("predicted_lang"))
+      .collect()
+    val acc = scored.count(r => r.getString(0) == r.getString(1)).toDouble / scored.length
+    info(f"lang-id accuracy = $acc%.3f over ${scored.length} pages")
+    assert(acc >= 0.95)
+  }
+
+  test("fingerprint is whitespace/case robust, content sensitive") {
+    assert(TextStats.fingerprint("Hello  world") == TextStats.fingerprint("hello\nworld "))
+    assert(TextStats.fingerprint("hello world") != TextStats.fingerprint("world hello"))
+    assert(TextStats.bpeishCount("the cat's hat 1234!") > 0)
+  }
+}
