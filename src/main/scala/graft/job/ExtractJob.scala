@@ -12,23 +12,28 @@ import graft.gen.PageGen
   * `chain(group(pages) | stitch | update_db | notify)`), collapsed into
   * one Catalyst plan:
   *
-  *   scan pages
-  *     → resume anti-join vs committed urls        (S7: skip-if-done,
-  *         /root/reference/ocrworker/s3.py:128-159)
-  *     → salted repartition over skewed hosts      (north rule; the queue
-  *         load-balanced implicitly, tasks.py:57-68 — we must be explicit)
-  *     → mapPartitions(Extract)                    (steps 4-6: per-page OCR
-  *         + ordered stitch, ocr.py:9-67 + utils.py:30-48)
+  *   scan ONLY uncommitted input files             (S7: skip-if-done,
+  *         /root/reference/ocrworker/s3.py:128-159 — realized at FILE
+  *         granularity so resume never rescans committed payload bytes)
+  *     → optional row-level anti-join safety net   (exactness when input
+  *         files were rewritten; OFF at 10^12 scale where the file-level
+  *         bookkeeping is authoritative)
+  *     → mapPartitions(Extract) on scan splits     (steps 4-6: per-page OCR
+  *         + ordered stitch, ocr.py:9-67 + utils.py:30-48; parallelism =
+  *         spark.sql.files.maxPartitionBytes, NOT a shuffle)
+  *     → salted-host repartition of the OUTPUT     (north rule skew
+  *         handling: output is clustered by host for downstream locality,
+  *         hot zipfian hosts spread over salt buckets; only extracted
+  *         text crosses the wire — ~20x smaller than the html payload)
   *     → write snapshot data + manifest commit     (step 7: the DB txn,
   *         db/api.py:112-161)
   *
-  * Scale notes (100 TB / 10^12 rows): the html payload column never
-  * crosses a shuffle — extraction happens map-side and projects the
-  * binary away before any exchange; the only shuffles are the resume
-  * anti-join (broadcast when the committed set is small, AQE otherwise)
-  * and the explicit salted repartition, whose width is a parameter.
-  * Extraction is embarrassingly parallel, so throughput scales with
-  * cores until the scan is I/O-bound.
+  * Scale notes (100 TB / 10^12 rows): the html payload column NEVER
+  * crosses a shuffle — extraction happens map-side on scan splits and
+  * projects the binary away before the single exchange. Resume costs
+  * O(#files) driver-side set arithmetic, not a 100 TB join. Extraction
+  * is embarrassingly parallel, so throughput scales with cores until
+  * the scan is I/O-bound.
   */
 object ExtractJob {
 
@@ -57,40 +62,63 @@ object ExtractJob {
       pagesPath: String,
       outRoot: String,
       numPartitions: Int = 0,
-      saltBuckets: Int = 8): Snapshot = {
+      saltBuckets: Int = 8,
+      rowLevelResume: Boolean = true): Snapshot = {
     import spark.implicits._
 
-    val pages = readPages(spark, pagesPath)
-
-    // ---- resume anti-join (S7): skip urls already committed ----------
-    val committedDirs = SnapshotStore.dataDirs(outRoot)
-    val pending: Dataset[Page] =
-      if (committedDirs.isEmpty) pages
-      else {
-        val committed = spark.read.parquet(committedDirs: _*).select("url")
-        pages.join(committed, Seq("url"), "left_anti").as[Page]
-      }
-
-    // ---- explicit partitioning with host salting ----------------------
-    // Hosts are zipfian (a few own ~30% of rows). Partitioning by host
-    // alone would melt a few tasks at 10^12 rows; salting by a hash of
-    // the full url within host spreads each hot host over `saltBuckets`
-    // partitions while keeping host-locality for downstream per-host
-    // metrics. AQE (enabled in session conf) re-splits any residue.
-    val parts = if (numPartitions > 0) numPartitions
-                else spark.sparkContext.defaultParallelism * 2
-    val salted = pending
-      .repartition(parts, expr(s"concat(parse_url(url, 'HOST'), '#', pmod(hash(url), $saltBuckets))"))
-      .as[Page]
-
-    // ---- extraction (map-side; html never crosses a shuffle) ----------
-    val extracted = salted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      it.map(p => WithPid(Extract(p), pid))
-    }
+    // ---- file-level resume (S7): scan only uncommitted input files ----
+    // O(#files) driver-side set arithmetic; at 10^12 rows this replaces
+    // a full-table anti-join that would shuffle the payload column.
+    val allFiles = spark.read.parquet(pagesPath).inputFiles.toSeq.sorted
+    val committedInputs = SnapshotStore.committedInputFiles(outRoot)
+    val pendingFiles = allFiles.filterNot(committedInputs.contains)
 
     val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
-    extracted
+    if (pendingFiles.isEmpty) {
+      SnapshotStore.deleteRecursively(dataDir) // clear any crashed writer's leftovers
+      val snap = Snapshot(seq, seq - 1, ExtractionVersion.current, dataDir,
+        Nil, 0L, allFiles)
+      SnapshotStore.commit(outRoot, snap)
+      return snap
+    }
+
+    val scanned = spark.read.parquet(pendingFiles: _*)
+      .select("url", "warc_ts", "html", "text", "lang").as[Page]
+
+    // ---- row-level safety net: exactness if input files were rewritten.
+    // The committed side reads only the url column of prior snapshots
+    // (payload-free). Turn OFF at full scale, where file bookkeeping is
+    // authoritative and the committed url set no longer fits a join.
+    val committedDirs = SnapshotStore.dataDirs(outRoot)
+    val pending: Dataset[Page] =
+      if (!rowLevelResume || committedDirs.isEmpty) scanned
+      else {
+        val committed = spark.read.parquet(committedDirs: _*).select("url")
+        scanned.join(committed, Seq("url"), "left_anti").as[Page]
+      }
+
+    // ---- extraction on scan splits (map-side; the html payload never
+    // crosses a shuffle; parallelism governed by maxPartitionBytes) ----
+    val extracted = pending.mapPartitions { it =>
+      it.map(p => Extract(p))
+    }
+
+    // ---- explicit output partitioning with host salting ---------------
+    // Hosts are zipfian (a few own ~30% of rows). The OUTPUT (text-only,
+    // ~20x smaller than input) is clustered by host for downstream
+    // per-host processing; salting by a hash of the full url spreads hot
+    // hosts over `saltBuckets` buckets so no output partition melts.
+    // AQE (enabled in session conf) re-splits any residue.
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sparkContext.defaultParallelism * 2
+    val clustered = extracted
+      .repartition(parts, expr(s"concat(parse_url(url, 'HOST'), '#', pmod(hash(url), $saltBuckets))"))
+
+    val withPid = clustered.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map(d => WithPid(d, pid))
+    }
+    withPid
       .select($"doc.*", $"partition_id")
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
 
@@ -115,7 +143,8 @@ object ExtractJob {
       extractionVersion = ExtractionVersion.current,
       dataDir = dataDir,
       partitions = lineageRows.sortBy(_.partitionId),
-      rowCount = lineageRows.map(_.rowCount).sum)
+      rowCount = lineageRows.map(_.rowCount).sum,
+      inputFiles = pendingFiles)
     SnapshotStore.commit(outRoot, snap)
     snap
   }
@@ -128,14 +157,18 @@ object ExtractJob {
   }
 
   /** Generate the deterministic synthetic pages table (distributed:
-    * each row is a pure function of (seed, index)). */
+    * each row is a pure function of (seed, index)). `start` > 0 with
+    * append mode models a growing crawl: new rows arrive as NEW files,
+    * which is what the file-level resume consumes. */
   def generatePages(spark: SparkSession, rows: Long, path: String,
-                    seed: Long = PageGen.DefaultSeed, partitions: Int = 0): Unit = {
+                    seed: Long = PageGen.DefaultSeed, partitions: Int = 0,
+                    start: Long = 0L, append: Boolean = false): Unit = {
     import spark.implicits._
     val parts = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    spark.range(0, rows, 1, parts)
+    val mode = if (append) SaveMode.Append else SaveMode.Overwrite
+    spark.range(start, rows, 1, parts)
       .mapPartitions(_.map(i => PageGen.genRow(seed, i).page))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(mode).parquet(path)
   }
 }
 

@@ -34,7 +34,8 @@ final case class Snapshot(
     extractionVersion: String,
     dataDir: String,
     partitions: Seq[PartitionLineage],
-    rowCount: Long)
+    rowCount: Long,
+    inputFiles: Seq[String] = Nil) // input files consumed by THIS snapshot
 
 object SnapshotStore {
 
@@ -43,9 +44,44 @@ object SnapshotStore {
     if (Files.exists(hint)) new String(Files.readAllBytes(hint), UTF_8).trim.toInt else 0
   }
 
+  /** Data dirs of committed snapshots with rows — read from MANIFESTS
+    * (authoritative, Iceberg-style), never from directory listings: a
+    * crashed writer may leave stray uncommitted dirs on disk. */
   def dataDirs(root: String): Seq[String] = {
     val seq = currentSequence(root)
-    (1 to seq).map(i => s"$root/data/snap-$i").filter(d => Files.exists(Paths.get(d)))
+    (1 to seq).flatMap { i =>
+      val m = readManifest(root, i)
+      val dir = parseStringField(m, "data_dir")
+      val rows = parseLongField(m, "row_count")
+      if (rows > 0 && dir.nonEmpty && Files.exists(Paths.get(dir))) Some(dir) else None
+    }
+  }
+
+  private def parseStringField(json: String, key: String): String = {
+    val k = "\"" + key + "\":\""
+    val i = json.indexOf(k)
+    if (i < 0) return ""
+    val start = i + k.length
+    val sb = new java.lang.StringBuilder()
+    var j = start
+    while (j < json.length && json.charAt(j) != '"') {
+      val c = json.charAt(j)
+      if (c == '\\' && j + 1 < json.length) { sb.append(json.charAt(j + 1)); j += 2 }
+      else { sb.append(c); j += 1 }
+    }
+    sb.toString
+  }
+
+  private def parseLongField(json: String, key: String): Long = {
+    val k = "\"" + key + "\":"
+    val i = json.indexOf(k)
+    if (i < 0) return 0L
+    var j = i + k.length
+    val sb = new java.lang.StringBuilder()
+    while (j < json.length && (json.charAt(j).isDigit || json.charAt(j) == '-')) {
+      sb.append(json.charAt(j)); j += 1
+    }
+    if (sb.length() == 0) 0L else sb.toString.toLong
   }
 
   def nextDataDir(root: String): (Int, String) = {
@@ -88,7 +124,56 @@ object SnapshotStore {
     val parts = s.partitions.map { p =>
       s"""{"partition_id":${p.partitionId},"row_count":${p.rowCount},"error_count":${p.errorCount},"warc_ts_min":${p.warcTsMin},"warc_ts_max":${p.warcTsMax}}"""
     }.mkString("[", ",", "]")
-    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts}"""
+    val inputs = s.inputFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
+  }
+
+  /** Union of input files consumed by all committed snapshots. */
+  def committedInputFiles(root: String): Set[String] = {
+    val seq = currentSequence(root)
+    (1 to seq).flatMap { i =>
+      val m = readManifest(root, i)
+      parseStringArray(m, "input_files")
+    }.toSet
+  }
+
+  /** Minimal extractor for a `"key":["a","b"]` JSON string array written
+    * by renderManifest (escapes limited to \" \\ \\uXXXX). */
+  private def parseStringArray(json: String, key: String): Seq[String] = {
+    val k = "\"" + key + "\":["
+    val i = json.indexOf(k)
+    if (i < 0) return Nil
+    var j = i + k.length
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder()
+    var inStr = false
+    var done = false
+    while (!done && j < json.length) {
+      val c = json.charAt(j)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.setLength(0) }
+        else if (c == ']') done = true
+        j += 1
+      } else {
+        if (c == '\\' && j + 1 < json.length) {
+          val e = json.charAt(j + 1)
+          if (e == 'u' && j + 5 < json.length) {
+            sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
+            j += 6
+          } else { sb.append(e); j += 2 }
+        } else if (c == '"') { inStr = false; out += sb.toString; j += 1 }
+        else { sb.append(c); j += 1 }
+      }
+    }
+    out.toSeq
+  }
+
+  def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 
   def listFiles(dir: String): Seq[String] = {

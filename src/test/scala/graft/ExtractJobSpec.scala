@@ -48,18 +48,18 @@ class ExtractJobSpec extends AnyFunSuite {
   }
 
   test("resume: partial run + resume == clean full run (idempotent)") {
-    import spark.implicits._
     val dir = tmp()
-    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 4)
-    // partial input = first half of the table
-    val all = spark.read.parquet(s"$dir/pages")
-    all.filter(expr_idx($"url") < N / 2).write.parquet(s"$dir/pages_half")
-
-    ExtractJob.run(spark, s"$dir/pages_half", s"$dir/resumed")
+    // a growing crawl: first half arrives, is committed, then the rest
+    // lands as NEW files in the same table directory
+    ExtractJob.generatePages(spark, N / 2, s"$dir/pages", partitions = 4)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/resumed")
+    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 4,
+      start = N / 2, append = true)
     val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/resumed")
     assert(snap2.rowCount == N - N / 2, s"resume re-did work: ${snap2.rowCount}")
 
-    ExtractJob.run(spark, s"$dir/pages", s"$dir/clean")
+    ExtractJob.generatePages(spark, N, s"$dir/pages_clean", partitions = 4)
+    ExtractJob.run(spark, s"$dir/pages_clean", s"$dir/clean")
 
     val a = ExtractJob.readExtracted(spark, s"$dir/resumed")
       .select("url", "extracted_text", "payload_kind", "error")
@@ -108,8 +108,4 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(snap2.sequence == 2 && snap2.rowCount == 0)
     assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 100)
   }
-
-  // helper: parse the trailing row index from the generated url
-  private def expr_idx(c: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.expr("cast(regexp_extract(url, '/page/(\\\\d+)$', 1) as long)")
 }
