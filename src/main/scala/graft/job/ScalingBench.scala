@@ -76,7 +76,7 @@ object ScalingBench {
     val n = if (args.length > 1) args(1).toInt else 8
     val reps = if (args.length > 2) args(2).toInt else 3
     val n4 = n * 4
-    val pagesPath = s"/tmp/graft_pages_cache/rows$rows"
+    val pagesPath = s"/tmp/graft_pages_cache/g${graft.gen.PageGen.GenVersion}-rows$rows"
 
     // generate once (untimed)
     if (!new java.io.File(s"$pagesPath/_SUCCESS").exists()) {

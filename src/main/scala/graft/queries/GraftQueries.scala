@@ -28,7 +28,7 @@ object GraftQueries {
   private val genLock = new Object
   def pagesPath(spark: SparkSession, sfDir: String): String = genLock.synchronized {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
-    val path = s"/tmp/graft_pages_cache/rows$rows"
+    val path = s"/tmp/graft_pages_cache/g${graft.gen.PageGen.GenVersion}-rows$rows"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.exists()) ExtractJob.generatePages(spark, rows, path)
     path
@@ -272,6 +272,27 @@ object GraftQueries {
       TextStats.withFingerprint(
         TextStats.withTokenCounts(t(s, d, "documents")))
         .select("doc_id", "ws_tokens", "bpeish_tokens", "fingerprint")
+    }),
+
+    // NLP: flat entity table over extracted pages (F1-F13 + G4)
+    "q28_entities" -> ((s, d) => {
+      graft.nlp.EntityStage.explodeEntities(
+        extractedPages(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "url", "extracted_text")
+    }),
+
+    // NLP: first-match-wins field assignment per document (A7)
+    "q29_entity_fields" -> ((s, d) => {
+      graft.nlp.EntityStage.withFields(
+        extractedPages(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "extracted_text")
+        .filter(size(map_keys(col("fields"))) > 0)
+        .select(col("url"),
+          col("fields").getItem("invoice_number").as("invoice_number"),
+          col("fields").getItem("money").as("amount"),
+          col("fields").getItem("date").as("date"),
+          col("fields").getItem("email").as("email"),
+          col("fields").getItem("phone").as("phone"))
     })
   )
 
