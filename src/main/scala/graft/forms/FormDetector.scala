@@ -1,0 +1,117 @@
+package graft.forms
+
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+import graft.html.{BlockBuilder, HtmlTokenizer}
+
+/** Form/field detection over web pages — the re-expression of the
+  * reference's FormDetector (/root/reference/ocrworker/form_detector.py):
+  * regex field patterns (:76-86), label→value pairing (:194-224, where
+  * the geometric "block to the right on the same line" becomes "value
+  * after the colon on the same text line"), checkbox detection
+  * (:322-372, pixel squares become [x]/[ ] markers), the
+  * indicator-count threshold classifier (is_form ⇔ indicators ≥ 3 or
+  * fields ≥ 5, :100-129), and the keyword form-type classifier
+  * (:374-403).
+  *
+  * Runs over ALL text blocks (including boilerplate) — forms are not
+  * "main content"; this is a sibling pipeline over the same scan, like
+  * the reference's form task family vs the OCR task family.
+  */
+final case class DetectedField(
+    fieldType: String, label: String, value: String, line: Int, confidence: Double)
+
+final case class FormResult(
+    isForm: Boolean,
+    formType: String,
+    nFields: Int,
+    nIndicators: Int,
+    nCheckboxes: Int,
+    nChecked: Int,
+    fields: Array[DetectedField])
+
+object FormDetector {
+
+  // field patterns per type (form_detector.py:76-86 families)
+  private val fieldTypes: Seq[(String, Pattern)] = Seq(
+    "name" -> Pattern.compile("(?i)^(full\\s+)?name$|^(first|last|middle)\\s+name$"),
+    "date" -> Pattern.compile("(?i)^date(\\s+of\\s+\\w+)?$|^(birth|start|end|due)\\s+date$"),
+    "email" -> Pattern.compile("(?i)^e-?mail(\\s+address)?$"),
+    "phone" -> Pattern.compile("(?i)^(phone|tel|telephone|mobile|fax)(\\s+(number|no))?$"),
+    "address" -> Pattern.compile("(?i)^(street\\s+|mailing\\s+|home\\s+)?address$|^(city|state|zip|postal)(\\s+code)?$"),
+    "amount" -> Pattern.compile("(?i)^(total\\s+)?(amount|sum|price|cost|fee)(\\s+due)?$"),
+    "account" -> Pattern.compile("(?i)^account(\\s+(number|no|id))?$|^iban$|^routing(\\s+number)?$"),
+    "signature" -> Pattern.compile("(?i)^(customer\\s+|authorized\\s+)?signature$|^signed(\\s+by)?$"),
+    "id" -> Pattern.compile("(?i)^(customer|member|employee|tax)\\s*(id|number)$|^ssn$"))
+
+  private val labelValue = Pattern.compile("^\\s*([A-Za-z][A-Za-z .'-]{1,40}?)\\s*:\\s*(.*)$")
+  private val checkbox = Pattern.compile("\\[([ xX])\\]")
+  // structural indicators (the web analog of form_indicators):
+  private val indicatorWords = Pattern.compile(
+    "(?i)\\b(please\\s+(fill|complete|sign)|required\\s+field|signature|checkbox|initials|" +
+      "form\\s+(no|number)|submit|applicant|undersigned)\\b")
+
+  private val formTypeKeywords: Seq[(String, Seq[String])] = Seq(
+    "invoice" -> Seq("invoice", "bill to", "remit"),
+    "insurance" -> Seq("insurance", "policy", "claim"),
+    "application" -> Seq("application", "applicant", "apply"),
+    "registration" -> Seq("registration", "register", "enroll"),
+    "agreement" -> Seq("agreement", "terms", "undersigned"),
+    "tax" -> Seq("tax", "irs", "withholding"))
+
+  def classifyFieldType(label: String): String =
+    fieldTypes.collectFirst { case (t, p) if p.matcher(label.trim).matches() => t }
+      .getOrElse("other")
+
+  /** Detect over pre-split text lines (one block or one line per entry). */
+  def detect(lines: Array[String]): FormResult = {
+    val fields = new ArrayBuffer[DetectedField]()
+    var indicators = 0
+    var checkboxes = 0
+    var checked = 0
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val lv = labelValue.matcher(line)
+      if (lv.matches()) {
+        val label = lv.group(1).trim
+        val value = lv.group(2).trim
+        val ft = classifyFieldType(label)
+        val conf = if (ft != "other") 0.9 else 0.5
+        fields += DetectedField(ft, label, value, i, conf)
+      }
+      val cb = checkbox.matcher(line)
+      while (cb.find()) {
+        checkboxes += 1
+        if (cb.group(1) != " ") checked += 1
+      }
+      val ind = indicatorWords.matcher(line)
+      while (ind.find()) indicators += 1
+      i += 1
+    }
+    val typedFields = fields.count(_.fieldType != "other")
+    // reference thresholds: form_detector.py:115
+    val isForm = (indicators + checkboxes) >= 3 || typedFields >= 5 || fields.length >= 8
+    val all = lines.mkString(" ").toLowerCase
+    val formType =
+      if (!isForm) "none"
+      else formTypeKeywords.collectFirst {
+        case (t, kws) if kws.exists(all.contains) => t
+      }.getOrElse("generic")
+    FormResult(isForm, formType, fields.length, indicators, checkboxes, checked, fields.toArray)
+  }
+
+  /** Full-page detection from raw html bytes: tokenize to ALL blocks
+    * (no boilerplate filtering) and run the line detector. Total. */
+  def detectHtml(html: Array[Byte]): FormResult = {
+    try {
+      val builder = new BlockBuilder
+      HtmlTokenizer.tokenize(new String(html, StandardCharsets.UTF_8), builder)
+      val (blocks, _) = builder.result()
+      detect(blocks.map(_.text))
+    } catch {
+      case _: Throwable => FormResult(isForm = false, "none", 0, 0, 0, 0, Array.empty)
+    }
+  }
+}

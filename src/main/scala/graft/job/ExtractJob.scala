@@ -103,6 +103,39 @@ object ExtractJob {
       it.map(p => Extract(p))
     }
 
+    commitSnapshot(extracted, outRoot, seq, dataDir, pendingFiles,
+      numPartitions, saltBuckets)
+  }
+
+  /** Streaming entry: commit one micro-batch of extracted docs as the
+    * next snapshot (input-file bookkeeping handled by the streaming
+    * checkpoint, not the manifest). foreachBatch is at-least-once on
+    * crash replay, so the row-level anti-join vs committed urls makes
+    * the commit idempotent. */
+  def appendSnapshot(extracted: Dataset[ExtractedDoc], outRoot: String,
+                     numPartitions: Int = 0, saltBuckets: Int = 8): Snapshot = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+    val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
+    val committedDirs = SnapshotStore.dataDirs(outRoot)
+    val deduped =
+      if (committedDirs.isEmpty) extracted
+      else {
+        val committed = spark.read.parquet(committedDirs: _*).select("url")
+        extracted.join(committed, Seq("url"), "left_anti").as[ExtractedDoc]
+      }
+    commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets)
+  }
+
+  /** Shared tail of the pipeline: salted-host output clustering, write,
+    * lineage aggregation, atomic manifest commit. */
+  private def commitSnapshot(
+      extracted: Dataset[ExtractedDoc], outRoot: String, seq: Int,
+      dataDir: String, inputFiles: Seq[String],
+      numPartitions: Int, saltBuckets: Int): Snapshot = {
+    val spark = extracted.sparkSession
+    import spark.implicits._
+
     // ---- explicit output partitioning with host salting ---------------
     // Hosts are zipfian (a few own ~30% of rows). The OUTPUT (text-only,
     // ~20x smaller than input) is clustered by host for downstream
@@ -144,7 +177,7 @@ object ExtractJob {
       dataDir = dataDir,
       partitions = lineageRows.sortBy(_.partitionId),
       rowCount = lineageRows.map(_.rowCount).sum,
-      inputFiles = pendingFiles)
+      inputFiles = inputFiles)
     SnapshotStore.commit(outRoot, snap)
     snap
   }

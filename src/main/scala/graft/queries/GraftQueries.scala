@@ -293,6 +293,33 @@ object GraftQueries {
           col("fields").getItem("date").as("date"),
           col("fields").getItem("email").as("email"),
           col("fields").getItem("phone").as("phone"))
+    }),
+
+    // multimodal: decode-stub + batched feature extraction over a
+    // deterministic binary media table (plumbing real, codec stubbed)
+    "q30_media_features" -> ((s, d) => {
+      val rows = graft.gen.PageGen.rowsForDir(d) / 20
+      val media = graft.multimodal.MediaOps.genMedia(s, math.max(rows, 50))
+      graft.multimodal.MediaOps.withFeatures(media)
+        .groupBy(col("kind"), col("decode_ok"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("width")), 2).as("avg_width"),
+          round(avg(col("sample_rate")), 2).as("avg_sample_rate"))
+    }),
+
+    // form detection over raw pages (sibling pipeline to extraction)
+    "q31_form_detect" -> ((s, d) => {
+      import s.implicits._
+      ExtractJob.readPages(s, pagesPath(s, d))
+        .mapPartitions { it =>
+          it.map { p =>
+            val r = graft.forms.FormDetector.detectHtml(p.html)
+            (p.url, r.isForm, r.formType, r.nFields, r.nIndicators, r.nCheckboxes, r.nChecked)
+          }
+        }
+        .toDF("url", "is_form", "form_type", "n_fields", "n_indicators",
+          "n_checkboxes", "n_checked")
+        .filter(col("is_form"))
     })
   )
 

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.job.ExtractJob
+
+/** Streaming mode of the engine — the direct analog of the reference's
+  * arrival-driven worker (Celery consumes one message per document,
+  * /root/reference/ocrworker/celery_app.py:10-19): a file source
+  * watches the pages table directory, each micro-batch runs the SAME
+  * extraction pipeline via foreachBatch, and commits the same
+  * Iceberg-style snapshots — so batch resume and streaming checkpoints
+  * compose (a batch run can take over from a streaming run and vice
+  * versa, because both bookkeep over committed input files).
+  *
+  * Also provides the event-time path the reference lacks (it has no
+  * watermarks — SURVEY.md §2.10): windowed per-host throughput metrics
+  * over warc_ts with a configurable watermark.
+  */
+object StreamingExtract {
+
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Streaming extraction: every micro-batch of newly-arrived page files
+    * is extracted and committed as a snapshot. maxFilesPerTrigger bounds
+    * per-batch work (the analog of queue prefetch). */
+  def extractStream(spark: SparkSession, pagesDir: String, outRoot: String,
+                    checkpoint: String, maxFilesPerTrigger: Int = 8): DataStreamWriter[Row] = {
+    val stream = spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(pagesDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // reuse the batch pipeline's snapshot commit; the batch df is
+        // already the newly-seen rows, so file bookkeeping defers to
+        // the streaming checkpoint, and row-level resume stays on as
+        // the safety net for overlap after a crash between the two
+        // bookkeeping layers.
+        import batch.sparkSession.implicits._
+        val pages = batch.as[graft.core.Page]
+        val extracted = ExtractJob.extractDS(pages)
+        ExtractJob.appendSnapshot(extracted, outRoot)
+        ()
+      }
+  }
+
+  /** Event-time metrics: tumbling-window per-host doc counts with a
+    * watermark on warc_ts (late data beyond the watermark dropped —
+    * the streaming analog of the reference's bounded retry window,
+    * /root/reference/ocrworker/tasks.py:23-28). */
+  def hostThroughput(pages: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    pages
+      .withWatermark("warc_ts", watermark)
+      .groupBy(
+        window(col("warc_ts"), window_),
+        parse_url(col("url"), lit("HOST")).as("host"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("host"), col("n_docs"))
+  }
+}

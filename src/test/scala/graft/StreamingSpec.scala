@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+import graft.job.{ExtractJob, SnapshotStore}
+import graft.streaming.StreamingExtract
+
+/** Streaming mode: micro-batch extraction over arriving page files must
+  * produce the same committed contents as one batch run, and the
+  * watermarked windowed aggregation must match its batch equivalent. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graftstream").toString
+
+  test("streaming extraction == batch extraction (same snapshot contents)") {
+    val dir = tmp()
+    val N = 200
+    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 6)
+
+    val q = StreamingExtract.extractStream(
+      spark, s"$dir/pages", s"$dir/stream_out", s"$dir/ckpt",
+      maxFilesPerTrigger = 2).start()
+    q.awaitTermination() // AvailableNow: drains all current files, stops
+
+    assert(SnapshotStore.currentSequence(s"$dir/stream_out") >= 2,
+      "expected multiple micro-batch snapshots")
+
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/batch_out")
+    val a = ExtractJob.readExtracted(spark, s"$dir/stream_out")
+      .select("url", "extracted_text", "payload_kind", "error")
+    val b = ExtractJob.readExtracted(spark, s"$dir/batch_out")
+      .select("url", "extracted_text", "payload_kind", "error")
+    assert(a.count() == N && b.count() == N)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("streaming restart picks up only new files (checkpoint resume)") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 100, s"$dir/pages", partitions = 3)
+    val w1 = StreamingExtract.extractStream(
+      spark, s"$dir/pages", s"$dir/out", s"$dir/ckpt").start()
+    w1.awaitTermination()
+    val rows1 = ExtractJob.readExtracted(spark, s"$dir/out").count()
+    assert(rows1 == 100)
+
+    // new files arrive; restart from checkpoint
+    ExtractJob.generatePages(spark, 180, s"$dir/pages", partitions = 3,
+      start = 100, append = true)
+    val w2 = StreamingExtract.extractStream(
+      spark, s"$dir/pages", s"$dir/out", s"$dir/ckpt").start()
+    w2.awaitTermination()
+    val all = ExtractJob.readExtracted(spark, s"$dir/out")
+    assert(all.count() == 180)
+    assert(all.select("url").distinct().count() == 180)
+  }
+
+  test("watermarked windowed host throughput matches batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 300, s"$dir/pages", partitions = 4)
+    val batch = spark.read.parquet(s"$dir/pages")
+    val expected = batch
+      .groupBy(window(col("warc_ts"), "1 hour"), parse_url(col("url"), lit("HOST")).as("host"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("host"), col("n_docs"))
+
+    // run the same aggregation through the streaming plan in complete mode
+    val stream = spark.readStream.schema(StreamingExtract.pageSchema)
+      .parquet(s"$dir/pages")
+    val agg = StreamingExtract.hostThroughput(stream)
+    val q = agg.writeStream.format("memory").queryName("host_tp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only windows closed by the watermark; every
+    // emitted row must match the batch computation exactly
+    val got = spark.table("host_tp")
+    val joined = got.join(expected, Seq("window_start", "host"), "left")
+      .filter(got("n_docs") =!= expected("n_docs"))
+    assert(joined.isEmpty, "streaming window counts diverge from batch")
+  }
+}
