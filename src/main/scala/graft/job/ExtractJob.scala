@@ -179,7 +179,29 @@ object ExtractJob {
       rowCount = lineageRows.map(_.rowCount).sum,
       inputFiles = inputFiles)
     SnapshotStore.commit(outRoot, snap)
+    emitEvents(spark, outRoot, snap)
     snap
+  }
+
+  /** Downstream event emission (S9) — the analog of the reference's
+    * notify/index task fan-out (/root/reference/ocrworker/tasks.py:189-212)
+    * and job-status rows (segmentation_tasks.py:293-332): per-commit
+    * metric rows appended to an `events` table next to the snapshots. */
+  private def emitEvents(spark: SparkSession, outRoot: String, snap: Snapshot): Unit = {
+    import spark.implicits._
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val rows =
+      (snap.partitions.map { p =>
+        (now, "partition_committed", snap.sequence, p.partitionId,
+          Map("row_count" -> p.rowCount.toString, "error_count" -> p.errorCount.toString,
+            "warc_ts_min" -> p.warcTsMin.toString, "warc_ts_max" -> p.warcTsMax.toString))
+      } :+ ((now, "snapshot_committed", snap.sequence, -1,
+        Map("row_count" -> snap.rowCount.toString,
+          "extraction_version" -> snap.extractionVersion,
+          "n_input_files" -> snap.inputFiles.size.toString))))
+    rows.toDF("ts", "kind", "sequence", "partition_id", "payload")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$outRoot/events")
   }
 
   /** Read the union of all committed snapshots (the logical table). */
