@@ -126,6 +126,7 @@ object HtmlTokenizer {
             if (ok) found = k else j = k + 1
           }
         }
+        if (found < 0) found = n // raw content starts at end-of-input
         if (found >= n) { h.endTag(name); return n }
         val e = s.indexOf('>', found)
         h.endTag(name)

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.core.{Extract, Page}
+import graft.html.MainContentExtractor
+import graft.nlp.EntityMatcher
+import graft.ops.Dedup
+
+/** Property-based gates (SURVEY.md §5.2(3)): totality on arbitrary
+  * bytes, determinism, span well-formedness, matcher invariants.
+  * (Raw scalacheck generators with deterministic seeds — the
+  * scalatestplus bridge isn't in the offline cache.) */
+class PropertySpec extends AnyFunSuite {
+
+  private val ts = new java.sql.Timestamp(0)
+
+  /** Deterministic sampling harness over a scalacheck Gen. */
+  private def forSamples[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 4) {
+      gen.apply(Gen.Parameters.default.withSize(1 + attempts % 100), seed) match {
+        case Some(v) => f(v); produced += 1
+        case None =>
+      }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+  private def forAll[T](gen: Gen[T], minSuccessful: Int)(f: T => Unit): Unit =
+    forSamples(gen, minSuccessful)(f)
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], minSuccessful: Int)(f: (A, B) => Unit): Unit =
+    forSamples(Gen.zip(ga, gb), minSuccessful)(t => f(t._1, t._2))
+  private def minSuccessful(n: Int): Int = n
+
+  test("extraction is total on arbitrary byte payloads (never throws)") {
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      minSuccessful(200)) { bytes =>
+      val e = Extract(Page("u", ts, bytes, "", "eng"))
+      assert(e.extracted_text != null && e.payload_kind != null)
+      assert(e.spans.forall(s => s.start >= 0 && s.end <= e.extracted_text.length))
+    }
+  }
+
+  test("html extraction is total on arbitrary strings incl. tag soup") {
+    val tagSoup = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("<"), Gen.const(">"), Gen.const("</"),
+      Gen.const("<div"), Gen.const("&amp;"), Gen.const("&#"), Gen.const("\""),
+      Gen.const("<!--"), Gen.const("<script>"), Gen.const("</script>"),
+      Gen.const("<p>"), Gen.const(" "))).map(_.mkString)
+    forAll(tagSoup, minSuccessful(200)) { s =>
+      val r = MainContentExtractor.extract(s)
+      assert(r.text != null && r.nBlocks >= 0)
+    }
+  }
+
+  test("extraction is deterministic on arbitrary payloads") {
+    forAll(Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      minSuccessful(50)) { bytes =>
+      val a = Extract(Page("u", ts, bytes, "", "eng"))
+      val b = Extract(Page("u", ts, bytes, "", "eng"))
+      assert(java.util.Arrays.equals(
+        a.extracted_text.getBytes(UTF_8), b.extracted_text.getBytes(UTF_8)))
+    }
+  }
+
+  test("entity matcher: total, spans well-formed and non-overlapping") {
+    forAll(Gen.asciiPrintableStr, minSuccessful(200)) { s =>
+      val es = EntityMatcher.matchEntities(s)
+      es.foreach { e =>
+        assert(e.start >= 0 && e.end <= s.length && e.start < e.end)
+        assert(s.substring(e.start, e.end) == e.text)
+      }
+      // pairwise non-overlap (the suppression invariant)
+      val sorted = es.sortBy(_.start)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.end <= b.start, s"overlap $a $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("jaccard is symmetric, bounded, reflexive") {
+    val arr = Gen.containerOf[Array, Long](Gen.choose(Long.MinValue, Long.MaxValue))
+    forAll(arr, arr, minSuccessful(100)) { (a, b) =>
+      val j1 = Dedup.jaccard(a, b)
+      val j2 = Dedup.jaccard(b, a)
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+      assert(Dedup.jaccard(a, a) == 1.0)
+    }
+  }
+
+  test("minhash signature bounds estimated jaccard error") {
+    // identical inputs → identical signatures; disjoint → dissimilar sigs
+    forAll(Gen.nonEmptyContainerOf[Array, Long](Gen.choose(1L, Long.MaxValue)),
+      minSuccessful(50)) { a =>
+      val s1 = Dedup.minhashSignature(a)
+      val s2 = Dedup.minhashSignature(a)
+      assert(s1.sameElements(s2))
+    }
+  }
+
+  test("golden fixtures: committed byte contract unchanged") {
+    val p = java.nio.file.Paths.get(GoldenGen.fixturePath)
+    assert(java.nio.file.Files.exists(p),
+      "golden fixture missing — run Test/runMain graft.GoldenGen")
+    val committed = new String(java.nio.file.Files.readAllBytes(p), UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    val current = GoldenGen.currentLines()
+    assert(committed.size == current.size)
+    committed.zip(current).foreach { case (c, g) =>
+      assert(c == g, s"byte contract drift: committed '$c' vs current '$g' — " +
+        "if intentional, bump GenVersion/ExtractionVersion and regenerate")
+    }
+  }
+}
