@@ -320,6 +320,17 @@ object GraftQueries {
         .toDF("url", "is_form", "form_type", "n_fields", "n_indicators",
           "n_checkboxes", "n_checked")
         .filter(col("is_form"))
+    }),
+
+    // the integrated training-data flow: extract -> near-dup detection
+    // over the extraction corpus itself (generator plants ~5% mirrors)
+    "q32_page_neardups" -> ((s, d) => {
+      val pages = extractedPages(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(
+          expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
+          col("extracted_text").as("text"))
+      Dedup.minhashDedup(pages, threshold = 0.6)
     })
   )
 

@@ -96,6 +96,26 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(m.contains("\"extraction_version\":\"graft-extract-1\""))
   }
 
+  test("salting flattens zipfian host skew in output partitions") {
+    val dir = tmp()
+    val rows = 20000
+    ExtractJob.generatePages(spark, rows, s"$dir/pages", partitions = 8)
+    // host-only clustering (saltBuckets=1): the hottest host (zipfian
+    // head, ~14% of rows) melts one partition
+    val unsalted = ExtractJob.run(spark, s"$dir/pages", s"$dir/unsalted",
+      numPartitions = 32, saltBuckets = 1)
+    // salted over 8 buckets: the head host spreads out
+    val salted = ExtractJob.run(spark, s"$dir/pages", s"$dir/salted",
+      numPartitions = 32, saltBuckets = 8)
+    def maxShare(s: graft.job.Snapshot): Double =
+      s.partitions.map(_.rowCount).max.toDouble / rows
+    val u = maxShare(unsalted)
+    val sa = maxShare(salted)
+    info(f"max partition share: unsalted=${u * 100}%.1f%% salted=${sa * 100}%.1f%%")
+    assert(u > 0.10, f"expected zipfian head to melt a partition, got $u%.3f")
+    assert(sa < u / 2.0, f"salting should flatten: $sa%.3f vs $u%.3f")
+  }
+
   test("crash-resilience: stray uncommitted data dir is overwritten, not double-counted") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")

@@ -110,6 +110,23 @@ class OpsSpec extends AnyFunSuite {
     assert(acc >= 0.95)
   }
 
+  test("page-level near-dup detection finds the planted mirrors") {
+    import org.apache.spark.sql.functions._
+    val pages = graft.queries.GraftQueries.queries("q32_page_neardups")(spark, sfDir)
+    val found = pages.collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    // planted ground truth from the generator
+    val planted = (0 until graft.gen.PageGen.rowsForDir(sfDir)).flatMap { i =>
+      val g = graft.gen.PageGen.genRow(graft.gen.PageGen.DefaultSeed, i.toLong)
+      if (g.dupOf >= 0) Some((g.dupOf, i.toLong)) else None
+    }.toSet
+    assert(planted.size > 10, s"too few planted mirrors: ${planted.size}")
+    val hit = planted.count(found.contains)
+    info(s"found $hit/${planted.size} planted near-dup pairs (+${(found -- planted).size} organic)")
+    assert(hit >= (planted.size * 0.9).toInt, s"missed too many: $hit/${planted.size}")
+  }
+
   test("fingerprint is whitespace/case robust, content sensitive") {
     assert(TextStats.fingerprint("Hello  world") == TextStats.fingerprint("hello\nworld "))
     assert(TextStats.fingerprint("hello world") != TextStats.fingerprint("world hello"))
