@@ -57,24 +57,34 @@ object ScalingBench {
     (out.getLong(0), secs)
   }
 
-  def measure(cores: Int, pagesPath: String, reps: Int, splitBytes: Long): (Long, Double) = {
-    val spark = session(cores, splitBytes)
-    try {
-      var best = Double.MaxValue
-      var rows = 0L
-      (1 to reps).foreach { _ =>
-        val (n, secs) = runOnce(spark, pagesPath, cores * 2)
-        rows = n
-        if (secs < best) best = secs
-      }
-      (rows, best)
-    } finally spark.stop()
+  /** Pure-CPU calibration job: constant work per task, tasks = 8/core,
+    * zero I/O, zero shuffle — its measured N→4N efficiency is the
+    * PLATFORM ceiling (VM frequency scaling / hypervisor contention +
+    * Spark scheduling), the theoretical value being 1.0. Run through
+    * the same scheduler as the real job so the normalization is
+    * apples-to-apples. */
+  def calibrateOnce(spark: SparkSession, maxCores: Int): Double = {
+    import spark.implicits._
+    // FIXED total work regardless of session cores (like the real job's
+    // fixed input): ideal N→4N efficiency is exactly 1.0
+    val tasks = maxCores * 8
+    val t0 = System.nanoTime()
+    spark.range(0, tasks, 1, tasks).map { i =>
+      var x: Long = i
+      var k = 0
+      while (k < 60000000) { x = x * 6364136223846793005L + 1442695040888963407L; k += 1 }
+      x
+    }.reduce(_ ^ _)
+    (System.nanoTime() - t0) / 1e9
   }
 
+  /** Interleaved best-of measurement: alternating N / 4N runs inside the
+    * same wall-clock window decorrelates the two levels from the
+    * sandbox VM's noisy phases (observed ±30% on identical busy-loops). */
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 100000L
     val n = if (args.length > 1) args(1).toInt else 8
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val reps = if (args.length > 2) args(2).toInt else 5
     val n4 = n * 4
     val pagesPath = s"/tmp/graft_pages_cache/g${graft.gen.PageGen.GenVersion}-rows$rows"
 
@@ -89,15 +99,33 @@ object ScalingBench {
     val w = session(n, splitBytes)
     try runOnce(w, pagesPath, n * 2) finally w.stop()
 
-    val (rowsN, tN) = measure(n, pagesPath, reps, splitBytes)
-    val (rows4N, t4N) = measure(n4, pagesPath, reps, splitBytes)
+    var tN = Double.MaxValue; var t4N = Double.MaxValue
+    var calN = Double.MaxValue; var cal4N = Double.MaxValue
+    var rowsN = 0L; var rows4N = 0L
+    (1 to reps).foreach { _ =>
+      val sN = session(n, splitBytes)
+      try {
+        val (r, t) = runOnce(sN, pagesPath, n * 2)
+        rowsN = r; if (t < tN) tN = t
+        val c = calibrateOnce(sN, n4); if (c < calN) calN = c
+      } finally sN.stop()
+      val s4 = session(n4, splitBytes)
+      try {
+        val (r, t) = runOnce(s4, pagesPath, n4 * 2)
+        rows4N = r; if (t < t4N) t4N = t
+        val c = calibrateOnce(s4, n4); if (c < cal4N) cal4N = c
+      } finally s4.stop()
+    }
     require(rowsN == rows4N, "row counts differ between levels")
     val effN = (tN / t4N) / 4.0
+    val calEff = (calN / cal4N) / 4.0
+    val normalized = math.min(1.0, effN / calEff)
     val json =
       s"""{"metric":"scaling_efficiency","value":${f"$effN%.3f"},"unit":"ratio",""" +
       s""""rows":$rowsN,"n_cores":$n,"n4_cores":$n4,""" +
       s""""t_n_sec":${f"$tN%.3f"},"t_4n_sec":${f"$t4N%.3f"},""" +
-      s""""docs_per_sec_n":${f"${rowsN / tN}%.1f"},"docs_per_sec_4n":${f"${rowsN / t4N}%.1f"}}"""
+      s""""docs_per_sec_n":${f"${rowsN / tN}%.1f"},"docs_per_sec_4n":${f"${rowsN / t4N}%.1f"},""" +
+      s""""platform_ceiling_eff":${f"$calEff%.3f"},"normalized_eff":${f"$normalized%.3f"}}"""
     println(json)
     // persist for BENCH/BASELINE.md
     val dir = new java.io.File("BENCH")

@@ -76,6 +76,18 @@ object GraftQueries {
           "|").as("flags"))
     }),
 
+    // A1/A2 again as a typed Aggregator (UDAF form; same oracle as q3)
+    "q3b_stitch_typed" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").as[Long],
+          struct(col("l_linenumber"), col("l_returnflag")).as[(Int, String)])
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.OrderedConcat("|").toColumn.name("flags"))
+        .toDF("l_orderkey", "flags")
+    }),
+
     // J1/J2: FK equi-joins with a broadcast dimension
     "q4_nation_rollup" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -355,6 +367,11 @@ object GraftQueries {
         |WHERE rn = 1""".stripMargin,
 
     "q3_ordered_stitch" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS flags
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q3b_stitch_typed" ->
       """SELECT l_orderkey,
         |  string_agg(l_returnflag, '|' ORDER BY l_linenumber, l_returnflag) AS flags
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
