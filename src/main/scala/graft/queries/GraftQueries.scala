@@ -33,8 +33,13 @@ object GraftQueries {
     if (!marker.exists()) ExtractJob.generatePages(spark, rows, path)
     path
   }
-  def extractedPages(spark: SparkSession, sfDir: String): DataFrame =
+  def extractedPages(spark: SparkSession, sfDir: String): DataFrame = {
+    // extraction is CPU-bound per byte: shrink scan splits so local-mode
+    // parallelism isn't starved by a handful of 128 MB splits (at real
+    // 100 TB scale the default already yields ~800k splits)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
     ExtractJob.extractDS(ExtractJob.readPages(spark, pagesPath(spark, sfDir))).toDF()
+  }
 
   // =====================================================================
   // Relational operator inventory (oracle-backed)
