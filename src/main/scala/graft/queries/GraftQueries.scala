@@ -210,6 +210,17 @@ object GraftQueries {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // A11: exact interpolated median (the reference's np.median deskew
+    // aggregation re-expressed as a relational percentile)
+    "q33_median" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          count(lit(1)).as("n"))
+    }),
+
     // similarity: exact cosine pairs above threshold (SQL-mirrorable)
     "q17_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -470,6 +481,13 @@ object GraftQueries {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "q33_median" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q17_cosine_pairs" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

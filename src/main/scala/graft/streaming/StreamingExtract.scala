@@ -56,6 +56,26 @@ object StreamingExtract {
       }
   }
 
+  /** Arbitrary stateful streaming: cumulative per-host document counts
+    * maintained across micro-batches via
+    * KeyValueGroupedDataset.mapGroupsWithState — the custom-state form
+    * of the reference's long-lived per-queue progress counters
+    * (/root/reference/ocrworker/segmentation_tasks.py:293-332 job
+    * status updates). Output mode: Update (one refreshed row per host
+    * per batch). */
+  def statefulHostCounts(pages: DataFrame): org.apache.spark.sql.Dataset[(String, Long)] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    pages.select(parse_url(col("url"), lit("HOST")).as[String])
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (host, n)
+      }
+  }
+
   /** Event-time metrics: tumbling-window per-host doc counts with a
     * watermark on warc_ts (late data beyond the watermark dropped —
     * the streaming analog of the reference's bounded retry window,

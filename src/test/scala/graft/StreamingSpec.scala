@@ -62,6 +62,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.select("url").distinct().count() == 180)
   }
 
+  test("mapGroupsWithState: cumulative host counts converge to batch counts") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 250, s"$dir/pages", partitions = 5)
+    val stream = spark.readStream.schema(StreamingExtract.pageSchema)
+      .option("maxFilesPerTrigger", 1) // force several micro-batches
+      .parquet(s"$dir/pages")
+    val q = StreamingExtract.statefulHostCounts(stream)
+      .toDF("host", "n_docs")
+      .writeStream.format("memory").queryName("host_counts")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the LAST update per host must equal the batch count
+    val finalCounts = spark.table("host_counts")
+      .groupBy("host").agg(max("n_docs").as("n_docs"))
+    val expected = spark.read.parquet(s"$dir/pages")
+      .groupBy(parse_url(col("url"), lit("HOST")).as("host"))
+      .agg(count(lit(1)).as("n_docs"))
+    assert(finalCounts.exceptAll(expected).isEmpty &&
+      expected.exceptAll(finalCounts).isEmpty)
+  }
+
   test("watermarked windowed host throughput matches batch groupBy") {
     import org.apache.spark.sql.functions._
     val dir = tmp()
