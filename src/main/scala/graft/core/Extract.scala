@@ -36,7 +36,7 @@ object Extract {
     val kind = sniff(page.html)
     kind match {
       case "html" =>
-        val res = MainContentExtractor.extract(new String(page.html, StandardCharsets.UTF_8))
+        val res = MainContentExtractor.extractBytes(page.html)
         ExtractedDoc(
           url = page.url, warc_ts = page.warc_ts,
           extracted_text = res.text, spans = res.spans,

@@ -192,6 +192,18 @@ object MainContentExtractor {
   def extract(html: String): HtmlResult = {
     val builder = new BlockBuilder
     HtmlTokenizer.tokenize(html, builder)
+    assemble(builder)
+  }
+
+  /** Byte-level entry: same result, skips the whole-document UTF-8
+    * decode (see [[ByteHtmlTokenizer]]). */
+  def extractBytes(html: Array[Byte]): HtmlResult = {
+    val builder = new BlockBuilder
+    ByteHtmlTokenizer.tokenize(html, builder)
+    assemble(builder)
+  }
+
+  private def assemble(builder: BlockBuilder): HtmlResult = {
     val (blocks, title) = builder.result()
     DensityClassifier.classify(blocks)
 

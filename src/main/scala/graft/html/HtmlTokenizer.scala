@@ -162,6 +162,22 @@ object Entities {
     "times" -> "×", "deg" -> "°", "shy" -> ""
   )
 
+  /** Decode an entity body (between '&' and ';'): the replacement
+    * string, "" for a parsed-but-invalid numeric reference (consumed,
+    * nothing emitted), or null for an unrecognized entity (caller
+    * emits a literal '&' and advances one char). */
+  def decodeBody(body: String): String = {
+    if (body.startsWith("#")) {
+      val num = body.substring(1)
+      try {
+        val cp =
+          if (num.startsWith("x") || num.startsWith("X")) Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num)
+        if (cp > 0 && Character.isValidCodePoint(cp)) new String(Character.toChars(cp)) else ""
+      } catch { case _: NumberFormatException => null }
+    } else named.getOrElse(body, null)
+  }
+
   /** Decode the entity at s(i)=='&' appending to out; returns next index. */
   def decodeInto(s: String, i: Int, out: java.lang.StringBuilder): Int = {
     val n = s.length
@@ -176,19 +192,9 @@ object Entities {
       else j += 1
     }
     if (semi < 0) { out.append('&'); return i + 1 }
-    val body = s.substring(i + 1, semi)
-    if (body.startsWith("#")) {
-      val num = body.substring(1)
-      try {
-        val cp =
-          if (num.startsWith("x") || num.startsWith("X")) Integer.parseInt(num.substring(1), 16)
-          else Integer.parseInt(num)
-        if (cp > 0 && Character.isValidCodePoint(cp)) out.appendCodePoint(cp)
-        semi + 1
-      } catch { case _: NumberFormatException => out.append('&'); i + 1 }
-    } else named.get(body) match {
-      case Some(rep) => out.append(rep); semi + 1
-      case None      => out.append('&'); i + 1
+    decodeBody(s.substring(i + 1, semi)) match {
+      case null => out.append('&'); i + 1
+      case rep  => out.append(rep); semi + 1
     }
   }
 }

@@ -105,6 +105,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte tokenizer ≡ string tokenizer on arbitrary multibyte tag soup") {
+    val soup = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.const("<"), Gen.const(">"), Gen.const("</"),
+      Gen.const("<div class=\"a>b\">"), Gen.const("&amp;"), Gen.const("&#233;"),
+      Gen.const("&bogus;"), Gen.const("é漢字ü"), Gen.const("<!--x-->"),
+      Gen.const("<script>a<b</script>"), Gen.const("<p>"), Gen.const("</p>"),
+      Gen.const(" "), Gen.const("<![CDATA[x]]>"), Gen.const("&#"),
+      Gen.const("<TITLE>t</TITLE>"))).map(_.mkString)
+    forAll(soup, minSuccessful(300)) { s =>
+      val a = MainContentExtractor.extract(s)
+      val b = MainContentExtractor.extractBytes(s.getBytes(UTF_8))
+      assert(a.text == b.text, s"text diverged on: ${s.take(200)}")
+      assert(a.nBlocks == b.nBlocks && a.title == b.title)
+    }
+  }
+
   test("golden fixtures: committed byte contract unchanged") {
     val p = java.nio.file.Paths.get(GoldenGen.fixturePath)
     assert(java.nio.file.Files.exists(p),
