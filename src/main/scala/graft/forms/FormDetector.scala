@@ -1,9 +1,8 @@
 package graft.forms
 
-import java.nio.charset.StandardCharsets
 import java.util.regex.Pattern
 import scala.collection.mutable.ArrayBuffer
-import graft.html.{BlockBuilder, HtmlTokenizer}
+import graft.html.BlockBuilder
 
 /** Form/field detection over web pages — the re-expression of the
   * reference's FormDetector (/root/reference/ocrworker/form_detector.py):
@@ -102,12 +101,13 @@ object FormDetector {
     FormResult(isForm, formType, fields.length, indicators, checkboxes, checked, fields.toArray)
   }
 
-  /** Full-page detection from raw html bytes: tokenize to ALL blocks
-    * (no boilerplate filtering) and run the line detector. Total. */
+  /** Full-page detection from raw html bytes: byte-level tokenize to
+    * ALL blocks (no boilerplate filtering) and run the line detector.
+    * Total. */
   def detectHtml(html: Array[Byte]): FormResult = {
     try {
       val builder = new BlockBuilder
-      HtmlTokenizer.tokenize(new String(html, StandardCharsets.UTF_8), builder)
+      graft.html.ByteHtmlTokenizer.tokenize(html, builder)
       val (blocks, _) = builder.result()
       detect(blocks.map(_.text))
     } catch {
