@@ -92,7 +92,7 @@ object FormDetector {
     val typedFields = fields.count(_.fieldType != "other")
     // reference thresholds: form_detector.py:115
     val isForm = (indicators + checkboxes) >= 3 || typedFields >= 5 || fields.length >= 8
-    val all = lines.mkString(" ").toLowerCase
+    val all = lines.mkString(" ").toLowerCase(java.util.Locale.ROOT)
     val formType =
       if (!isForm) "none"
       else formTypeKeywords.collectFirst {

@@ -16,9 +16,6 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object ByteHtmlTokenizer {
 
-  private val rawText1 = "script".getBytes(UTF_8)
-  private val rawText2 = "style".getBytes(UTF_8)
-
   def tokenize(b: Array[Byte], h: HtmlHandler): Unit = {
     val n = b.length
     var i = 0
@@ -86,7 +83,11 @@ object ByteHtmlTokenizer {
     if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
 
   @inline private def isWs(c: Byte): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
+    // exactly Character.isWhitespace over the ASCII range (incl. the
+    // information-separator block 0x1C-0x1F) — keeps the byte and
+    // string tokenizers event-identical on any input
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == 0x0b || (c >= 0x1c && c <= 0x1f)
 
   private def startsWith(b: Array[Byte], i: Int, p: String): Boolean = {
     if (i + p.length > b.length) return false

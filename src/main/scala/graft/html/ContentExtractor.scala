@@ -35,6 +35,11 @@ final class BlockBuilder extends HtmlHandler {
   import BlockBuilder._
 
   def startTag(name: String, selfClosing: Boolean): Unit = {
+    // a <title> cannot contain elements: any tag while inTitle means the
+    // close tag was missing — finalize instead of swallowing the document
+    if (inTitle && name != "title") {
+      titleText = collapse(titleBuf.toString); inTitle = false
+    }
     if (blockTags.contains(name)) flushBlock()
     if (!selfClosing && !voidTags.contains(name)) {
       depth += 1
@@ -73,7 +78,7 @@ final class BlockBuilder extends HtmlHandler {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c) || c == ' ') {
+      if (Character.isWhitespace(c) || c == '\u00a0' /* NBSP */) {
         if (inWord) { inWord = false }
         pendingSpace = buf.length() > 0
       } else {
@@ -100,12 +105,13 @@ final class BlockBuilder extends HtmlHandler {
   }
 
   def result(): (Array[Block], String) = {
+    if (inTitle) { titleText = collapse(titleBuf.toString); inTitle = false }
     flushBlock()
     (blocks.toArray, titleText)
   }
 
   private def collapse(s: String): String =
-    s.trim.replaceAll("[\\s ]+", " ")
+    s.trim.replaceAll("[\\s\u00a0]+", " ")
 }
 
 object BlockBuilder {

@@ -91,7 +91,7 @@ object HtmlTokenizer {
     if (closing) i += 1
     val nameStart = i
     while (i < n && isNameChar(s.charAt(i))) i += 1
-    val name = s.substring(nameStart, i).toLowerCase
+    val name = s.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
     if (name.isEmpty) { // "</>" or "< " — forgiving skip to '>'
       val e = s.indexOf('>', i)
       return if (e < 0) n else e + 1

@@ -71,14 +71,21 @@ object MediaOps {
     }
   }
 
+  /** Header length by kind: image = magic+w+h+channels (13), audio =
+    * magic+rate+samples (12). */
+  def headerLen(kind: String): Int = if (kind == "audio") 12 else 13
+
   /** Deterministic 16-dim "embedding": normalized byte histogram of the
     * payload — the stand-in for a vision/audio model forward pass. */
   def embed(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
-    if (bytes == null || bytes.length <= 13) return hist
-    var i = 13
+    if (bytes == null) return hist
+    val m = decodeMeta(bytes)
+    val off = headerLen(m.kind)
+    if (!m.ok || bytes.length <= off) return hist
+    var i = off
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-    val n = (bytes.length - 13).toFloat
+    val n = (bytes.length - off).toFloat
     var j = 0
     while (j < 16) { hist(j) /= n; j += 1 }
     hist
@@ -99,7 +106,7 @@ object MediaOps {
   def sampleFrames(bytes: Array[Byte], frameBytes: Int, stride: Int): Seq[(Int, Array[Byte])] = {
     val m = decodeMeta(bytes)
     if (!m.ok) return Nil
-    val payload = bytes.drop(13)
+    val payload = bytes.drop(headerLen(m.kind))
     val nFrames = payload.length / frameBytes
     (0 until nFrames by stride).map { f =>
       (f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))

@@ -51,6 +51,7 @@ object EntityMatcher {
   // ---- money normalization (US + EU separator conventions) ------------
   def normalizeMoney(raw: String): String = {
     var s = raw.replaceAll("[$€£\\s]", "").replaceAll("(?i)(usd|eur|gbp)", "")
+      .replaceAll("[.,]+$", "") // sentence-final punctuation absorbed by the match
     val lastDot = s.lastIndexOf('.')
     val lastComma = s.lastIndexOf(',')
     if (lastComma > lastDot) {
@@ -149,14 +150,14 @@ object EntityMatcher {
       Pattern.compile("(?i)\\b(january|february|march|april|may|june|july|august|september|october|november|december|jan|feb|mar|apr|jun|jul|aug|sep|sept|oct|nov|dec)\\.?\\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\\s+([0-9]{2,4})\\b"),
       58, Seq("date", "dated", "on"),
       m => {
-        val mo = monthNames(m.group(1).toLowerCase)
+        val mo = monthNames(m.group(1).toLowerCase(java.util.Locale.ROOT))
         val d = m.group(2).toInt
         val y = pivotYear(m.group(3).toInt)
         if (validDate(y, mo, d)) iso(y, mo, d) else m.group()
       }, needsDigit = true),
     Rule("email", "EMAIL",
       Pattern.compile("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}\\b"),
-      50, Seq("email", "contact", "mail"), m => m.group().toLowerCase,
+      50, Seq("email", "contact", "mail"), m => m.group().toLowerCase(java.util.Locale.ROOT),
       triggers = Seq("@")),
     Rule("url", "URL",
       Pattern.compile("\\bhttps?://[^\\s<>\"')]+"),
@@ -182,7 +183,7 @@ object EntityMatcher {
     if (words.isEmpty) return base
     val lo = math.max(0, start - window)
     val hi = math.min(text.length, end + window)
-    val ctx = text.substring(lo, hi).toLowerCase
+    val ctx = text.substring(lo, hi).toLowerCase(java.util.Locale.ROOT)
     if (words.exists(ctx.contains)) 1.0 else base
   }
 
@@ -203,7 +204,7 @@ object EntityMatcher {
       }
       false
     }
-    lazy val lower = text.toLowerCase
+    lazy val lower = text.toLowerCase(java.util.Locale.ROOT)
     val hasDigit = {
       var i = 0; var found = false
       while (i < text.length && !found) { if (text.charAt(i) >= '0' && text.charAt(i) <= '9') found = true; i += 1 }
@@ -235,7 +236,7 @@ object EntityMatcher {
       .groupBy(_.label)
       .map { case (label, es) =>
         val best = es.minBy(e => (priorityOf(e.rule), e.start))
-        label.toLowerCase -> best.normalized
+        label.toLowerCase(java.util.Locale.ROOT) -> best.normalized
       }
   }
 }

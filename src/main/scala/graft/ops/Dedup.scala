@@ -27,7 +27,7 @@ object Dedup {
 
   /** Distinct word n-gram shingles, hashed to 64-bit. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
-    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     if (words.length < n) return Array(hash64(words.mkString(" ")))
     val set = new java.util.HashSet[Long]()
     var i = 0
@@ -93,8 +93,10 @@ object Dedup {
   def minhashBands(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    // ids ride as strings: lossless for longs AND for hex ids like
+    // graft.core.Extract.docId (a long cast would null those out)
+    docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sig = minhashSignature(shingleHashes(text, shingleN))
@@ -132,12 +134,12 @@ object Dedup {
                     textCol: String, shingleN: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val texts = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
     val joined = candidates
       .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), Seq("a_id"))
       .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
-      .as[(Long, Long, String, String)]
+      .as[(String, String, String, String)]
     joined.mapPartitions { it =>
       it.map { case (a, b, ta, tb) =>
         (a, b, jaccard(shingleHashes(ta, shingleN), shingleHashes(tb, shingleN)))
@@ -197,8 +199,8 @@ object Dedup {
     import spark.implicits._
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val hashes = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
+    val hashes = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .as[(String, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash(shingleHashes(t, shingleN))) })
       .toDF("id", "sim")
     val banded = hashes.select(col("id"), col("sim"),

@@ -98,8 +98,8 @@ object Similarity {
     val bp = spark.sparkContext.broadcast(planes)
 
     val codedCorpus = corpus
-      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"))
-      .as[(Long, Array[Float])]
+      .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
+      .as[(String, Array[Float])]
       .mapPartitions { it =>
         val pls = bp.value
         it.flatMap { case (id, v) =>
@@ -109,8 +109,8 @@ object Similarity {
       .toDF("neighbor_id", "c_vec", "table", "code")
 
     val codedQueries = queries
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
-      .as[(Long, Array[Float])]
+      .select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+      .as[(String, Array[Float])]
       .mapPartitions { it =>
         val pls = bp.value
         it.flatMap { case (id, v) =>
@@ -142,8 +142,8 @@ object Similarity {
     val planes = Array.tabulate(tables)(t => hyperplanes(dim, bits, t))
     val bp = spark.sparkContext.broadcast(planes)
     val coded = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .as[(Long, Array[Float])]
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
+      .as[(String, Array[Float])]
       .mapPartitions { it =>
         val pls = bp.value
         it.flatMap { case (id, v) =>

@@ -48,7 +48,7 @@ object TextStats {
       i += 1
     }
     if (total > 0 && cjk.toDouble / total > 0.25) return "zho"
-    val words = text.toLowerCase.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400)
+    val words = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}]+").iterator.filter(_.nonEmpty).take(400)
     val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     var nWords = 0
     words.foreach { w =>

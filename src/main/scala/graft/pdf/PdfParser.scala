@@ -53,9 +53,14 @@ object PdfParser {
             val sb = new java.lang.StringBuilder(256)
             contentRefs.foreach { cr =>
               objs.get(cr).foreach { cobj =>
-                val data = decodeStream(cobj)
-                if (sb.length() > 0 && data.nonEmpty) sb.append('\n')
-                sb.append(ContentStreamText.extract(data))
+                val text = ContentStreamText.extract(decodeStream(cobj))
+                // separator keyed on extracted TEXT, not raw stream bytes:
+                // a graphics-only trailing stream must not leave a
+                // trailing newline ("pages never see trailing newlines")
+                if (text.nonEmpty) {
+                  if (sb.length() > 0) sb.append('\n')
+                  sb.append(text)
+                }
               }
             }
             sb.toString
@@ -189,10 +194,14 @@ object ContentStreamText {
       val c = s.charAt(i)
       if (c == '(') {
         val (str, next) = parseLiteralString(s, i)
-        lastStr = str; i = next
+        // consecutive string operands accumulate: this is how kerning-
+        // split TJ arrays like [(Hel) 8 (lo)] TJ concatenate
+        lastStr = if (lastStr == null) str else lastStr + str
+        i = next
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') {
         val (str, next) = parseHexString(s, i)
-        lastStr = str; i = next
+        lastStr = if (lastStr == null) str else lastStr + str
+        i = next
       } else if (c == '<') { i += 2 } // dict start '<<'
       else if (c == '%') { // comment to EOL
         while (i < n && s.charAt(i) != '\n') i += 1
@@ -213,12 +222,13 @@ object ContentStreamText {
         val start = i
         while (i < n && !delim(s.charAt(i))) i += 1
         s.substring(start, i) match {
-          case "Tj" => if (lastStr != null) { line.append(lastStr); lastStr = null }
-          case "TJ" => if (lastStr != null) { line.append(lastStr); lastStr = null }
+          case "Tj" | "TJ" => if (lastStr != null) line.append(lastStr)
           case "Td" | "TD" | "T*" | "Tm" => newline()
           case "ET" => newline()
           case _ => // BT, Tf, graphics ops: ignore
         }
+        // operands never survive past their operator (PDF stack rules)
+        lastStr = null
       }
     }
     newline()

@@ -40,7 +40,10 @@ class OpsSpec extends AnyFunSuite {
     val truth = bruteJaccardPairs(2, 0.8)
     assert(truth.nonEmpty, "expected planted near-dups in documents")
     val got = Dedup.minhashDedup(docs, threshold = 0.8).collect()
-      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .map { r =>
+        val a = r.getString(0).toLong; val b = r.getString(1).toLong
+        (math.min(a, b), math.max(a, b))
+      }
       .toSet
     // LSH with 16 bands x 4 rows at j>=0.9 has detection prob ~1-3e-10:
     // candidate generation must not miss; verify step makes it exact.
@@ -52,7 +55,10 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.foreach(r => assert(r.getInt(2) <= 6))
     // planted pairs (jaccard >= 0.9) should nearly all appear
-    val gotPairs = got.map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))).toSet
+    val gotPairs = got.map { r =>
+      val a = r.getString(0).toLong; val b = r.getString(1).toLong
+      (math.min(a, b), math.max(a, b))
+    }.toSet
     val truth = bruteJaccardPairs(2, 0.9)
     val found = truth.count(gotPairs.contains)
     assert(found >= (truth.size * 0.8).toInt, s"simhash found $found/${truth.size} planted pairs")
@@ -70,7 +76,7 @@ class OpsSpec extends AnyFunSuite {
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val srp = Similarity.srpTopK(emb, queries, 5, bits = 8, probeRadius = 2).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      .map(r => (r.getAs[String]("query_id").toLong, r.getAs[String]("neighbor_id").toLong)).toSet
     val recall = brute.count(srp.contains).toDouble / brute.size
     info(f"srp recall@5 = $recall%.2f (candidates examined ≪ corpus)")
     assert(recall >= 0.4, f"recall $recall%.2f too low")
@@ -114,7 +120,10 @@ class OpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val pages = graft.queries.GraftQueries.queries("q32_page_neardups")(spark, sfDir)
     val found = pages.collect()
-      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .map { r =>
+        val a = r.getString(0).toLong; val b = r.getString(1).toLong
+        (math.min(a, b), math.max(a, b))
+      }
       .toSet
     // planted ground truth from the generator
     val planted = (0 until graft.gen.PageGen.rowsForDir(sfDir)).flatMap { i =>
