@@ -65,6 +65,50 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(PdfParser.extract(bytes).toOption.get.stitched == intended)
   }
 
+  test("regression: kerning-split TJ arrays concatenate fragments") {
+    val content = "BT /F1 12 Tf 72 720 Td [(Hel) 8 (lo) -12 ( world)] TJ ET"
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    assert(graft.pdf.ContentStreamText.extract(content.getBytes(ISO_8859_1)) == "Hello world")
+  }
+
+  test("regression: graphics-only trailing stream leaves no trailing newline") {
+    val textOps = "BT (Hi) Tj ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val gfxOps = "q 1 0 0 1 0 0 cm Q".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(graft.pdf.ContentStreamText.extract(textOps) == "Hi")
+    assert(graft.pdf.ContentStreamText.extract(gfxOps) == "")
+  }
+
+  test("regression: unclosed <title> does not swallow the document") {
+    val para = ("word " * 45).trim
+    val html = s"<html><head><title>Foo</head><body><p>$para</p></body></html>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.title == "Foo")
+    assert(r.text == para)
+  }
+
+  test("regression: numeric NBSP (&#160;) separates words and collapses") {
+    val para = ("word " * 40).trim
+    val html = s"<body><p>alpha&#160;beta $para</p></body>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.text.startsWith("alpha beta "))
+  }
+
+  test("regression: money normalization ignores sentence-final punctuation") {
+    import graft.nlp.EntityMatcher
+    val e = EntityMatcher.matchEntities("Total due: $1,234.56.").filter(_.label == "MONEY")
+    assert(e.nonEmpty && e.head.normalized == "1234.56")
+  }
+
+  test("regression: audio media features use the 12-byte header") {
+    import graft.multimodal.MediaOps
+    val payload = Array.tabulate(64)(i => (i * 16 % 256 - 128).toByte)
+    val aud = MediaOps.encodeAudio(16000, 64, payload)
+    val emb = MediaOps.embed(aud)
+    assert(math.abs(emb.sum - 1.0f) < 1e-5, s"histogram mass ${emb.sum}")
+    // first payload byte included: payload(0) == 0 -> bucket (0x80>>4)=8? byte 0 -> (0&0xff)>>4 = 0
+    assert(emb(((payload(0) & 0xff) >> 4)) > 0f)
+  }
+
   test("extract is total: junk, empty, null-ish payloads become error rows") {
     val ts = new java.sql.Timestamp(0)
     val junk = Extract(Page("u1", ts, Array[Byte](0x7f, 1, 2, 3), "", "eng"))
