@@ -54,8 +54,6 @@ object ExtractJob {
     pages.mapPartitions { it => it.map(Extract(_)) }
   }
 
-  /** Extraction with the task's partition id attached (lineage). */
-  private final case class WithPid(doc: ExtractedDoc, partition_id: Int)
 
   def run(
       spark: SparkSession,
@@ -65,6 +63,8 @@ object ExtractJob {
       saltBuckets: Int = 8,
       rowLevelResume: Boolean = true): Snapshot = {
     import spark.implicits._
+    SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
+    try {
 
     // ---- file-level resume (S7): scan only uncommitted input files ----
     // O(#files) driver-side set arithmetic; at 10^12 rows this replaces
@@ -105,6 +105,7 @@ object ExtractJob {
 
     commitSnapshot(extracted, outRoot, seq, dataDir, pendingFiles,
       numPartitions, saltBuckets)
+    } finally SnapshotStore.releaseLock(outRoot)
   }
 
   /** Streaming entry: commit one micro-batch of extracted docs as the
@@ -116,15 +117,18 @@ object ExtractJob {
                      numPartitions: Int = 0, saltBuckets: Int = 8): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
-    val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
-    val committedDirs = SnapshotStore.dataDirs(outRoot)
-    val deduped =
-      if (committedDirs.isEmpty) extracted
-      else {
-        val committed = spark.read.parquet(committedDirs: _*).select("url")
-        extracted.join(committed, Seq("url"), "left_anti").as[ExtractedDoc]
-      }
-    commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets)
+    SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
+    try {
+      val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
+      val committedDirs = SnapshotStore.dataDirs(outRoot)
+      val deduped =
+        if (committedDirs.isEmpty) extracted
+        else {
+          val committed = spark.read.parquet(committedDirs: _*).select("url")
+          extracted.join(committed, Seq("url"), "left_anti").as[ExtractedDoc]
+        }
+      commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets)
+    } finally SnapshotStore.releaseLock(outRoot)
   }
 
   /** Shared tail of the pipeline: salted-host output clustering, write,
@@ -147,12 +151,14 @@ object ExtractJob {
     val clustered = extracted
       .repartition(parts, expr(s"concat(parse_url(url, 'HOST'), '#', pmod(hash(url), $saltBuckets))"))
 
+    // tuple, not a nested case class: Janino cannot compile accessors of
+    // object-nested private case classes and would drop to interpreted mode
     val withPid = clustered.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      it.map(d => WithPid(d, pid))
+      it.map(d => (d, pid))
     }
     withPid
-      .select($"doc.*", $"partition_id")
+      .select($"_1.*", $"_2".as("partition_id"))
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
 
     // ---- lineage from the written snapshot (post-write scan is cheap:

@@ -168,6 +168,30 @@ object SnapshotStore {
     out.toSeq
   }
 
+  /** Single-writer guard: snapshot sequences are allocated by reading
+    * version-hint, so two concurrent writers would both claim seq N+1
+    * and the later manifest would silently orphan the earlier data.
+    * A create-exclusive lock file (the local-FS stand-in for Iceberg's
+    * catalog CAS) makes the race an explicit error instead. */
+  def acquireLock(root: String): Unit = {
+    val lock = Paths.get(root, "commit.lock")
+    Files.createDirectories(lock.getParent)
+    try {
+      Files.write(lock,
+        s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val holder = new String(Files.readAllBytes(lock), UTF_8)
+        throw new IllegalStateException(
+          s"another writer holds $root/commit.lock ($holder); " +
+            "if it crashed, delete the lock file to recover")
+    }
+  }
+
+  def releaseLock(root: String): Unit =
+    Files.deleteIfExists(Paths.get(root, "commit.lock"))
+
   def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {

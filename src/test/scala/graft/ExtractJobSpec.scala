@@ -116,6 +116,20 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(sa < u / 2.0, f"salting should flatten: $sa%.3f vs $u%.3f")
   }
 
+  test("concurrent-writer guard: second writer fails fast while lock held") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 50, s"$dir/pages")
+    graft.job.SnapshotStore.acquireLock(s"$dir/out") // simulate a live writer
+    val e = intercept[IllegalStateException] {
+      ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    }
+    assert(e.getMessage.contains("commit.lock"))
+    graft.job.SnapshotStore.releaseLock(s"$dir/out")
+    // after release the run proceeds and cleans its own lock
+    assert(ExtractJob.run(spark, s"$dir/pages", s"$dir/out").rowCount == 50)
+    assert(!new java.io.File(s"$dir/out/commit.lock").exists())
+  }
+
   test("crash-resilience: stray uncommitted data dir is overwritten, not double-counted") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")
