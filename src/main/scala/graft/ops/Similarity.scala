@@ -131,6 +131,120 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- IVF -------------------------------------------------------------
+
+  /** Deterministic k-means (Lloyd, fixed seed, fixed iterations) over a
+    * collected sample — the coarse quantizer of an IVF index. Runs on
+    * the driver: the sample is tiny relative to the corpus (at 10^12
+    * scale you'd sample ~1M vectors, still driver-sized). */
+  def kmeansCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 8): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    val rng = new graft.gen.PageGen.Rng(0xce47801dL)
+    // k-means++-lite init: distinct random sample points
+    val centroids = Array.tabulate(math.min(k, sample.length)) { _ =>
+      sample(rng.nextInt(sample.length)).map(_.toDouble)
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        val s = sums(c)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      var c = 0
+      while (c < centroids.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ce = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ce.length)
+      while (i < n) { val x = v(i) - ce(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCentroids(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    centroids.indices
+      .map { c =>
+        val ce = centroids(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, ce.length)
+        while (i < n) { val x = v(i) - ce(i); d += x * x; i += 1 }
+        (c, d)
+      }
+      .sortBy(_._2)
+      .take(nprobe)
+      .map(_._1)
+      .toArray
+  }
+
+  /** IVF top-k: corpus assigned to its nearest centroid cell (map-side,
+    * one key per vector — at scale the assignment is precomputed and
+    * the output table is clustered by cell); each query probes its
+    * `nprobe` nearest cells; exact cosine within probed cells only. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nCells: Int = 16, nprobe: Int = 4, sampleSize: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = kmeansCentroids(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val codedCorpus = corpus
+      .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCentroid(v, cs)) }
+      }
+      .toDF("neighbor_id", "c_vec", "cell")
+
+    val codedQueries = queries
+      .select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          nearestCentroids(v, cs, nprobe).iterator.map(cell => (id, v, cell))
+        }
+      }
+      .toDF("query_id", "q_vec", "cell")
+
+    val scored = codedCorpus.join(broadcast(codedQueries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the 5th dedup mode): SRP
     * blocking, exact cosine verify, threshold filter. */
   def cosineNearDups(corpus: DataFrame, threshold: Double,

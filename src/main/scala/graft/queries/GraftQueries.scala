@@ -210,6 +210,14 @@ object GraftQueries {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // §2.7 set ops: INTERSECT of two derived key sets
+    "q34_intersect" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val finished = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      urgent.intersect(finished).withColumnRenamed("o_custkey", "custkey")
+    }),
+
     // A11: exact interpolated median (the reference's np.median deskew
     // aggregation re-expressed as a relational percentile)
     "q33_median" -> ((s, d) => {
@@ -279,6 +287,13 @@ object GraftQueries {
       val e = t(s, d, "embeddings")
       Similarity.srpTopK(e, e.filter(col("vec_id") < 10), k = 5,
         bits = 8, probeRadius = 2)
+    }),
+
+    // similarity search: IVF top-k (coarse k-means quantizer + nprobe)
+    "q35_ann_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nCells = 16, nprobe = 4)
     }),
 
     // dedup #5: embedding-cosine near-dup pairs via SRP blocking
@@ -488,6 +503,11 @@ object GraftQueries {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q34_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q17_cosine_pairs" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -86,6 +86,30 @@ class OpsSpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet))
   }
 
+  test("ivf-ann recall vs brute-force top-5, probing only nprobe/nCells of the corpus") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nCells = 16, nprobe = 4).collect()
+      .map(r => (r.getAs[String]("query_id").toLong, r.getAs[String]("neighbor_id").toLong)).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    info(f"ivf recall@5 = $recall%.2f (nprobe/nCells = 4/16)")
+    assert(recall >= 0.3, f"recall $recall%.2f too low")
+    // every ivf hit must be a genuinely near neighbor
+    assert(ivf.subsetOf(
+      Similarity.bruteForceTopK(emb, queries, 60).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet))
+  }
+
+  test("kmeans centroids are deterministic and partition the sample") {
+    val sample = Array.tabulate(200)(i => Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat))
+    val a = Similarity.kmeansCentroids(sample, 4)
+    val b = Similarity.kmeansCentroids(sample, 4)
+    assert(a.length == 4 && a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    val assignments = sample.map(v => Similarity.nearestCentroid(v, a)).toSet
+    assert(assignments.size > 1, "all points in one cell")
+  }
+
   test("cosine column matches a scala double oracle bitwise") {
     val rows = emb.filter(col("vec_id") < 3).select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
