@@ -37,9 +37,7 @@ final class BlockBuilder extends HtmlHandler {
   def startTag(name: String, selfClosing: Boolean): Unit = {
     // a <title> cannot contain elements: any tag while inTitle means the
     // close tag was missing — finalize instead of swallowing the document
-    if (inTitle && name != "title") {
-      titleText = collapse(titleBuf.toString); inTitle = false
-    }
+    if (inTitle && name != "title") finishTitle()
     if (blockTags.contains(name)) flushBlock()
     if (!selfClosing && !voidTags.contains(name)) {
       depth += 1
@@ -61,7 +59,7 @@ final class BlockBuilder extends HtmlHandler {
       if (depth > 0) depth -= 1
       name match {
         case "a" => if (anchorDepth > 0) anchorDepth -= 1
-        case "title" => if (inTitle) { titleText = collapse(titleBuf.toString); inTitle = false }
+        case "title" => if (inTitle) finishTitle()
         case n if boilerTags.contains(n) => if (boilerDepth > 0) boilerDepth -= 1
         case n if skipTags.contains(n) => if (skipDepth > 0) skipDepth -= 1
         case n if n.length == 2 && n.charAt(0) == 'h' && n.charAt(1) >= '1' && n.charAt(1) <= '6' =>
@@ -105,9 +103,17 @@ final class BlockBuilder extends HtmlHandler {
   }
 
   def result(): (Array[Block], String) = {
-    if (inTitle) { titleText = collapse(titleBuf.toString); inTitle = false }
+    if (inTitle) finishTitle()
     flushBlock()
     (blocks.toArray, titleText)
+  }
+
+  /** First <title> wins (the document title); later ones (e.g. inline
+    * svg titles) are discarded, and the buffer always resets. */
+  private def finishTitle(): Unit = {
+    if (titleText == null) titleText = collapse(titleBuf.toString)
+    titleBuf.setLength(0)
+    inTitle = false
   }
 
   private def collapse(s: String): String =

@@ -182,7 +182,11 @@ object SnapshotStore {
         java.nio.file.StandardOpenOption.CREATE_NEW)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val holder = new String(Files.readAllBytes(lock), UTF_8)
+        // read is racy: the holder may release between our failed create
+        // and this read — report what we can without crashing on it
+        val holder =
+          try new String(Files.readAllBytes(lock), UTF_8)
+          catch { case _: java.io.IOException => "released concurrently; retry" }
         throw new IllegalStateException(
           s"another writer holds $root/commit.lock ($holder); " +
             "if it crashed, delete the lock file to recover")

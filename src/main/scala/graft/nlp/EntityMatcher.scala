@@ -50,17 +50,22 @@ object EntityMatcher {
 
   // ---- money normalization (US + EU separator conventions) ------------
   def normalizeMoney(raw: String): String = {
-    var s = raw.replaceAll("[$€£\\s]", "").replaceAll("(?i)(usd|eur|gbp)", "")
+    val s = raw.replaceAll("[$€£\\s]", "").replaceAll("(?i)(usd|eur|gbp)", "")
       .replaceAll("[.,]+$", "") // sentence-final punctuation absorbed by the match
     val lastDot = s.lastIndexOf('.')
     val lastComma = s.lastIndexOf(',')
-    if (lastComma > lastDot) {
-      // EU convention: '.' thousands, ',' decimal
-      s = s.replace(".", "").replace(',', '.')
-    } else {
-      s = s.replace(",", "")
-    }
-    try f"${s.toDouble}%.2f" catch { case _: NumberFormatException => raw }
+    // a separator is the DECIMAL mark only when 1-2 digits follow it;
+    // otherwise it's a grouping separator ("1,234" => 1234, not 1.23)
+    def isDecimalAt(idx: Int): Boolean =
+      idx >= 0 && s.length - idx - 1 >= 1 && s.length - idx - 1 <= 2
+    val cleaned =
+      if (lastComma > lastDot && isDecimalAt(lastComma))
+        s.replace(".", "").replace(',', '.') // EU: '.' thousands, ',' decimal
+      else if (lastDot > lastComma && isDecimalAt(lastDot))
+        s.replace(",", "") // US: ',' thousands, '.' decimal
+      else
+        s.replace(",", "").replace(".", "") // grouping only
+    try f"${cleaned.toDouble}%.2f" catch { case _: NumberFormatException => raw }
   }
 
   // ---- date normalization to ISO, 2-digit-year pivot at 50 ------------

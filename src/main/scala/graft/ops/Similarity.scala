@@ -139,12 +139,19 @@ object Similarity {
     * scale you'd sample ~1M vectors, still driver-sized). */
   def kmeansCentroids(sample: Array[Array[Float]], k: Int, iters: Int = 8): Array[Array[Double]] = {
     require(sample.nonEmpty)
-    val dim = sample(0).length
     val rng = new graft.gen.PageGen.Rng(0xce47801dL)
-    // k-means++-lite init: distinct random sample points
-    val centroids = Array.tabulate(math.min(k, sample.length)) { _ =>
-      sample(rng.nextInt(sample.length)).map(_.toDouble)
+    // init from DISTINCT sample indices (deterministic Fisher-Yates
+    // prefix) so no two centroids start identical / cells start empty
+    val idx = Array.tabulate(sample.length)(identity)
+    val kk = math.min(k, sample.length)
+    var i = 0
+    while (i < kk) {
+      val j = i + rng.nextInt(sample.length - i)
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      i += 1
     }
+    val dim = sample(0).length
+    val centroids = Array.tabulate(kk)(c => sample(idx(c)).map(_.toDouble))
     var it = 0
     while (it < iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -169,37 +176,31 @@ object Similarity {
     centroids
   }
 
+  @inline private def sqDist(v: Array[Float], ce: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(v.length, ce.length)
+    while (i < n) { val x = v(i) - ce(i); d += x * x; i += 1 }
+    d
+  }
+
   def nearestCentroid(v: Array[Float], centroids: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      val ce = centroids(c)
-      var d = 0.0
-      var i = 0
-      val n = math.min(v.length, ce.length)
-      while (i < n) { val x = v(i) - ce(i); d += x * x; i += 1 }
+      val d = sqDist(v, centroids(c))
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
-  private def nearestCentroids(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] = {
+  private def nearestCentroids(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
     centroids.indices
-      .map { c =>
-        val ce = centroids(c)
-        var d = 0.0
-        var i = 0
-        val n = math.min(v.length, ce.length)
-        while (i < n) { val x = v(i) - ce(i); d += x * x; i += 1 }
-        (c, d)
-      }
-      .sortBy(_._2)
+      .sortBy(c => sqDist(v, centroids(c)))
       .take(nprobe)
-      .map(_._1)
       .toArray
-  }
 
   /** IVF top-k: corpus assigned to its nearest centroid cell (map-side,
     * one key per vector — at scale the assignment is precomputed and
@@ -210,8 +211,10 @@ object Similarity {
               nCells: Int = 16, nprobe: Int = 4, sampleSize: Int = 2000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = corpus.select(col(vecCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // deterministic sample: ordered take (limit() alone would depend on
+    // partition layout, changing centroids across core counts)
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
     val centroids = kmeansCentroids(sample, nCells)
     val bc = spark.sparkContext.broadcast(centroids)
 
@@ -235,9 +238,10 @@ object Similarity {
       }
       .toDF("query_id", "q_vec", "cell")
 
+    // no dedup needed: each corpus vector lives in exactly one cell and
+    // a query probes distinct cells, so (query, neighbor) pairs are unique
     val scored = codedCorpus.join(broadcast(codedQueries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
       .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("query_id")

@@ -97,6 +97,21 @@ class ExtractCoreSpec extends AnyFunSuite {
     import graft.nlp.EntityMatcher
     val e = EntityMatcher.matchEntities("Total due: $1,234.56.").filter(_.label == "MONEY")
     assert(e.nonEmpty && e.head.normalized == "1234.56")
+    // grouping-only forms must not flip into the decimal branch
+    assert(EntityMatcher.normalizeMoney("$1,234.") == "1234.00")
+    assert(EntityMatcher.normalizeMoney("$1,234") == "1234.00")
+    assert(EntityMatcher.normalizeMoney("1.234 EUR") == "1234.00")
+    assert(EntityMatcher.normalizeMoney("1.234,56 EUR") == "1234.56")
+    assert(EntityMatcher.normalizeMoney("$5") == "5.00")
+    assert(EntityMatcher.normalizeMoney("$0.99") == "0.99")
+  }
+
+  test("regression: first <title> wins, later titles don't concatenate") {
+    val para = ("word " * 45).trim
+    val html = s"<html><head><title>Page</title></head><body><p>$para</p>" +
+      "<svg><title>icon</title></svg></body></html>"
+    val r = MainContentExtractor.extract(html)
+    assert(r.title == "Page")
   }
 
   test("regression: audio media features use the 12-byte header") {
