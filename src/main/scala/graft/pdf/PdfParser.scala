@@ -282,7 +282,10 @@ object ContentStreamText {
     val hex = new java.lang.StringBuilder(32)
     while (i < n && s.charAt(i) != '>') {
       val c = s.charAt(i)
-      if (!Character.isWhitespace(c)) hex.append(c)
+      // forgiving: keep only hex digits (spec allows interspersed
+      // whitespace; junk bytes must not abort extraction)
+      if ((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))
+        hex.append(c)
       i += 1
     }
     if (hex.length() % 2 == 1) hex.append('0')

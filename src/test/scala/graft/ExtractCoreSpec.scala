@@ -65,6 +65,17 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(PdfParser.extract(bytes).toOption.get.stitched == intended)
   }
 
+  test("pdf content stream: hex strings, quote operators, comments") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def ex(s: String) = graft.pdf.ContentStreamText.extract(s.getBytes(ISO_8859_1))
+    assert(ex("BT <48 65 6C6C 6F> Tj ET") == "Hello")
+    assert(ex("BT <486-> Tj ET") != null) // odd-length + junk: total, no throw
+    // ' = next line then show; " = word/char spacing then next line show
+    assert(ex("BT (first) Tj (second) ' ET") == "first\nsecond")
+    assert(ex("BT (a) Tj 2 3 (b) \" ET") == "a\nb")
+    assert(ex("BT % comment with (paren\n(x) Tj ET") == "x")
+  }
+
   test("regression: kerning-split TJ arrays concatenate fragments") {
     val content = "BT /F1 12 Tf 72 720 Td [(Hel) 8 (lo) -12 ( world)] TJ ET"
     import java.nio.charset.StandardCharsets.ISO_8859_1
