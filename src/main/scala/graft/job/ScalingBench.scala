@@ -127,9 +127,11 @@ object ScalingBench {
       s""""docs_per_sec_n":${f"${rowsN / tN}%.1f"},"docs_per_sec_4n":${f"${rowsN / t4N}%.1f"},""" +
       s""""platform_ceiling_eff":${f"$calEff%.3f"},"normalized_eff":${f"$normalized%.3f"}}"""
     println(json)
-    // persist for BENCH/BASELINE.md
+    // persist for BENCH/BASELINE.md (one artifact per pairing; the
+    // headline 4->16 additionally refreshes scaling.json)
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
-    java.nio.file.Files.writeString(dir.toPath.resolve("scaling.json"), json + "\n")
+    java.nio.file.Files.writeString(dir.toPath.resolve(s"scaling_${n}_$n4.json"), json + "\n")
+    if (n == 4) java.nio.file.Files.writeString(dir.toPath.resolve("scaling.json"), json + "\n")
   }
 }
