@@ -217,6 +217,16 @@ object ExtractJob {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Time travel: the table AS OF snapshot `seq` — the analog of the
+    * reference reading a specific DocumentVersion by number
+    * (/root/reference/ocrworker/db/api.py:50-61) instead of the latest.
+    * Snapshots are append-only, so as-of = union of data dirs 1..seq. */
+  def readExtractedAsOf(spark: SparkSession, outRoot: String, seq: Int): DataFrame = {
+    val dirs = SnapshotStore.dataDirs(outRoot, upTo = seq)
+    require(dirs.nonEmpty, s"no snapshots at $outRoot up to seq=$seq")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Generate the deterministic synthetic pages table (distributed:
     * each row is a pure function of (seed, index)). `start` > 0 with
     * append mode models a growing crawl: new rows arrive as NEW files,

@@ -46,9 +46,10 @@ object SnapshotStore {
 
   /** Data dirs of committed snapshots with rows — read from MANIFESTS
     * (authoritative, Iceberg-style), never from directory listings: a
-    * crashed writer may leave stray uncommitted dirs on disk. */
-  def dataDirs(root: String): Seq[String] = {
-    val seq = currentSequence(root)
+    * crashed writer may leave stray uncommitted dirs on disk.
+    * `upTo` caps the sequence for time travel. */
+  def dataDirs(root: String, upTo: Int = Int.MaxValue): Seq[String] = {
+    val seq = math.min(currentSequence(root), upTo)
     (1 to seq).flatMap { i =>
       val m = readManifest(root, i)
       val dir = parseStringField(m, "data_dir")

@@ -116,6 +116,22 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(sa < u / 2.0, f"salting should flatten: $sa%.3f vs $u%.3f")
   }
 
+  test("time travel: as-of snapshot N returns exactly the rows committed then") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 100, s"$dir/pages", partitions = 3)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.generatePages(spark, 180, s"$dir/pages", partitions = 3,
+      start = 100, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(ExtractJob.readExtractedAsOf(spark, s"$dir/out", 1).count() == 100)
+    assert(ExtractJob.readExtractedAsOf(spark, s"$dir/out", 2).count() == 180)
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 180)
+    // as-of is a strict prefix: every url at seq 1 exists at seq 2
+    val v1 = ExtractJob.readExtractedAsOf(spark, s"$dir/out", 1).select("url")
+    val v2 = ExtractJob.readExtractedAsOf(spark, s"$dir/out", 2).select("url")
+    assert(v1.exceptAll(v2).isEmpty)
+  }
+
   test("concurrent-writer guard: second writer fails fast while lock held") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 50, s"$dir/pages")
