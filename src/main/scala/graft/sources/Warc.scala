@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.sql.Timestamp
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable.ArrayBuffer
+import graft.core.Page
+
+/** WARC ingestion — the bridge from raw Common-Crawl segments to the
+  * pages table. The reference's equivalent boundary is the S3 payload
+  * fetch (/root/reference/ocrworker/s3.py:65-77): an opaque archive
+  * holding each document's raw bytes, keyed by an external id. Here the
+  * archive is the (public, ISO 28500) WARC format CC actually ships.
+  *
+  * Spark-idiomatic ingestion: the built-in `binaryFile` DataFrame
+  * source reads whole .warc files (CC segments are ~1 GB, naturally
+  * one task per file — 100 TB ⇒ ~100k parallel tasks), and a typed
+  * flatMap splits records. No RDD, no custom FileFormat needed.
+  *
+  * Parser scope: WARC/1.0-1.1, `response` records with an HTTP/1.1
+  * payload (status line + headers + body). Total: malformed records
+  * are skipped, never thrown.
+  */
+object Warc {
+
+  private val warcDate = DateTimeFormatter.ISO_INSTANT
+
+  // ---- writer (generator side; synthesizes CC-style segments) ---------
+
+  /** Serialize pages into one WARC segment (uncompressed). */
+  def writeSegment(pages: Seq[Page]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(pages.map(_.html.length + 512).sum)
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    pages.foreach { p =>
+      val httpHead =
+        "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: application/octet-stream\r\n" +
+          s"Content-Language: ${p.lang}\r\n" +
+          s"Content-Length: ${p.html.length}\r\n\r\n"
+      val httpLen = httpHead.length + p.html.length
+      w("WARC/1.0\r\n")
+      w("WARC-Type: response\r\n")
+      w(s"WARC-Target-URI: ${p.url}\r\n")
+      w(s"WARC-Date: ${warcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}\r\n")
+      w("Content-Type: application/http; msgtype=response\r\n")
+      w(s"Content-Length: $httpLen\r\n\r\n")
+      w(httpHead)
+      out.write(p.html)
+      w("\r\n\r\n")
+    }
+    out.toByteArray
+  }
+
+  // ---- parser -----------------------------------------------------------
+
+  /** Parse every response record of a WARC segment into Pages. */
+  def parseSegment(bytes: Array[Byte]): Seq[Page] = {
+    val out = new ArrayBuffer[Page]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val start = indexOf(bytes, "WARC/", i)
+      if (start < 0) return out.toSeq
+      val headEnd = indexOf(bytes, "\r\n\r\n", start)
+      if (headEnd < 0) return out.toSeq
+      val headers = parseHeaders(new String(bytes, start, headEnd - start, ISO_8859_1))
+      val len = headers.getOrElse("content-length", "0").trim.toIntOption.getOrElse(0)
+      val bodyStart = headEnd + 4
+      val bodyEnd = math.min(n, bodyStart + len)
+      if (headers.getOrElse("warc-type", "") == "response") {
+        val uri = headers.getOrElse("warc-target-uri", "")
+        val ts = parseDate(headers.getOrElse("warc-date", ""))
+        // payload is an HTTP response: body follows the first CRLFCRLF
+        val httpBodyStart = indexOf(bytes, "\r\n\r\n", bodyStart) match {
+          case x if x >= 0 && x + 4 <= bodyEnd => x + 4
+          case _ => bodyStart
+        }
+        val httpHead = new String(bytes, bodyStart,
+          math.max(0, httpBodyStart - bodyStart), ISO_8859_1)
+        val lang = httpHead.linesIterator
+          .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
+          .map(_.split(":", 2)(1).trim).getOrElse("und")
+        if (uri.nonEmpty) {
+          out += Page(uri, ts,
+            java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd), "", lang)
+        }
+      }
+      i = bodyEnd
+    }
+    out.toSeq
+  }
+
+  private def parseHeaders(s: String): Map[String, String] =
+    s.linesIterator.flatMap { line =>
+      val idx = line.indexOf(':')
+      if (idx > 0) Some(line.substring(0, idx).toLowerCase(java.util.Locale.ROOT)
+        -> line.substring(idx + 1).trim)
+      else None
+    }.toMap
+
+  private def parseDate(s: String): Timestamp =
+    try new Timestamp(Instant.parse(s).toEpochMilli)
+    catch { case _: Exception => new Timestamp(0L) }
+
+  private def indexOf(b: Array[Byte], p: String, from: Int): Int = {
+    val pb = p.getBytes(ISO_8859_1)
+    val n = b.length
+    var i = math.max(0, from)
+    while (i + pb.length <= n) {
+      var k = 0
+      while (k < pb.length && b(i + k) == pb(k)) k += 1
+      if (k == pb.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  // ---- Spark surface ------------------------------------------------------
+
+  /** Read a directory of .warc segments into the typed pages Dataset via
+    * the built-in binaryFile source (one task per segment). */
+  def readPages(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(parseSegment(_))
+  }
+
+  /** Generator-side: write pages as deterministic WARC segments, one
+    * file per input partition. Segments are collected to the driver
+    * before writing — fine for test fixtures; a production writer would
+    * foreachPartition straight to the distributed FS. */
+  def writeSegments(pages: Dataset[Page], dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import pages.sparkSession.implicits._
+    val segments = pages.mapPartitions { it =>
+      val ps = it.toSeq
+      if (ps.isEmpty) Iterator.empty
+      else Iterator.single(writeSegment(ps))
+    }.collect()
+    segments.zipWithIndex.foreach { case (bytes, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"segment-$i%05d.warc"), bytes)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import graft.core.Extract
+import graft.gen.PageGen
+import graft.sources.Warc
+
+/** WARC roundtrip gates: pages → segments → pages must preserve url,
+  * timestamp, lang, and payload bytes exactly, and extraction over a
+  * WARC-ingested table must be byte-identical to direct extraction. */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("single-record roundtrip preserves every field") {
+    val g = PageGen.genRow(PageGen.DefaultSeed, 7L)
+    val seg = Warc.writeSegment(Seq(g.page))
+    val back = Warc.parseSegment(seg)
+    assert(back.length == 1)
+    val p = back.head
+    assert(p.url == g.page.url)
+    assert(p.warc_ts.getTime == g.page.warc_ts.getTime)
+    assert(p.lang == g.page.lang)
+    assert(java.util.Arrays.equals(p.html, g.page.html))
+  }
+
+  test("multi-record segments with binary payloads (pdf/junk) roundtrip") {
+    val pages = (0 until 60).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    val back = Warc.parseSegment(Warc.writeSegment(pages))
+    assert(back.length == pages.length)
+    pages.zip(back).foreach { case (a, b) =>
+      assert(a.url == b.url)
+      assert(java.util.Arrays.equals(a.html, b.html), s"payload bytes differ for ${a.url}")
+    }
+  }
+
+  test("parser is total on garbage and truncated segments") {
+    assert(Warc.parseSegment(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseSegment("not a warc at all".getBytes(UTF_8)).isEmpty)
+    val seg = Warc.writeSegment(Seq(PageGen.genRow(PageGen.DefaultSeed, 1L).page))
+    val truncated = java.util.Arrays.copyOfRange(seg, 0, seg.length / 3)
+    Warc.parseSegment(truncated) // must not throw
+  }
+
+  test("spark ingestion: warc dir → extraction ≡ direct extraction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftwarc").toString
+    val gens = (0 until 150).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong))
+    val ds = spark.createDataset(gens.map(_.page)).repartition(5)
+    Warc.writeSegments(ds, s"$dir/segments")
+    assert(new java.io.File(s"$dir/segments").listFiles().count(_.getName.endsWith(".warc")) > 1)
+
+    val ingested = Warc.readPages(spark, s"$dir/segments")
+    assert(ingested.count() == 150)
+    val extracted = graft.job.ExtractJob.extractDS(ingested)
+      .select("url", "extracted_text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    gens.foreach { g =>
+      val direct = Extract(g.page).extracted_text
+      assert(extracted(g.page.url) == direct, s"warc path diverges for ${g.page.url}")
+    }
+  }
+}
