@@ -120,23 +120,51 @@ object Warc {
 
   // ---- Spark surface ------------------------------------------------------
 
-  /** Read a directory of .warc segments into the typed pages Dataset via
-    * the built-in binaryFile source (one task per segment). */
+  /** Gunzip a whole segment (CC ships .warc.gz); total — bad gzip
+    * yields an empty segment rather than a task failure. */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 1 << 16)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => Array.emptyByteArray }
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2)
+    val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  /** Read a directory of .warc / .warc.gz segments into the typed pages
+    * Dataset via the built-in binaryFile source (one task per segment —
+    * CC segments are ~1 GB, so 100 TB ⇒ ~100k parallel tasks). */
   def readPages(spark: SparkSession, dir: String): Dataset[Page] = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(parseSegment(_))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val bytes = if (path.endsWith(".gz")) gunzip(content) else content
+        parseSegment(bytes)
+      }
   }
 
   /** Generator-side: write pages as deterministic WARC segments, one
     * file per input partition. Segments are collected to the driver
     * before writing — fine for test fixtures; a production writer would
     * foreachPartition straight to the distributed FS. */
-  def writeSegments(pages: Dataset[Page], dir: String): Unit = {
+  def writeSegments(pages: Dataset[Page], dir: String, compress: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import pages.sparkSession.implicits._
     val segments = pages.mapPartitions { it =>
@@ -144,9 +172,11 @@ object Warc {
       if (ps.isEmpty) Iterator.empty
       else Iterator.single(writeSegment(ps))
     }.collect()
+    val ext = if (compress) ".warc.gz" else ".warc"
     segments.zipWithIndex.foreach { case (bytes, i) =>
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, f"segment-$i%05d.warc"), bytes)
+        java.nio.file.Paths.get(dir, f"segment-$i%05d$ext"),
+        if (compress) gzip(bytes) else bytes)
     }
   }
 }

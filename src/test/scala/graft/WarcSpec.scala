@@ -50,6 +50,19 @@ class WarcSpec extends AnyFunSuite {
     Warc.parseSegment(truncated) // must not throw
   }
 
+  test("gzipped segments (.warc.gz) roundtrip through spark ingestion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftwarcgz").toString
+    val pages = (200 until 260).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    Warc.writeSegments(spark.createDataset(pages).repartition(3), s"$dir/gz", compress = true)
+    assert(new java.io.File(s"$dir/gz").listFiles().forall(_.getName.endsWith(".warc.gz")))
+    val back = Warc.readPages(spark, s"$dir/gz").collect().map(p => p.url -> p).toMap
+    assert(back.size == pages.size)
+    pages.foreach(p => assert(java.util.Arrays.equals(back(p.url).html, p.html)))
+    // bad gzip bytes are skipped, not fatal
+    assert(Warc.gunzip("nope".getBytes(UTF_8)).isEmpty)
+  }
+
   test("spark ingestion: warc dir → extraction ≡ direct extraction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftwarc").toString
