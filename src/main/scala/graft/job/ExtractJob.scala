@@ -260,6 +260,25 @@ object ExtractCli {
   }
 }
 
+/** Raw-WARC entry point — extraction straight off Common-Crawl-style
+  * segments (one task per ~1 GB segment), committing the same snapshots:
+  *   runMain graft.job.WarcExtractCli <warcDir> <outRoot>
+  * Resume bookkeeping is row-level here (WARC ingestion has no
+  * file-manifest integration yet; appendSnapshot's anti-join net makes
+  * re-runs idempotent).
+  */
+object WarcExtractCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: WarcExtractCli <warcDir> <outRoot>")
+    val spark = GraftSession.local()
+    val pages = graft.sources.Warc.readPages(spark, args(0))
+    val snap = ExtractJob.appendSnapshot(ExtractJob.extractDS(pages), args(1))
+    println(s"committed snapshot seq=${snap.sequence} rows=${snap.rowCount} " +
+      s"errors=${snap.partitions.map(_.errorCount).sum}")
+    spark.stop()
+  }
+}
+
 /** Generator entry point:
   *   runMain graft.job.GenCli <rows> <outPath>
   */
