@@ -220,11 +220,21 @@ object ExtractJob {
   /** Time travel: the table AS OF snapshot `seq` — the analog of the
     * reference reading a specific DocumentVersion by number
     * (/root/reference/ocrworker/db/api.py:50-61) instead of the latest.
-    * Snapshots are append-only, so as-of = union of data dirs 1..seq. */
+    * Snapshots are append-only, so as-of = union of data dirs 1..seq.
+    * An unknown sequence is an ERROR (Iceberg semantics), never a
+    * silent clamp to latest; a committed-but-empty version is a valid
+    * EMPTY table. */
   def readExtractedAsOf(spark: SparkSession, outRoot: String, seq: Int): DataFrame = {
+    val current = SnapshotStore.currentSequence(outRoot)
+    require(seq >= 1 && seq <= current,
+      s"unknown snapshot seq=$seq at $outRoot (committed: 1..$current)")
     val dirs = SnapshotStore.dataDirs(outRoot, upTo = seq)
-    require(dirs.nonEmpty, s"no snapshots at $outRoot up to seq=$seq")
-    spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[ExtractedDoc].toDF()
+        .withColumn("partition_id", org.apache.spark.sql.functions.lit(0).cast("int"))
+    }
   }
 
   /** Generate the deterministic synthetic pages table (distributed:

@@ -6,7 +6,6 @@ import java.time.Instant
 import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
-import scala.collection.mutable.ArrayBuffer
 import graft.core.Page
 
 /** WARC ingestion — the bridge from raw Common-Crawl segments to the
@@ -30,24 +29,29 @@ object Warc {
 
   // ---- writer (generator side; synthesizes CC-style segments) ---------
 
-  /** Serialize pages into one WARC segment (uncompressed). */
+  /** Serialize pages into one WARC segment (uncompressed). Headers are
+    * UTF-8 per the WARC spec (multibyte target URIs survive); record
+    * Content-Length counts BYTES of the http head + body. The raw
+    * `text` column rides in an extension header (WARC permits custom
+    * fields) so the pages-table roundtrip is lossless. */
   def writeSegment(pages: Seq[Page]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(pages.map(_.html.length + 512).sum)
-    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
     pages.foreach { p =>
-      val httpHead =
-        "HTTP/1.1 200 OK\r\n" +
-          "Content-Type: application/octet-stream\r\n" +
-          s"Content-Language: ${p.lang}\r\n" +
-          s"Content-Length: ${p.html.length}\r\n\r\n"
-      val httpLen = httpHead.length + p.html.length
+      val httpHeadBytes = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: application/octet-stream\r\n" +
+        s"Content-Language: ${p.lang}\r\n" +
+        s"Content-Length: ${p.html.length}\r\n\r\n").getBytes(UTF_8)
+      val httpLen = httpHeadBytes.length + p.html.length
+      val rawText = Option(p.text).getOrElse("").replaceAll("[\\r\\n]", " ")
       w("WARC/1.0\r\n")
       w("WARC-Type: response\r\n")
       w(s"WARC-Target-URI: ${p.url}\r\n")
       w(s"WARC-Date: ${warcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}\r\n")
+      if (rawText.nonEmpty) w(s"X-Graft-Raw-Text: $rawText\r\n")
       w("Content-Type: application/http; msgtype=response\r\n")
       w(s"Content-Length: $httpLen\r\n\r\n")
-      w(httpHead)
+      out.write(httpHeadBytes)
       out.write(p.html)
       w("\r\n\r\n")
     }
@@ -56,42 +60,64 @@ object Warc {
 
   // ---- parser -----------------------------------------------------------
 
-  /** Parse every response record of a WARC segment into Pages. */
-  def parseSegment(bytes: Array[Byte]): Seq[Page] = {
-    val out = new ArrayBuffer[Page]()
-    var i = 0
-    val n = bytes.length
-    while (i < n) {
-      val start = indexOf(bytes, "WARC/", i)
-      if (start < 0) return out.toSeq
-      val headEnd = indexOf(bytes, "\r\n\r\n", start)
-      if (headEnd < 0) return out.toSeq
-      val headers = parseHeaders(new String(bytes, start, headEnd - start, ISO_8859_1))
-      val len = headers.getOrElse("content-length", "0").trim.toIntOption.getOrElse(0)
-      val bodyStart = headEnd + 4
-      val bodyEnd = math.min(n, bodyStart + len)
-      if (headers.getOrElse("warc-type", "") == "response") {
-        val uri = headers.getOrElse("warc-target-uri", "")
-        val ts = parseDate(headers.getOrElse("warc-date", ""))
-        // payload is an HTTP response: body follows the first CRLFCRLF
-        val httpBodyStart = indexOf(bytes, "\r\n\r\n", bodyStart) match {
-          case x if x >= 0 && x + 4 <= bodyEnd => x + 4
-          case _ => bodyStart
+  /** Parse the response records of a WARC segment lazily — flatMap
+    * consumes the iterator directly, so a ~1 GB segment never holds all
+    * of its Pages in memory at once (only the raw byte array + the
+    * record in flight). Records truncated mid-body are SKIPPED (their
+    * urls stay uncommitted, so a later re-run over the complete segment
+    * picks them up). */
+  def parseSegmentIterator(bytes: Array[Byte]): Iterator[Page] = new Iterator[Page] {
+    private val n = bytes.length
+    private var i = 0
+    private var nextPage: Page = null
+
+    private def advance(): Unit = {
+      nextPage = null
+      while (nextPage == null && i < n) {
+        val start = findBytes(bytes, "WARC/", i)
+        if (start < 0) { i = n; return }
+        val headEnd = findBytes(bytes, "\r\n\r\n", start)
+        if (headEnd < 0) { i = n; return }
+        val headers = parseHeaders(new String(bytes, start, headEnd - start, UTF_8))
+        val len = headers.getOrElse("content-length", "0").trim.toIntOption.getOrElse(0)
+        val bodyStart = headEnd + 4
+        if (bodyStart + len > n) { i = n; return } // truncated mid-body: skip
+        val bodyEnd = bodyStart + len
+        if (headers.getOrElse("warc-type", "") == "response") {
+          val uri = headers.getOrElse("warc-target-uri", "")
+          val ts = parseDate(headers.getOrElse("warc-date", ""))
+          // payload is an HTTP response: body follows the first CRLFCRLF
+          val httpBodyStart = findBytes(bytes, "\r\n\r\n", bodyStart) match {
+            case x if x >= 0 && x + 4 <= bodyEnd => x + 4
+            case _ => bodyStart
+          }
+          val httpHead = new String(bytes, bodyStart,
+            math.max(0, httpBodyStart - bodyStart), UTF_8)
+          val lang = httpHead.linesIterator
+            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
+            .map(_.split(":", 2)(1).trim).getOrElse("und")
+          if (uri.nonEmpty) {
+            nextPage = Page(uri, ts,
+              java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd),
+              headers.getOrElse("x-graft-raw-text", ""), lang)
+          }
         }
-        val httpHead = new String(bytes, bodyStart,
-          math.max(0, httpBodyStart - bodyStart), ISO_8859_1)
-        val lang = httpHead.linesIterator
-          .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
-          .map(_.split(":", 2)(1).trim).getOrElse("und")
-        if (uri.nonEmpty) {
-          out += Page(uri, ts,
-            java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd), "", lang)
-        }
+        i = bodyEnd
       }
-      i = bodyEnd
     }
-    out.toSeq
+
+    advance()
+    override def hasNext: Boolean = nextPage != null
+    override def next(): Page = {
+      val p = nextPage
+      advance()
+      p
+    }
   }
+
+  /** Eager form (tests / small segments). */
+  def parseSegment(bytes: Array[Byte]): Seq[Page] =
+    parseSegmentIterator(bytes).toSeq
 
   private def parseHeaders(s: String): Map[String, String] =
     s.linesIterator.flatMap { line =>
@@ -105,7 +131,7 @@ object Warc {
     try new Timestamp(Instant.parse(s).toEpochMilli)
     catch { case _: Exception => new Timestamp(0L) }
 
-  private def indexOf(b: Array[Byte], p: String, from: Int): Int = {
+  private def findBytes(b: Array[Byte], p: String, from: Int): Int = {
     val pb = p.getBytes(ISO_8859_1)
     val n = b.length
     var i = math.max(0, from)
@@ -120,21 +146,25 @@ object Warc {
 
   // ---- Spark surface ------------------------------------------------------
 
-  /** Gunzip a whole segment (CC ships .warc.gz); total — bad gzip
-    * yields an empty segment rather than a task failure. */
+  /** Gunzip a whole segment (CC ships .warc.gz); total — a corrupt
+    * stream keeps the already-decompressed prefix (the truncated final
+    * record is then skipped by the parser), so one bad byte near the
+    * end of a 1 GB segment doesn't drop the whole segment. Initial
+    * buffer is clamped so large segments can't overflow Int sizing. */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val initial = math.min(bytes.length.toLong * 4, 64L << 20).toInt
+    val out = new java.io.ByteArrayOutputStream(math.max(64, initial))
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) {
         if (n > 0) out.write(buf, 0, n)
         n = in.read(buf)
       }
-      out.toByteArray
-    } catch { case _: java.io.IOException => Array.emptyByteArray }
+    } catch { case _: java.io.IOException => /* keep the valid prefix */ }
+    out.toByteArray
   }
 
   def gzip(bytes: Array[Byte]): Array[Byte] = {
@@ -156,7 +186,7 @@ object Warc {
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val bytes = if (path.endsWith(".gz")) gunzip(content) else content
-        parseSegment(bytes)
+        parseSegmentIterator(bytes)
       }
   }
 

@@ -130,6 +130,14 @@ class ExtractJobSpec extends AnyFunSuite {
     val v1 = ExtractJob.readExtractedAsOf(spark, s"$dir/out", 1).select("url")
     val v2 = ExtractJob.readExtractedAsOf(spark, s"$dir/out", 2).select("url")
     assert(v1.exceptAll(v2).isEmpty)
+    // unknown versions error (no silent clamp to latest)
+    intercept[IllegalArgumentException] {
+      ExtractJob.readExtractedAsOf(spark, s"$dir/out", 99)
+    }
+    // a committed-but-empty version is a valid empty table
+    val snap3 = ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(snap3.rowCount == 0)
+    assert(ExtractJob.readExtractedAsOf(spark, s"$dir/out", 3).count() == 180)
   }
 
   test("concurrent-writer guard: second writer fails fast while lock held") {

@@ -29,7 +29,26 @@ class WarcSpec extends AnyFunSuite {
     assert(p.url == g.page.url)
     assert(p.warc_ts.getTime == g.page.warc_ts.getTime)
     assert(p.lang == g.page.lang)
+    assert(p.text == g.page.text) // rides the extension header
     assert(java.util.Arrays.equals(p.html, g.page.html))
+  }
+
+  test("multibyte target uris survive the utf-8 header roundtrip") {
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val p = graft.core.Page("https://例え.jp/ünïcode/path", ts,
+      "<p>body</p>".getBytes(UTF_8), "raw", "jpn")
+    val back = Warc.parseSegment(Warc.writeSegment(Seq(p)))
+    assert(back.length == 1 && back.head.url == p.url)
+  }
+
+  test("record truncated mid-body is skipped, earlier records survive") {
+    val pages = (0 until 5).map(i => PageGen.genRow(PageGen.DefaultSeed, (300 + i).toLong).page)
+    val seg = Warc.writeSegment(pages)
+    // cut inside the LAST record's body
+    val cut = java.util.Arrays.copyOfRange(seg, 0, seg.length - pages.last.html.length / 2)
+    val back = Warc.parseSegment(cut)
+    assert(back.length == pages.length - 1)
+    assert(back.map(_.url) == pages.init.map(_.url))
   }
 
   test("multi-record segments with binary payloads (pdf/junk) roundtrip") {
