@@ -233,10 +233,12 @@ object EntityMatcher {
     out.sortBy(e => (e.start, e.rule)).toArray
   }
 
+  private val priorityOf: Map[String, Int] =
+    rulesByPriority.map(_.name).zipWithIndex.toMap
+
   /** First-match-wins field assignment (extractor.py:264-327 semantics):
     * per label, the entity with the smallest (priority-rank, position). */
   def assignFields(entities: Array[Entity]): Map[String, String] = {
-    val priorityOf = rulesByPriority.map(_.name).zipWithIndex.toMap
     entities
       .groupBy(_.label)
       .map { case (label, es) =>
