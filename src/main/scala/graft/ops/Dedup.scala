@@ -111,11 +111,23 @@ object Dedup {
       .toDF("id", "band", "band_hash")
   }
 
+  /** Count of (band, band_hash) buckets dropped by the most recent
+    * [[candidatePairs]] cap, per JVM — surfaced so the drop is never
+    * silent (a pathological all-identical corpus would otherwise
+    * quietly lose recall). Spark accumulator-free: the count is
+    * computed in the same pass via an aggregate on the driver only
+    * when someone asks (see [[oversizedBuckets]]). */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int = 1000): Long =
+    bands.groupBy("band", "band_hash").count()
+      .filter(col("count") > maxBucket).count()
+
   /** Candidate pairs from LSH buckets (a < b, distinct). The self-join
     * is an equi-join on (band, band_hash): shuffle-bounded, skew handled
     * by AQE; a pathological bucket (all-identical docs) is capped by
-    * dropping buckets above `maxBucket` (logged via the `oversized`
-    * count — no silent truncation). */
+    * dropping buckets above `maxBucket`. The drop is deliberate (an
+    * oversized bucket means the docs are near-identical many times
+    * over — exact dedup's job, not LSH's); call [[oversizedBuckets]]
+    * to audit how many buckets a given corpus loses. */
   def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sized = bands.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
@@ -165,6 +177,30 @@ object Dedup {
     val bands = minhashBands(docs, idCol, textCol, shingleN)
     val cands = candidatePairs(bands)
     jaccardVerify(cands, docs, idCol, textCol, shingleN, threshold)
+  }
+
+  /** Exactness baseline: ALL-PAIRS word-trigram Jaccard — the q17-style
+    * cartesian ground truth for the LSH paths ([[minhashDedup]] is the
+    * 10^12-scale answer; this one is O(N^2) by design and stays gated to
+    * oracle/test scale). Everything is built from codegen'd SQL
+    * expressions (split/transform/array_intersect — no UDF) precisely so
+    * a DuckDB oracle can mirror it term for term. */
+  def jaccardBruteForce(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+    val toks = filter(split(col(textCol), " "), x => x =!= "")
+    val sh = docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") / (size(col("a_sh")) + size(col("b_sh")) - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -232,6 +232,40 @@ object GraftQueries {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // dedup #6: all-pairs trigram-jaccard ground truth (exactness
+    // baseline for the LSH paths; oracle-backed — the only dedup mode a
+    // SQL engine can mirror exactly)
+    "q36_jaccard_brute" -> ((s, d) =>
+      Dedup.jaccardBruteForce(t(s, d, "documents"), threshold = 0.2)),
+
+    // dedup #7: exact dedup over NORMALIZED text (lowercase, whitespace
+    // collapsed) — the md5-bucket variant of q12
+    "q37_normalized_dedup" -> ((s, d) => {
+      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+      t(s, d, "documents")
+        .groupBy(md5(norm).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // doc-type classification over the extraction snapshot (the
+    // reference's TYPE/CATEGORY/CONFIDENCE surface, detector.py:14-51;
+    // keyword classifier shared between Spark and the DuckDB oracle)
+    "q39_doc_type" -> ((s, d) => {
+      val (ty, cat, conf) = graft.nlp.DocType.columns(col("extracted_text"))
+      extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(ty.as("doc_type"), cat.as("category"), conf.as("confidence"))
+        .groupBy(col("doc_type"), col("category"), col("confidence"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // multi-level aggregation: ROLLUP over (year, priority)
+    "q41_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
     // §2.7 set ops: INTERSECT of two derived key sets
     "q34_intersect" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -302,10 +336,13 @@ object GraftQueries {
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3, threshold = 0.7)
     }),
 
-    // similarity search: brute-force cosine top-k (baseline)
+    // similarity search: brute-force cosine top-k (baseline; ranked on
+    // exact cosine, rounded for output — DuckDB oracle mirrors both)
     "q23_ann_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
     // similarity search: SRP-LSH bucketed top-k (scale path)
@@ -545,6 +582,64 @@ object GraftQueries {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+
+    // exact top-k: ranked on exact cosine (bitwise parity with the
+    // codegen'd CosineSimilarity expression), rounded only for output
+    "q23_ann_brute" ->
+      """SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id ASC) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    // host rollup over the extraction snapshot the query itself
+    // materializes (extract verified by golden byte-identity; this
+    // oracle independently verifies the AGGREGATION over the dump)
+    "q19_extract_host_stats" ->
+      s"""SELECT split_part(url, '/', 3) AS host, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         |  CAST(sum(CAST(round(confidence * 1000000) AS BIGINT)) AS BIGINT) AS conf_micros,
+         |  CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars
+         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |GROUP BY 1""".stripMargin,
+
+    "q36_jaccard_brute" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2""".stripMargin,
+
+    "q37_normalized_dedup" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q39_doc_type" -> {
+      val (ty, cat, conf) = graft.nlp.DocType.sqlColumns("extracted_text")
+      s"""SELECT $ty AS doc_type, $cat AS category, $conf AS confidence, count(*) AS n
+         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |WHERE error IS NULL AND payload_kind = 'html'
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q41_rollup" ->
+      """SELECT y, prio, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |             o_orderpriority AS prio, o_totalprice FROM orders)
+        |GROUP BY ROLLUP (y, prio)""".stripMargin
   )
 }
