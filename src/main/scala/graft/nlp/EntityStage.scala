@@ -38,6 +38,27 @@ object EntityStage {
       .toDF(idCol, "text", "label", "start", "end", "confidence", "normalized", "rule")
   }
 
+  /** ExtractedMetadata-analog NER columns: persons / organizations /
+    * locations plus the cue-word party assignment (vendor, client,
+    * signatory, contact) — extractor.py:142-170 + :329-381 semantics
+    * via [[Ner]]. Same codegen'd mapPartitions shape as the regex
+    * stage. */
+  def withNerMetadata(df: DataFrame, textCol: String, idCol: String = "url"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t) =>
+          val m = Ner.extract(t)
+          (id, m.persons, m.organizations, m.locations,
+            m.vendor, m.client, m.signatory, m.contact)
+        }
+      }
+      .toDF(idCol, "persons", "organizations", "locations",
+        "vendor", "client", "signatory", "contact")
+  }
+
   /** First-match-wins field map per document (A7 semantics), from the
     * same single engine pass. */
   def withFields(df: DataFrame, textCol: String, idCol: String = "url"): DataFrame = {

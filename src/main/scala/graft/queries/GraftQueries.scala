@@ -403,6 +403,17 @@ object GraftQueries {
           col("fields").getItem("phone").as("phone"))
     }),
 
+    // NLP: rule-based NER + contextual party assignment (F8 — the
+    // ExtractedMetadata persons/orgs/locations surface with cue-word
+    // vendor/client/signatory/contact, extractor.py:142-170 + :329-381)
+    "q40_ner_metadata" -> ((s, d) => {
+      graft.nlp.EntityStage.withNerMetadata(
+        extractedCached(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "extracted_text")
+        .filter(size(col("persons")) > 0 || size(col("organizations")) > 0 ||
+          size(col("locations")) > 0)
+    }),
+
     // multimodal: decode-stub + batched feature extraction over a
     // deterministic binary media table (plumbing real, codec stubbed)
     "q30_media_features" -> ((s, d) => {
