@@ -43,6 +43,7 @@ object Extract {
           payload_kind = "html", page_count = 1,
           n_blocks = res.nBlocks, n_content_blocks = res.nContentBlocks,
           confidence = res.confidence, lang = page.lang,
+          engine = res.engine, fallback_used = res.fallbackUsed,
           error = null, extraction_version = ExtractionVersion.current)
       case "pdf" =>
         PdfParser.extract(page.html) match {
@@ -55,6 +56,7 @@ object Extract {
               payload_kind = "pdf", page_count = r.pageTexts.length,
               n_blocks = r.pageTexts.length, n_content_blocks = r.pageTexts.count(_.nonEmpty),
               confidence = if (text.isEmpty) 0.0 else 1.0, lang = page.lang,
+              engine = "pdf_layout", fallback_used = false,
               error = null, extraction_version = ExtractionVersion.current)
           case Left(reason) =>
             quarantine(page, "pdf", reason)
@@ -85,6 +87,7 @@ object Extract {
       extracted_text = "", spans = Array.empty[Span],
       payload_kind = kind, page_count = 0, n_blocks = 0, n_content_blocks = 0,
       confidence = 0.0, lang = page.lang,
+      engine = "none", fallback_used = false,
       error = reason, extraction_version = ExtractionVersion.current)
 
   /** Deterministic row id (replaces the reference's uuid4 at

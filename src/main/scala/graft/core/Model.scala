@@ -50,6 +50,10 @@ final case class ExtractedDoc(
     n_content_blocks: Int,
     confidence: Double,     // mean content-classifier score
     lang: String,
+    engine: String,         // which classifier produced the text
+                            // (OCRResult.engine, engines/base.py:58)
+    fallback_used: Boolean, // cascade fell through to a fallback engine
+                            // (hybrid.py:123-161 engines_tried semantics)
     error: String,          // null when clean
     extraction_version: String
 )
@@ -77,6 +81,7 @@ final case class Block(
 object ExtractionVersion {
   /** Version tag carried in lineage; bump when the byte contract changes
     * (the analog of the reference's monotonic DocumentVersion.number,
-    * /root/reference/ocrworker/db/api.py:128-137). */
-  val current: String = "graft-extract-1"
+    * /root/reference/ocrworker/db/api.py:128-137).
+    * v2: density->relaxed confidence cascade (threshold 0.7). */
+  val current: String = "graft-extract-2"
 }

@@ -185,6 +185,32 @@ object DensityClassifier {
       i -= 1
     }
   }
+
+  /** Fallback engine of the confidence cascade: relaxed acceptance that
+    * trades precision for recall — the analog of the reference's
+    * slower-but-stronger fallback engines
+    * (/root/reference/ocrworker/pipeline/hybrid.py:123-144: try next
+    * engine when confidence < threshold, keep the best result).
+    *
+    * Two invariants keep the cascade monotone:
+    *  - SUPERSET: runs after [[classify]] and only ever ADDS blocks
+    *    (`isContent ||=`), so the fallback can rescue content the
+    *    neighbor rules missed but never drop what strict accepted;
+    *  - SAME SCALE: per-block scores use the strict formula, so the
+    *    two engines' mean confidences are comparable (a fallback that
+    *    scored itself generously would always win the cascade). */
+  def classifyRelaxed(blocks: Array[Block]): Unit = {
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      b.isContent = b.isContent || (!b.inBoilerplateTag && b.linkDensity <= 0.5 &&
+        (b.words > 5 || b.headingLevel > 0))
+      b.score =
+        if (b.inBoilerplateTag) 0.0
+        else math.min(1.0, b.words / 40.0) * (1.0 - b.linkDensity)
+      i += 1
+    }
+  }
 }
 
 /** End-to-end HTML main-content extraction: tokenize → blocks →
@@ -199,12 +225,18 @@ object DensityClassifier {
 object MainContentExtractor {
   final case class HtmlResult(
       text: String, spans: Array[Span], title: String,
-      nBlocks: Int, nContentBlocks: Int, confidence: Double)
+      nBlocks: Int, nContentBlocks: Int, confidence: Double,
+      engine: String = "density", fallbackUsed: Boolean = false)
+
+  /** Early-exit threshold of the engine cascade — the reference's
+    * ocr_confidence_threshold (/root/reference/ocrworker/config.py:38,
+    * applied at hybrid.py:139). */
+  val ConfidenceThreshold = 0.7
 
   def extract(html: String): HtmlResult = {
     val builder = new BlockBuilder
     HtmlTokenizer.tokenize(html, builder)
-    assemble(builder)
+    cascade(builder)
   }
 
   /** Byte-level entry: same result, skips the whole-document UTF-8
@@ -212,13 +244,32 @@ object MainContentExtractor {
   def extractBytes(html: Array[Byte]): HtmlResult = {
     val builder = new BlockBuilder
     ByteHtmlTokenizer.tokenize(html, builder)
-    assemble(builder)
+    cascade(builder)
   }
 
-  private def assemble(builder: BlockBuilder): HtmlResult = {
+  /** Confidence cascade (hybrid.py:123-161 semantics): run the strict
+    * density classifier; below the threshold, also run the relaxed
+    * fallback and keep the HIGHER-confidence result (strictly greater,
+    * like the reference's `result.confidence > best.confidence`). The
+    * tokenizer runs once — engines re-classify the same block array. */
+  private def cascade(builder: BlockBuilder): HtmlResult = {
     val (blocks, title) = builder.result()
     DensityClassifier.classify(blocks)
+    val strict = assemble(blocks, title)
+    if (strict.confidence >= ConfidenceThreshold) strict
+    else {
+      DensityClassifier.classifyRelaxed(blocks)
+      val relaxed = assemble(blocks, title)
+      // strictly greater, like the reference's `result.confidence >
+      // best.confidence` — ties keep the selected (first) engine.
+      // fallbackUsed marks that the fallback's OUTPUT was used.
+      if (relaxed.confidence > strict.confidence)
+        relaxed.copy(engine = "density_relaxed", fallbackUsed = true)
+      else strict
+    }
+  }
 
+  private def assemble(blocks: Array[Block], title: String): HtmlResult = {
     val sb = new java.lang.StringBuilder(1024)
     val spans = new ArrayBuffer[Span](blocks.length)
     var scoreSum = 0.0

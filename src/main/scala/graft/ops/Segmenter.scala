@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.core.Span
+import scala.collection.mutable.ArrayBuffer
+
+/** Multi-document segmentation — the re-expression of the reference's
+  * boundary-detect -> validate -> split pipeline
+  * (/root/reference/ocrworker/segmentation/segmenter.py:362-553): a
+  * captured page that stitches several logical documents (digest pages,
+  * mirrors with appended posts) is split into ordered segments.
+  *
+  * Pixel boundaries become char-range boundaries: every heading span
+  * opens a candidate segment that runs to the next heading (a no-heading
+  * page is one whole-document segment — the reference's
+  * _create_single_segment). Validation mirrors :520-553: minimum
+  * confidence (MIN_CONFIDENCE_THRESHOLD 0.6, :41-42), minimum area as a
+  * share of the page (MIN_DOCUMENT_AREA_PERCENT 5%, :44-45 — area
+  * becomes char share), in-bounds check, and overlap suppression
+  * against already-accepted segments. Output ordered top-to-bottom
+  * (:422-426) and re-indexed over the valid segments only.
+  */
+final case class Segment(
+    doc_index: Int, start: Int, end: Int, title: String,
+    confidence: Double, n_chars: Int)
+
+object Segmenter {
+
+  val MinConfidence = 0.6   // segmenter.py:41-42
+  val MinAreaPercent = 5.0  // segmenter.py:44-45
+
+  /** Segment one extracted document. `spans` are the extractor's
+    * per-block spans over `text` ("heading" | "block" kinds with the
+    * block classifier score). */
+  def segment(text: String, spans: Array[Span]): Array[Segment] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val sorted = spans.sortBy(_.start)
+    val headings = sorted.filter(_.kind == "heading")
+    // candidate boundaries: heading starts (or the whole doc)
+    val starts: Array[Int] =
+      if (headings.isEmpty) Array(0)
+      else if (headings.head.start > 0) 0 +: headings.map(_.start)
+      else headings.map(_.start)
+    val minChars = text.length * (MinAreaPercent / 100.0)
+    val out = new ArrayBuffer[Segment](starts.length)
+    var i = 0
+    while (i < starts.length) {
+      val s = starts(i)
+      val e = if (i + 1 < starts.length) starts(i + 1) - 1 else text.length
+      val inside = sorted.filter(sp => sp.start >= s && sp.end <= e)
+      val body = inside.filter(_.kind != "heading")
+      // confidence: mean body-block score (heading scores are shape, not
+      // content evidence); a heading-only candidate scores 0
+      val conf =
+        if (body.isEmpty) 0.0
+        else body.map(_.score).sum / body.length
+      val title = inside.find(_.kind == "heading")
+        .map(h => text.substring(h.start, h.end)).orNull
+      val nChars = e - s
+      val valid = conf >= MinConfidence &&
+        nChars >= minChars &&
+        s >= 0 && e <= text.length &&
+        !out.exists(o => s < o.end && e > o.start) // overlap suppression
+      if (valid) out += Segment(out.length, s, e, title, conf, nChars)
+      i += 1
+    }
+    out.toArray
+  }
+}

@@ -57,7 +57,7 @@ object GraftQueries {
     val path = extractedDumpPath(rows)
     genLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists())
-        extractedPages(spark, sfDir).drop("spans")
+        extractedPages(spark, sfDir)
           .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
@@ -403,6 +403,42 @@ object GraftQueries {
           col("fields").getItem("phone").as("phone"))
     }),
 
+    // signature-pair comparison (J5 as a first-class query): same-signer
+    // forms compared by signature-card trigram similarity, match > 0.75
+    "q43_signature_pairs" -> ((s, d) => {
+      val forms = graft.forms.SignatureCompare.signedForms(
+        ExtractJob.readPages(s, pagesPath(s, d)))
+      graft.forms.SignatureCompare.pairs(forms)
+    }),
+
+    // multi-document segmentation (G3/segmenter semantics): split each
+    // extracted page into ordered, validated logical-document segments
+    "q42_segments" -> ((s, d) => {
+      import s.implicits._
+      extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(col("url"), col("extracted_text"),
+          col("spans").as[Array[graft.core.Span]])
+        .as[(String, String, Array[graft.core.Span])]
+        .mapPartitions { it =>
+          it.flatMap { case (url, text, spans) =>
+            graft.ops.Segmenter.segment(text, spans).iterator.map(g =>
+              (url, g.doc_index, g.start, g.end, g.title, g.confidence, g.n_chars))
+          }
+        }
+        .toDF("url", "doc_index", "start", "end", "title", "confidence", "n_chars")
+    }),
+
+    // engine-cascade observability: which classifier produced each doc
+    // and how often the confidence fallback fired (the OCRResult.engine
+    // + engines_tried surface, hybrid.py:156-158)
+    "q44_engine_stats" -> ((s, d) => {
+      extractedCached(s, d)
+        .groupBy(col("payload_kind"), col("engine"), col("fallback_used"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("confidence") * 1000000).cast("long")).as("conf_micros"))
+    }),
+
     // NLP: rule-based NER + contextual party assignment (F8 — the
     // ExtractedMetadata persons/orgs/locations surface with cue-word
     // vendor/client/signatory/contact, extractor.py:142-170 + :329-381)
@@ -646,6 +682,12 @@ object GraftQueries {
          |WHERE error IS NULL AND payload_kind = 'html'
          |GROUP BY 1, 2, 3""".stripMargin
     },
+
+    "q44_engine_stats" ->
+      s"""SELECT payload_kind, engine, fallback_used, count(*) AS n,
+         |  CAST(sum(CAST(round(confidence * 1000000) AS BIGINT)) AS BIGINT) AS conf_micros
+         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q41_rollup" ->
       """SELECT y, prio, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue

@@ -93,7 +93,7 @@ class ExtractJobSpec extends AnyFunSuite {
     }
     // manifest json round-trips and names the extraction version
     val m = SnapshotStore.readManifest(s"$dir/out", snap.sequence)
-    assert(m.contains("\"extraction_version\":\"graft-extract-1\""))
+    assert(m.contains("\"extraction_version\":\"" + graft.core.ExtractionVersion.current + "\""))
   }
 
   test("salting flattens zipfian host skew in output partitions") {

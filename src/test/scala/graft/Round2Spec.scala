@@ -64,6 +64,23 @@ class Round2Spec extends AnyFunSuite {
     assert(f.contains("'high'") && f.contains("'medium'") && f.contains("'low'"))
   }
 
+  test("signature pairs: planted same-window twins match above 0.75") {
+    import spark.implicits._
+    val pages = (0L until 1200L).map(i => graft.gen.PageGen.genRow(graft.gen.PageGen.DefaultSeed, i))
+      .filter(_.kind == "html").map(_.page)
+    val ds = spark.createDataset(pages)
+    val forms = graft.forms.SignatureCompare.signedForms(ds)
+    assert(forms.count() > 20)
+    val p = graft.forms.SignatureCompare.pairs(forms).collect()
+    assert(p.nonEmpty)
+    val matches = p.count(_.getBoolean(4))
+    val nonMatches = p.length - matches
+    assert(matches > 0, "planted signature twins must match")
+    assert(nonMatches > 0, "distinct signatures must not match")
+    // every match must be a same-signer pair with high similarity
+    p.filter(_.getBoolean(4)).foreach(r => assert(r.getDouble(3) > 0.75))
+  }
+
   test("oversizedBuckets counts buckets above the cap") {
     import spark.implicits._
     // 30 identical docs -> every band bucket holds 30 ids
