@@ -18,7 +18,9 @@ trait HtmlHandler {
   * payload into an ordered stream of text fragments with structure.
   *
   * Handles: comments, doctype, processing instructions, CDATA, raw-text
-  * elements (script/style/textarea — content skipped for script/style),
+  * elements (script/style — content skipped; textarea is deliberately
+  * NOT raw-text here: its markup parses as tags, matching
+  * ByteHtmlTokenizer so the byte-identity contract holds),
   * quoted attributes containing '>', self-closing tags, character
   * entities (named core set + numeric dec/hex), unclosed/stray tags
   * (forgiving: emitted as-is, never throws).

@@ -29,24 +29,39 @@ object Warc {
 
   // ---- writer (generator side; synthesizes CC-style segments) ---------
 
+  /** Strip CR/LF (and other C0 controls that could confuse header
+    * parsing) from a value about to be written on a WARC or HTTP header
+    * line — an unsanitized newline would terminate the header early and
+    * corrupt record framing for every record after it. */
+  private def headerSafe(s: String): String = {
+    val v = Option(s).getOrElse("")
+    if (v.forall(c => c >= 0x20 || c == '\t')) v
+    else v.map(c => if (c >= 0x20 || c == '\t') c else ' ')
+  }
+
   /** Serialize pages into one WARC segment (uncompressed). Headers are
     * UTF-8 per the WARC spec (multibyte target URIs survive); record
     * Content-Length counts BYTES of the http head + body. The raw
     * `text` column rides in an extension header (WARC permits custom
-    * fields) so the pages-table roundtrip is lossless. */
+    * fields); header values cannot carry CR/LF, so the text is
+    * NEWLINE-NORMALIZED (CR/LF → space) in the header — the roundtrip
+    * is lossless only for newline-free text (PageGen's corpus is; a
+    * page whose text had newlines would roundtrip with them as
+    * spaces, never with broken framing). url/lang are sanitized the
+    * same way before being written on header lines. */
   def writeSegment(pages: Seq[Page]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(pages.map(_.html.length + 512).sum)
     def w(s: String): Unit = out.write(s.getBytes(UTF_8))
     pages.foreach { p =>
       val httpHeadBytes = ("HTTP/1.1 200 OK\r\n" +
         "Content-Type: application/octet-stream\r\n" +
-        s"Content-Language: ${p.lang}\r\n" +
+        s"Content-Language: ${headerSafe(p.lang)}\r\n" +
         s"Content-Length: ${p.html.length}\r\n\r\n").getBytes(UTF_8)
       val httpLen = httpHeadBytes.length + p.html.length
-      val rawText = Option(p.text).getOrElse("").replaceAll("[\\r\\n]", " ")
+      val rawText = headerSafe(Option(p.text).getOrElse("").replaceAll("[\\r\\n]", " "))
       w("WARC/1.0\r\n")
       w("WARC-Type: response\r\n")
-      w(s"WARC-Target-URI: ${p.url}\r\n")
+      w(s"WARC-Target-URI: ${headerSafe(p.url)}\r\n")
       w(s"WARC-Date: ${warcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}\r\n")
       if (rawText.nonEmpty) w(s"X-Graft-Raw-Text: $rawText\r\n")
       w("Content-Type: application/http; msgtype=response\r\n")
@@ -79,30 +94,39 @@ object Warc {
         val headEnd = findBytes(bytes, "\r\n\r\n", start)
         if (headEnd < 0) { i = n; return }
         val headers = parseHeaders(new String(bytes, start, headEnd - start, UTF_8))
-        val len = headers.getOrElse("content-length", "0").trim.toIntOption.getOrElse(0)
         val bodyStart = headEnd + 4
-        if (bodyStart + len > n) { i = n; return } // truncated mid-body: skip
-        val bodyEnd = bodyStart + len
-        if (headers.getOrElse("warc-type", "") == "response") {
-          val uri = headers.getOrElse("warc-target-uri", "")
-          val ts = parseDate(headers.getOrElse("warc-date", ""))
-          // payload is an HTTP response: body follows the first CRLFCRLF
-          val httpBodyStart = findBytes(bytes, "\r\n\r\n", bodyStart) match {
-            case x if x >= 0 && x + 4 <= bodyEnd => x + 4
-            case _ => bodyStart
-          }
-          val httpHead = new String(bytes, bodyStart,
-            math.max(0, httpBodyStart - bodyStart), UTF_8)
-          val lang = httpHead.linesIterator
-            .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
-            .map(_.split(":", 2)(1).trim).getOrElse("und")
-          if (uri.nonEmpty) {
-            nextPage = Page(uri, ts,
-              java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd),
-              headers.getOrElse("x-graft-raw-text", ""), lang)
-          }
+        // An unparseable Content-Length (garbage, negative, or >2^31) is
+        // treated like a truncated record: SKIP it rather than emit a
+        // zero-length payload — the url stays uncommitted and a later
+        // re-run over a repaired segment picks it up. We resync by
+        // scanning forward for the next "WARC/" magic.
+        headers.getOrElse("content-length", "").trim.toIntOption.filter(_ >= 0) match {
+          case None =>
+            i = bodyStart
+          case Some(len) =>
+            if (bodyStart + len > n) { i = n; return } // truncated mid-body: skip
+            val bodyEnd = bodyStart + len
+            if (headers.getOrElse("warc-type", "") == "response") {
+              val uri = headers.getOrElse("warc-target-uri", "")
+              val ts = parseDate(headers.getOrElse("warc-date", ""))
+              // payload is an HTTP response: body follows the first CRLFCRLF
+              val httpBodyStart = findBytes(bytes, "\r\n\r\n", bodyStart) match {
+                case x if x >= 0 && x + 4 <= bodyEnd => x + 4
+                case _ => bodyStart
+              }
+              val httpHead = new String(bytes, bodyStart,
+                math.max(0, httpBodyStart - bodyStart), UTF_8)
+              val lang = httpHead.linesIterator
+                .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
+                .map(_.split(":", 2)(1).trim).getOrElse("und")
+              if (uri.nonEmpty) {
+                nextPage = Page(uri, ts,
+                  java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd),
+                  headers.getOrElse("x-graft-raw-text", ""), lang)
+              }
+            }
+            i = bodyEnd
         }
-        i = bodyEnd
       }
     }
 

@@ -61,6 +61,35 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("unparseable content-length skips the record instead of emitting an empty payload") {
+    val good = PageGen.genRow(PageGen.DefaultSeed, 900L).page
+    val bad = PageGen.genRow(PageGen.DefaultSeed, 901L).page
+    val badSeg = new String(Warc.writeSegment(Seq(bad)), UTF_8)
+    // corrupt only the WARC-level Content-Length (the one after msgtype=response)
+    val corrupted = badSeg.replaceFirst(
+      "(msgtype=response\r\nContent-Length: )\\d+", "$1999999999999")
+    val seg = corrupted.getBytes(UTF_8) ++ Warc.writeSegment(Seq(good))
+    val back = Warc.parseSegment(seg)
+    // the malformed record is SKIPPED (no empty-payload ghost page), and
+    // the parser resyncs on the next record's magic
+    assert(back.map(_.url) == Seq(good.url))
+    assert(back.forall(_.html.nonEmpty))
+  }
+
+  test("url/lang with CR/LF are sanitized, never corrupt record framing") {
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val evil = graft.core.Page("https://a.example/x\r\nWARC-Type: fake", ts,
+      "<p>one</p>".getBytes(UTF_8), "text one", "en\r\nX-Inject: y")
+    val tail = graft.core.Page("https://b.example/y", ts,
+      "<p>two</p>".getBytes(UTF_8), "text two", "en")
+    val back = Warc.parseSegment(Warc.writeSegment(Seq(evil, tail)))
+    assert(back.length == 2) // framing intact
+    assert(back.head.url == "https://a.example/x  WARC-Type: fake")
+    assert(back.head.lang == "en  X-Inject: y")
+    assert(back(1).url == tail.url)
+    assert(java.util.Arrays.equals(back.head.html, evil.html))
+  }
+
   test("parser is total on garbage and truncated segments") {
     assert(Warc.parseSegment(Array.emptyByteArray).isEmpty)
     assert(Warc.parseSegment("not a warc at all".getBytes(UTF_8)).isEmpty)
