@@ -24,13 +24,22 @@ object ByteHtmlTokenizer {
 
     @inline def endRun(end: Int): Unit = {
       if (runStart >= 0 && end > runStart) {
-        textBuf.append(new String(b, runStart, end - runStart, UTF_8))
+        // pure-ASCII runs (the common case) append without the
+        // intermediate String + char[] the UTF-8 decode would allocate
+        var j = runStart
+        while (j < end && b(j) >= 0) j += 1
+        if (j == end) {
+          var k = runStart
+          while (k < end) { textBuf.append(b(k).toChar); k += 1 }
+        } else {
+          textBuf.append(new String(b, runStart, end - runStart, UTF_8))
+        }
       }
       runStart = -1
     }
     @inline def flushText(end: Int): Unit = {
       endRun(end)
-      if (textBuf.length() > 0) { h.text(textBuf.toString); textBuf.setLength(0) }
+      if (textBuf.length() > 0) { h.text(textBuf); textBuf.setLength(0) }
     }
 
     while (i < n) {
@@ -148,10 +157,17 @@ object ByteHtmlTokenizer {
       return if (e < 0) n else e + 1
     }
     val nameLen = i - nameStart
-    val nameChars = new Array[Char](nameLen)
-    var k = 0
-    while (k < nameLen) { nameChars(k) = lower(b(nameStart + k)).toChar; k += 1 }
-    val name = new String(nameChars)
+    // known tags resolve to the canonical interned String (no alloc)
+    val name = {
+      val interned = TagCatalog.lookupBytes(b, nameStart, nameLen)
+      if (interned != null) interned
+      else {
+        val nameChars = new Array[Char](nameLen)
+        var k = 0
+        while (k < nameLen) { nameChars(k) = lower(b(nameStart + k)).toChar; k += 1 }
+        new String(nameChars)
+      }
+    }
 
     var selfClosing = false
     var done = false

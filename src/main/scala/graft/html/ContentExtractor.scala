@@ -34,42 +34,43 @@ final class BlockBuilder extends HtmlHandler {
 
   import BlockBuilder._
 
+  // Dispatch reads the precomputed TagCatalog bitmask — ONE table probe
+  // per event instead of 4-5 Set probes (flag semantics and branch order
+  // are value-identical to the original per-Set pattern match; the flag
+  // categories a/title/boiler/skip/h1-h6 are mutually disjoint).
   def startTag(name: String, selfClosing: Boolean): Unit = {
+    val f = TagCatalog.flags(name)
     // a <title> cannot contain elements: any tag while inTitle means the
     // close tag was missing — finalize instead of swallowing the document
-    if (inTitle && name != "title") finishTitle()
-    if (blockTags.contains(name)) flushBlock()
-    if (!selfClosing && !voidTags.contains(name)) {
+    if (inTitle && (f & TagCatalog.Title) == 0) finishTitle()
+    if ((f & TagCatalog.Block) != 0) flushBlock()
+    if (!selfClosing && (f & TagCatalog.Void) == 0) {
       depth += 1
-      name match {
-        case "a" => anchorDepth += 1
-        case "title" => inTitle = true
-        case n if boilerTags.contains(n) => boilerDepth += 1
-        case n if skipTags.contains(n) => skipDepth += 1
-        case n if n.length == 2 && n.charAt(0) == 'h' && n.charAt(1) >= '1' && n.charAt(1) <= '6' =>
-          headingLevel = n.charAt(1) - '0'
-        case _ =>
+      if ((f & TagCatalog.Anchor) != 0) anchorDepth += 1
+      else if ((f & TagCatalog.Title) != 0) inTitle = true
+      else if ((f & TagCatalog.Boiler) != 0) boilerDepth += 1
+      else if ((f & TagCatalog.Skip) != 0) skipDepth += 1
+      else {
+        val h = TagCatalog.headingLevel(f)
+        if (h > 0) headingLevel = h
       }
     }
   }
 
   def endTag(name: String): Unit = {
-    if (blockTags.contains(name)) flushBlock()
-    if (!voidTags.contains(name)) {
+    val f = TagCatalog.flags(name)
+    if ((f & TagCatalog.Block) != 0) flushBlock()
+    if ((f & TagCatalog.Void) == 0) {
       if (depth > 0) depth -= 1
-      name match {
-        case "a" => if (anchorDepth > 0) anchorDepth -= 1
-        case "title" => if (inTitle) finishTitle()
-        case n if boilerTags.contains(n) => if (boilerDepth > 0) boilerDepth -= 1
-        case n if skipTags.contains(n) => if (skipDepth > 0) skipDepth -= 1
-        case n if n.length == 2 && n.charAt(0) == 'h' && n.charAt(1) >= '1' && n.charAt(1) <= '6' =>
-          headingLevel = 0
-        case _ =>
-      }
+      if ((f & TagCatalog.Anchor) != 0) { if (anchorDepth > 0) anchorDepth -= 1 }
+      else if ((f & TagCatalog.Title) != 0) { if (inTitle) finishTitle() }
+      else if ((f & TagCatalog.Boiler) != 0) { if (boilerDepth > 0) boilerDepth -= 1 }
+      else if ((f & TagCatalog.Skip) != 0) { if (skipDepth > 0) skipDepth -= 1 }
+      else if (TagCatalog.headingLevel(f) > 0) headingLevel = 0
     }
   }
 
-  def text(s: String): Unit = {
+  def text(s: CharSequence): Unit = {
     if (inTitle) { titleBuf.append(s); return }
     if (skipDepth > 0) return
     var i = 0
@@ -117,10 +118,13 @@ final class BlockBuilder extends HtmlHandler {
   }
 
   private def collapse(s: String): String =
-    s.trim.replaceAll("[\\s\u00a0]+", " ")
+    BlockBuilder.wsRun.matcher(s.trim).replaceAll(" ")
 }
 
 object BlockBuilder {
+  /** Shared compiled pattern — String.replaceAll would recompile it per
+    * document (one title collapse per doc on the extraction hot path). */
+  private[html] val wsRun = java.util.regex.Pattern.compile("[\\s ]+")
   val blockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "dl", "dt", "dd", "table", "tr", "td", "th", "thead", "tbody",
@@ -259,22 +263,45 @@ object MainContentExtractor {
     if (strict.confidence >= ConfidenceThreshold) strict
     else {
       DensityClassifier.classifyRelaxed(blocks)
-      val relaxed = assemble(blocks, title)
+      // The winner check needs only the relaxed CONFIDENCE, which is a
+      // pure function of the block flags — assemble (the full text +
+      // span string build) only when the fallback actually wins, since
+      // on most corpora the strict engine keeps winning and the losing
+      // assemble was the single biggest allocation on the hot path.
+      var scoreSum = 0.0
+      var nContent = 0
+      var i = 0
+      while (i < blocks.length) {
+        val b = blocks(i)
+        if (b.isContent) { scoreSum += b.score; nContent += 1 }
+        i += 1
+      }
+      val relaxedConf = if (nContent == 0) 0.0 else scoreSum / nContent
       // strictly greater, like the reference's `result.confidence >
       // best.confidence` — ties keep the selected (first) engine.
       // fallbackUsed marks that the fallback's OUTPUT was used.
-      if (relaxed.confidence > strict.confidence)
-        relaxed.copy(engine = "density_relaxed", fallbackUsed = true)
+      if (relaxedConf > strict.confidence)
+        assemble(blocks, title).copy(engine = "density_relaxed", fallbackUsed = true)
       else strict
     }
   }
 
   private def assemble(blocks: Array[Block], title: String): HtmlResult = {
-    val sb = new java.lang.StringBuilder(1024)
-    val spans = new ArrayBuffer[Span](blocks.length)
+    // presize exactly: growth-doubling on the output builder was pure
+    // garbage at ~2x the text size per document
+    var cap = 0
+    var n = 0
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      if (b.isContent) { cap += b.text.length + 1; n += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(math.max(cap, 1))
+    val spans = new Array[Span](n)
     var scoreSum = 0.0
     var nContent = 0
-    var i = 0
+    i = 0
     while (i < blocks.length) {
       val b = blocks(i)
       if (b.isContent) {
@@ -282,14 +309,14 @@ object MainContentExtractor {
         val start = sb.length()
         sb.append(b.text)
         val kind = if (b.headingLevel > 0) "heading" else "block"
-        spans += Span(start, sb.length(), kind, b.score)
+        spans(nContent) = Span(start, sb.length(), kind, b.score)
         scoreSum += b.score
         nContent += 1
       }
       i += 1
     }
     HtmlResult(
-      sb.toString, spans.toArray, title,
+      sb.toString, spans, title,
       blocks.length, nContent,
       if (nContent == 0) 0.0 else scoreSum / nContent)
   }

@@ -4,8 +4,10 @@ package graft.html
 trait HtmlHandler {
   def startTag(name: String, selfClosing: Boolean): Unit
   def endTag(name: String): Unit
-  /** Text with entities already decoded; raw whitespace preserved. */
-  def text(s: String): Unit
+  /** Text with entities already decoded; raw whitespace preserved.
+    * The CharSequence is the tokenizer's REUSED buffer — consume it
+    * before returning, never retain a reference. */
+  def text(s: CharSequence): Unit
 }
 
 /** A single-pass, forgiving, allocation-light streaming HTML tokenizer.
@@ -35,7 +37,7 @@ object HtmlTokenizer {
     val textBuf = new java.lang.StringBuilder(256)
 
     def flushText(): Unit = {
-      if (textBuf.length() > 0) { h.text(textBuf.toString); textBuf.setLength(0) }
+      if (textBuf.length() > 0) { h.text(textBuf); textBuf.setLength(0) }
     }
 
     while (i < n) {
@@ -93,10 +95,17 @@ object HtmlTokenizer {
     if (closing) i += 1
     val nameStart = i
     while (i < n && isNameChar(s.charAt(i))) i += 1
-    val name = s.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
-    if (name.isEmpty) { // "</>" or "< " — forgiving skip to '>'
+    if (i == nameStart) { // "</>" or "< " — forgiving skip to '>'
       val e = s.indexOf('>', i)
       return if (e < 0) n else e + 1
+    }
+    // known tags resolve to the canonical interned String (no alloc);
+    // tag-name chars are ASCII (isNameChar), so per-char lowering equals
+    // the old toLowerCase(Locale.ROOT)
+    val name = {
+      val interned = TagCatalog.lookupChars(s, nameStart, i)
+      if (interned != null) interned
+      else s.substring(nameStart, i).toLowerCase(java.util.Locale.ROOT)
     }
     // scan attributes honoring quotes (values may contain '>')
     var selfClosing = false

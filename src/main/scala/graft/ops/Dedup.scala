@@ -194,10 +194,16 @@ object Dedup {
         transform(sequence(lit(1), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
-    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    // A small parquet corpus arrives as ONE scan split, and a
+    // nested-loop join inherits the STREAMED side's partitioning — so
+    // without an explicit repartition the whole O(N²) loop runs on a
+    // single core (measured: 535 s for 5k docs at local[32]; ~17 s
+    // parallel). Broadcast the build side, spread the streamed side.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism * 2
+    val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")).repartition(parallelism)
     val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    a.join(b, col("a_id") < col("b_id"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / (size(col("a_sh")) + size(col("b_sh")) - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

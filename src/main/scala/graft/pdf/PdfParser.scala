@@ -86,7 +86,6 @@ object PdfParser {
     * stream bytes (between `stream\n` and `endstream`). */
   private def scanObjects(s: String, bytes: Array[Byte]): Map[Int, PdfObj] = {
     val out = Map.newBuilder[Int, PdfObj]
-    val objRe = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj""")
     val m = objRe.matcher(s)
     while (m.find()) {
       val num = m.group(1).toInt
@@ -139,6 +138,7 @@ object PdfParser {
   }
 
   private val refRe = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+R""")
+  private val objRe = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+obj""")
   private def parseRefs(s: String): Seq[Int] = {
     val out = new ArrayBuffer[Int](4)
     val m = refRe.matcher(s)

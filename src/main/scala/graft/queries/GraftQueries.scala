@@ -235,8 +235,12 @@ object GraftQueries {
     // dedup #6: all-pairs trigram-jaccard ground truth (exactness
     // baseline for the LSH paths; oracle-backed — the only dedup mode a
     // SQL engine can mirror exactly)
+    // O(N²) by construction — deterministically capped at 2000 docs
+    // (covers the whole corpus at the driver's correctness sf; the
+    // scale path for this semantics is q20/q22 LSH + verify)
     "q36_jaccard_brute" -> ((s, d) =>
-      Dedup.jaccardBruteForce(t(s, d, "documents"), threshold = 0.2)),
+      Dedup.jaccardBruteForce(
+        t(s, d, "documents").filter(col("doc_id") < 2000), threshold = 0.2)),
 
     // dedup #7: exact dedup over NORMALIZED text (lowercase, whitespace
     // collapsed) — the md5-bucket variant of q12
@@ -352,11 +356,12 @@ object GraftQueries {
         bits = 8, probeRadius = 2)
     }),
 
-    // similarity search: IVF top-k (coarse k-means quantizer + nprobe)
+    // similarity search: IVF top-k (coarse k-means quantizer, soft
+    // assignment, nprobe probing)
     "q35_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
-        nCells = 16, nprobe = 4)
+        nCells = 32, nprobe = 8, assign = 2)
     }),
 
     // dedup #5: embedding-cosine near-dup pairs via SRP blocking
@@ -661,7 +666,7 @@ object GraftQueries {
         |    generate_series(1, len(toks) - 2),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |        FROM documents)
+        |        FROM documents WHERE doc_id < 2000)
         |  WHERE len(toks) >= 3)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

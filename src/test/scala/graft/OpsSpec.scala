@@ -71,7 +71,7 @@ class OpsSpec extends AnyFunSuite {
     assert(d.agg(sum("n_dups")).first().getLong(0) == n)
   }
 
-  test("srp-ann recall vs brute-force top-5 >= 0.4 at toy scale") {
+  test("srp-ann recall vs brute-force top-5 >= 0.75 at toy scale") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
@@ -79,7 +79,7 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("query_id").toLong, r.getAs[String]("neighbor_id").toLong)).toSet
     val recall = brute.count(srp.contains).toDouble / brute.size
     info(f"srp recall@5 = $recall%.2f (candidates examined ≪ corpus)")
-    assert(recall >= 0.4, f"recall $recall%.2f too low")
+    assert(recall >= 0.75, f"recall $recall%.2f too low") // measured 0.82, deterministic seeds
     // and the srp results must be genuinely high-cosine (no junk)
     assert(srp.subsetOf(
       Similarity.bruteForceTopK(emb, queries, 50).collect()
@@ -90,11 +90,11 @@ class OpsSpec extends AnyFunSuite {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, 5).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 5, nCells = 16, nprobe = 4).collect()
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nCells = 32, nprobe = 8, assign = 2).collect()
       .map(r => (r.getAs[String]("query_id").toLong, r.getAs[String]("neighbor_id").toLong)).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.size
-    info(f"ivf recall@5 = $recall%.2f (nprobe/nCells = 4/16)")
-    assert(recall >= 0.3, f"recall $recall%.2f too low")
+    info(f"ivf recall@5 = $recall%.2f (nCells=32 nprobe=8 assign=2: ~37%% of corpus scanned)")
+    assert(recall >= 0.8, f"recall $recall%.2f too low")
     // every ivf hit must be a genuinely near neighbor
     assert(ivf.subsetOf(
       Similarity.bruteForceTopK(emb, queries, 60).collect()
