@@ -16,10 +16,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object ByteHtmlTokenizer {
 
-  def tokenize(b: Array[Byte], h: HtmlHandler): Unit = {
+  def tokenize(b: Array[Byte], h: HtmlHandler): Unit =
+    tokenize(b, h, new java.lang.StringBuilder(256))
+
+  /** Scratch-buffer variant: `textBuf` is cleared and reused — pass a
+    * per-thread buffer to amortize its allocation across a partition. */
+  def tokenize(b: Array[Byte], h: HtmlHandler, textBuf: java.lang.StringBuilder): Unit = {
     val n = b.length
     var i = 0
-    val textBuf = new java.lang.StringBuilder(256)
+    textBuf.setLength(0)
     var runStart = -1 // current undecoded text run [runStart, i)
 
     @inline def endRun(end: Int): Unit = {

@@ -109,6 +109,19 @@ final class BlockBuilder extends HtmlHandler {
     (blocks.toArray, titleText)
   }
 
+  /** Clear all per-document state, KEEPING buffer capacity — lets one
+    * builder serve a whole partition (Spark runs one task per thread)
+    * instead of re-allocating buffers + growth arrays per document. */
+  def reset(): Unit = {
+    blocks.clear()
+    buf.setLength(0)
+    words = 0; linkedWords = 0; pendingSpace = false; inWord = false
+    depth = 0; anchorDepth = 0; boilerDepth = 0; skipDepth = 0
+    headingLevel = 0
+    titleText = null; inTitle = false
+    titleBuf.setLength(0)
+  }
+
   /** First <title> wins (the document title); later ones (e.g. inline
     * svg titles) are discarded, and the buffer always resets. */
   private def finishTitle(): Unit = {
@@ -243,11 +256,19 @@ object MainContentExtractor {
     cascade(builder)
   }
 
+  /** Per-thread scratch (builder + tokenizer text buffer) reused across
+    * the documents of a partition — Spark runs one task per thread, so
+    * thread confinement holds; reset() clears all per-doc state. */
+  private val scratch =
+    ThreadLocal.withInitial[(BlockBuilder, java.lang.StringBuilder)](() =>
+      (new BlockBuilder, new java.lang.StringBuilder(256)))
+
   /** Byte-level entry: same result, skips the whole-document UTF-8
     * decode (see [[ByteHtmlTokenizer]]). */
   def extractBytes(html: Array[Byte]): HtmlResult = {
-    val builder = new BlockBuilder
-    ByteHtmlTokenizer.tokenize(html, builder)
+    val (builder, textBuf) = scratch.get()
+    builder.reset()
+    ByteHtmlTokenizer.tokenize(html, builder, textBuf)
     cascade(builder)
   }
 
