@@ -1,0 +1,138 @@
+package graft.nlp
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Structured model-response parsing (SURVEY §2.8 F12) — the
+  * re-expression of the reference's line-oriented `KEY: value` response
+  * parsers: classification TYPE/CATEGORY/CONFIDENCE with raw-label
+  * mapping and single-bare-line fallback
+  * (/root/reference/ocrworker/classification/detector.py:201-235),
+  * metadata fields with the NOT_FOUND sentinel (:262-283), and the
+  * tolerant never-throw posture of the segmentation parser
+  * (/root/reference/ocrworker/segmentation/segmenter.py:285-313).
+  *
+  * Spark-first: every field is a pure Column expression (codegen'd —
+  * no UDF), and the SAME rule tables emit the DuckDB oracle SQL so the
+  * two can never drift. Parsing semantics, matching the reference:
+  *  - a field's value is everything after the FIRST ':' on a line
+  *    whose (stripped) prefix is `KEY:`, trimmed; missing line → null
+  *  - TYPE/CATEGORY raw values are lowercased and mapped through the
+  *    known-label tables; unmapped → "unknown"
+  *  - if TYPE is missing and the whole response is a single line, that
+  *    line is the raw type (the bare-answer fallback)
+  *  - CONFIDENCE must be high/medium/low, anything else → "medium"
+  *  - metadata values equal to NOT_FOUND (case-insensitive) → null
+  *  - garbage anywhere never throws: unparseable responses yield
+  *    doc_type/category "unknown" + null fields
+  */
+object ResponseParser {
+
+  /** raw label → canonical type (detector.py:101-124 semantics). */
+  val typeMapping: Seq[(String, String)] = Seq(
+    "invoice" -> "invoice",
+    "receipt" -> "receipt",
+    "contract" -> "contract",
+    "letter" -> "letter",
+    "business_letter" -> "correspondence",
+    "personal_letter" -> "correspondence",
+    "memo" -> "correspondence",
+    "form" -> "form",
+    "application_form" -> "form",
+    "report" -> "report",
+    "bank_statement" -> "bank_statement",
+    "tax_form" -> "tax_form",
+    "insurance_claim" -> "insurance_claim",
+    "purchase_order" -> "purchase_order",
+    "medical_record" -> "medical_record",
+    "legal_filing" -> "legal_filing",
+    "court_filing" -> "legal_filing",
+    "passport" -> "id_document",
+    "drivers_license" -> "id_document",
+    "national_id" -> "id_document")
+
+  val categoryMapping: Seq[(String, String)] = Seq(
+    "financial" -> "financial",
+    "legal" -> "legal",
+    "medical" -> "medical",
+    "correspondence" -> "correspondence",
+    "administrative" -> "administrative",
+    "technical" -> "technical",
+    "personal" -> "personal",
+    "government" -> "government")
+
+  /** metadata line keys → output column names (detector.py:266-273). */
+  val fieldMap: Seq[(String, String)] = Seq(
+    "DATE" -> "document_date",
+    "NUMBER" -> "document_number",
+    "SENDER" -> "sender",
+    "RECIPIENT" -> "recipient",
+    "AMOUNT" -> "amount",
+    "CURRENCY" -> "currency")
+
+  private def lineRegex(key: String): String = s"(?m)^\\s*$key:(.*)$$"
+
+  /** Raw value of `KEY:` line ('' when absent — reference default). */
+  def lineValue(resp: Column, key: String): Column =
+    trim(regexp_extract(resp, lineRegex(key), 1))
+
+  /** doc_type column: TYPE line → bare-single-line fallback → mapping. */
+  def docType(resp: Column): Column = {
+    val fromLine = lower(lineValue(resp, "TYPE"))
+    val raw = when(fromLine === "" && !trim(resp).contains("\n"), lower(trim(resp)))
+      .otherwise(fromLine)
+    typeMapping.foldRight(lit("unknown")) { case ((k, v), elseC) =>
+      when(raw === k, v).otherwise(elseC)
+    }
+  }
+
+  def category(resp: Column): Column = {
+    val raw = lower(lineValue(resp, "CATEGORY"))
+    categoryMapping.foldRight(lit("unknown")) { case ((k, v), elseC) =>
+      when(raw === k, v).otherwise(elseC)
+    }
+  }
+
+  def confidence(resp: Column): Column = {
+    val raw = lower(lineValue(resp, "CONFIDENCE"))
+    when(raw.isin("high", "medium", "low"), raw).otherwise("medium")
+  }
+
+  /** A metadata field: null when the line is absent/empty or the value
+    * is the NOT_FOUND sentinel. */
+  def metadataField(resp: Column, key: String): Column = {
+    val v = lineValue(resp, key)
+    when(v === "" || upper(v) === "NOT_FOUND", lit(null)).otherwise(v)
+  }
+
+  // ---- DuckDB oracle mirrors (same tables, same regexes) ---------------
+
+  private def sqlLine(respExpr: String, key: String): String =
+    s"trim(regexp_extract($respExpr, '(?m)^\\s*$key:(.*)$$', 1))"
+
+  def sqlDocType(respExpr: String): String = {
+    val fromLine = s"lower(${sqlLine(respExpr, "TYPE")})"
+    val raw = s"(CASE WHEN $fromLine = '' AND strpos(trim($respExpr), chr(10)) = 0" +
+      s" THEN lower(trim($respExpr)) ELSE $fromLine END)"
+    typeMapping.reverse.foldLeft("'unknown'") { case (elseC, (k, v)) =>
+      s"(CASE WHEN $raw = '$k' THEN '$v' ELSE $elseC END)"
+    }
+  }
+
+  def sqlCategory(respExpr: String): String = {
+    val raw = s"lower(${sqlLine(respExpr, "CATEGORY")})"
+    categoryMapping.reverse.foldLeft("'unknown'") { case (elseC, (k, v)) =>
+      s"(CASE WHEN $raw = '$k' THEN '$v' ELSE $elseC END)"
+    }
+  }
+
+  def sqlConfidence(respExpr: String): String = {
+    val raw = s"lower(${sqlLine(respExpr, "CONFIDENCE")})"
+    s"(CASE WHEN $raw IN ('high','medium','low') THEN $raw ELSE 'medium' END)"
+  }
+
+  def sqlMetadataField(respExpr: String, key: String): String = {
+    val v = sqlLine(respExpr, key)
+    s"(CASE WHEN $v = '' OR upper($v) = 'NOT_FOUND' THEN NULL ELSE $v END)"
+  }
+}

@@ -444,6 +444,39 @@ object GraftQueries {
           sum(round(col("confidence") * 1000000).cast("long")).as("conf_micros"))
     }),
 
+    // F12: structured model-response parsing — synthesize the four
+    // response shapes a model actually produces (clean KEY: lines,
+    // unknown labels + NOT_FOUND sentinels, a bare one-line answer,
+    // free prose) deterministically per doc_id, then parse with the
+    // pure-Column line parser (oracle re-parses the same synthesis)
+    "q45_response_parse" -> ((s, d) => {
+      import graft.nlp.ResponseParser._
+      val doc = t(s, d, "documents").select(col("doc_id"))
+      val did = col("doc_id")
+      val resp = when(did % 4 === 0, concat(
+          lit("TYPE: invoice\nCATEGORY: financial\nCONFIDENCE: high\nDATE: 2024-"),
+          lpad(((did % 12) + 1).cast("string"), 2, "0"),
+          lit("-15\nNUMBER: INV-"), did.cast("string"),
+          lit("\nAMOUNT: "), did.cast("string"),
+          lit(".50\nCURRENCY: EUR")))
+        .when(did % 4 === 1, concat(
+          lit("TYPE: tax_form\nCATEGORY: bureaucracy\nCONFIDENCE: definitely\nDATE: NOT_FOUND\nSENDER: Bureau "),
+          (did % 7).cast("string")))
+        .when(did % 4 === 2, lit("receipt"))
+        .otherwise(lit("The scan is too blurry; it might be some kind of form."))
+      doc.withColumn("response", resp)
+        .select(col("doc_id"),
+          docType(col("response")).as("doc_type"),
+          category(col("response")).as("category"),
+          confidence(col("response")).as("confidence"),
+          metadataField(col("response"), "DATE").as("document_date"),
+          metadataField(col("response"), "NUMBER").as("document_number"),
+          metadataField(col("response"), "SENDER").as("sender"),
+          metadataField(col("response"), "RECIPIENT").as("recipient"),
+          metadataField(col("response"), "AMOUNT").as("amount"),
+          metadataField(col("response"), "CURRENCY").as("currency"))
+    }),
+
     // NLP: rule-based NER + contextual party assignment (F8 — the
     // ExtractedMetadata persons/orgs/locations surface with cue-word
     // vendor/client/signatory/contact, extractor.py:142-170 + :329-381)
@@ -698,6 +731,37 @@ object GraftQueries {
       """SELECT y, prio, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
         |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
         |             o_orderpriority AS prio, o_totalprice FROM orders)
-        |GROUP BY ROLLUP (y, prio)""".stripMargin
+        |GROUP BY ROLLUP (y, prio)""".stripMargin,
+
+    "q45_response_parse" -> {
+      import graft.nlp.ResponseParser._
+      val synth =
+        """(CASE
+          |  WHEN doc_id % 4 = 0 THEN
+          |    'TYPE: invoice' || chr(10) || 'CATEGORY: financial' || chr(10) ||
+          |    'CONFIDENCE: high' || chr(10) ||
+          |    'DATE: 2024-' || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0') || '-15' || chr(10) ||
+          |    'NUMBER: INV-' || CAST(doc_id AS VARCHAR) || chr(10) ||
+          |    'AMOUNT: ' || CAST(doc_id AS VARCHAR) || '.50' || chr(10) ||
+          |    'CURRENCY: EUR'
+          |  WHEN doc_id % 4 = 1 THEN
+          |    'TYPE: tax_form' || chr(10) || 'CATEGORY: bureaucracy' || chr(10) ||
+          |    'CONFIDENCE: definitely' || chr(10) || 'DATE: NOT_FOUND' || chr(10) ||
+          |    'SENDER: Bureau ' || CAST(doc_id % 7 AS VARCHAR)
+          |  WHEN doc_id % 4 = 2 THEN 'receipt'
+          |  ELSE 'The scan is too blurry; it might be some kind of form.'
+          |END)""".stripMargin
+      s"""SELECT doc_id,
+         |  ${sqlDocType("response")} AS doc_type,
+         |  ${sqlCategory("response")} AS category,
+         |  ${sqlConfidence("response")} AS confidence,
+         |  ${sqlMetadataField("response", "DATE")} AS document_date,
+         |  ${sqlMetadataField("response", "NUMBER")} AS document_number,
+         |  ${sqlMetadataField("response", "SENDER")} AS sender,
+         |  ${sqlMetadataField("response", "RECIPIENT")} AS recipient,
+         |  ${sqlMetadataField("response", "AMOUNT")} AS amount,
+         |  ${sqlMetadataField("response", "CURRENCY")} AS currency
+         |FROM (SELECT doc_id, $synth AS response FROM documents)""".stripMargin
+    }
   )
 }
