@@ -174,17 +174,33 @@ object Ner {
     val locs = uniq("LOC")
     val lower = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
 
+    // First-mention offsets memoized: an entity can be probed for up to
+    // two roles, and each probe would otherwise re-scan the whole text.
+    // Semantics stay EXACTLY the reference's `text_lower.find(e.lower())`
+    // (extractor.py:334-343) — NOT the candidate's capitalized-mention
+    // offset, which can differ when the entity string occurs earlier in
+    // lowercase prose.
+    val firstIdx = new java.util.HashMap[String, Integer]()
+    def idxOf(entity: String): Int = {
+      val cached = firstIdx.get(entity)
+      if (cached != null) cached.intValue()
+      else {
+        val idx = lower.indexOf(entity.toLowerCase(java.util.Locale.ROOT))
+        firstIdx.put(entity, Integer.valueOf(idx))
+        idx
+      }
+    }
     // vendor: first of the top-3 orgs with a vendor cue in the 50 chars
     // before its first mention (extractor.py:334-343)
     def findBefore(entity: String, cues: Seq[String], window: Int): Boolean = {
-      val idx = lower.indexOf(entity.toLowerCase(java.util.Locale.ROOT))
+      val idx = idxOf(entity)
       idx > 0 && {
         val ctx = lower.substring(math.max(0, idx - window), idx)
         cues.exists(ctx.contains)
       }
     }
     def findAround(entity: String, cues: Seq[String], before: Int, after: Int): Boolean = {
-      val idx = lower.indexOf(entity.toLowerCase(java.util.Locale.ROOT))
+      val idx = idxOf(entity)
       idx > 0 && {
         val ctx = lower.substring(math.max(0, idx - before),
           math.min(lower.length, idx + after))

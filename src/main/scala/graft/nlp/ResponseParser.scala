@@ -70,7 +70,11 @@ object ResponseParser {
     "AMOUNT" -> "amount",
     "CURRENCY" -> "currency")
 
-  private def lineRegex(key: String): String = s"(?m)^\\s*$key:(.*)$$"
+  // [^\r\n]* instead of (.*)$ — Java's (?m)$ matches before \r\n while
+  // RE2's (DuckDB) matches only before \n, so a $-anchored capture would
+  // drift between the two on CRLF responses; the negated class stops at
+  // either terminator identically in both engines.
+  private def lineRegex(key: String): String = s"(?m)^\\s*$key:([^\\r\\n]*)"
 
   /** Raw value of `KEY:` line ('' when absent — reference default). */
   def lineValue(resp: Column, key: String): Column =
@@ -108,7 +112,7 @@ object ResponseParser {
   // ---- DuckDB oracle mirrors (same tables, same regexes) ---------------
 
   private def sqlLine(respExpr: String, key: String): String =
-    s"trim(regexp_extract($respExpr, '(?m)^\\s*$key:(.*)$$', 1))"
+    s"trim(regexp_extract($respExpr, '(?m)^\\s*$key:([^\\r\\n]*)', 1))"
 
   def sqlDocType(respExpr: String): String = {
     val fromLine = s"lower(${sqlLine(respExpr, "TYPE")})"

@@ -188,12 +188,17 @@ object Dedup {
   def jaccardBruteForce(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", threshold: Double = 0.2): DataFrame = {
     val toks = filter(split(col(textCol), " "), x => x =!= "")
+    // persisted: both join sides derive from this plan, and without the
+    // persist the tokenize+shingle work would execute twice (once for
+    // the streamed side, once for the broadcast build). The table is
+    // small by contract (brute force is the capped baseline).
     val sh = docs.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col(idCol), array_distinct(
         transform(sequence(lit(1), size(col("toks")) - 2),
           i => concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+      .persist()
     // A small parquet corpus arrives as ONE scan split, and a
     // nested-loop join inherits the STREAMED side's partitioning — so
     // without an explicit repartition the whole O(N²) loop runs on a

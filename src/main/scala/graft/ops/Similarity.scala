@@ -196,11 +196,30 @@ object Similarity {
     best
   }
 
-  private def nearestCentroids(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
-    centroids.indices
-      .sortBy(c => sqDist(v, centroids(c)))
-      .take(nprobe)
-      .toArray
+  /** Indices of the `nprobe` nearest centroids, nearest first — a
+    * zero-allocation partial selection (this runs per CORPUS vector
+    * under soft assignment, so a sortBy over boxed keys would be
+    * per-row garbage on the hottest path of the index build). Ties
+    * keep the lower index first, matching a stable sort. */
+  private def nearestCentroids(v: Array[Float], centroids: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val k = math.min(nprobe, centroids.length)
+    val bestIdx = new Array[Int](k)
+    val bestD = new Array[Double](k)
+    java.util.Arrays.fill(bestD, Double.MaxValue)
+    var c = 0
+    while (c < centroids.length) {
+      val d = sqDist(v, centroids(c))
+      if (d < bestD(k - 1)) {
+        var i = k - 1
+        while (i > 0 && d < bestD(i - 1)) {
+          bestD(i) = bestD(i - 1); bestIdx(i) = bestIdx(i - 1); i -= 1
+        }
+        bestD(i) = d; bestIdx(i) = c
+      }
+      c += 1
+    }
+    bestIdx
+  }
 
   /** IVF top-k: corpus vectors indexed under their `assign` nearest
     * centroid cells (soft assignment — the standard recall lever for

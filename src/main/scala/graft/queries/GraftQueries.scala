@@ -52,6 +52,14 @@ object GraftQueries {
   def extractedDumpPath(rows: Int): String =
     s"/tmp/graft_extract_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-rows$rows"
 
+  /** Row count of the most recently materialized dump — the oracle SQL
+    * for extraction-derived queries (q19/q39/q44) reads the dump, and
+    * `oracleSql` is consulted AFTER the queries run (Verify dumps it
+    * last; the driver reads Verify's dump), so pointing the SQL at the
+    * last-used dump keeps Spark and DuckDB on the same table at ANY
+    * scale factor instead of hardcoding the driver's sf0.01. */
+  @volatile private var lastDumpRows: Int = 10000
+
   def extractedCached(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
     val path = extractedDumpPath(rows)
@@ -59,6 +67,7 @@ object GraftQueries {
       if (!new java.io.File(s"$path/_SUCCESS").exists())
         extractedPages(spark, sfDir)
           .write.mode("overwrite").parquet(path)
+      lastDumpRows = rows
     }
     spark.read.parquet(path)
   }
@@ -535,7 +544,9 @@ object GraftQueries {
   // DuckDB oracles
   // =====================================================================
 
-  val oracleSql: Map[String, String] = Map(
+  // a def, not a val: the extraction-derived oracles embed the dump path
+  // of whatever scale factor the queries just ran at (lastDumpRows)
+  def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -690,7 +701,7 @@ object GraftQueries {
          |  CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
          |  CAST(sum(CAST(round(confidence * 1000000) AS BIGINT)) AS BIGINT) AS conf_micros,
          |  CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars
-         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |FROM read_parquet('${extractedDumpPath(lastDumpRows)}/*.parquet')
          |GROUP BY 1""".stripMargin,
 
     "q36_jaccard_brute" ->
@@ -716,7 +727,7 @@ object GraftQueries {
     "q39_doc_type" -> {
       val (ty, cat, conf) = graft.nlp.DocType.sqlColumns("extracted_text")
       s"""SELECT $ty AS doc_type, $cat AS category, $conf AS confidence, count(*) AS n
-         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |FROM read_parquet('${extractedDumpPath(lastDumpRows)}/*.parquet')
          |WHERE error IS NULL AND payload_kind = 'html'
          |GROUP BY 1, 2, 3""".stripMargin
     },
@@ -724,7 +735,7 @@ object GraftQueries {
     "q44_engine_stats" ->
       s"""SELECT payload_kind, engine, fallback_used, count(*) AS n,
          |  CAST(sum(CAST(round(confidence * 1000000) AS BIGINT)) AS BIGINT) AS conf_micros
-         |FROM read_parquet('${extractedDumpPath(10000)}/*.parquet')
+         |FROM read_parquet('${extractedDumpPath(lastDumpRows)}/*.parquet')
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "q41_rollup" ->

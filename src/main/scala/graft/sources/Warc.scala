@@ -104,28 +104,37 @@ object Warc {
           case None =>
             i = bodyStart
           case Some(len) =>
-            if (bodyStart + len > n) { i = n; return } // truncated mid-body: skip
-            val bodyEnd = bodyStart + len
-            if (headers.getOrElse("warc-type", "") == "response") {
-              val uri = headers.getOrElse("warc-target-uri", "")
-              val ts = parseDate(headers.getOrElse("warc-date", ""))
-              // payload is an HTTP response: body follows the first CRLFCRLF
-              val httpBodyStart = findBytes(bytes, "\r\n\r\n", bodyStart) match {
-                case x if x >= 0 && x + 4 <= bodyEnd => x + 4
-                case _ => bodyStart
+            if (bodyStart + len > n) {
+              // Body extends past the segment end: either the segment is
+              // genuinely truncated (resync finds no further magic and
+              // the scan ends) or THIS record's length was corrupted but
+              // still parses (e.g. 999999999) — resyncing on the next
+              // "WARC/" magic recovers the intact records after it
+              // instead of abandoning the rest of the segment.
+              i = bodyStart
+            } else {
+              val bodyEnd = bodyStart + len
+              if (headers.getOrElse("warc-type", "") == "response") {
+                val uri = headers.getOrElse("warc-target-uri", "")
+                val ts = parseDate(headers.getOrElse("warc-date", ""))
+                // payload is an HTTP response: body follows the first CRLFCRLF
+                val httpBodyStart = findBytes(bytes, "\r\n\r\n", bodyStart) match {
+                  case x if x >= 0 && x + 4 <= bodyEnd => x + 4
+                  case _ => bodyStart
+                }
+                val httpHead = new String(bytes, bodyStart,
+                  math.max(0, httpBodyStart - bodyStart), UTF_8)
+                val lang = httpHead.linesIterator
+                  .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
+                  .map(_.split(":", 2)(1).trim).getOrElse("und")
+                if (uri.nonEmpty) {
+                  nextPage = Page(uri, ts,
+                    java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd),
+                    headers.getOrElse("x-graft-raw-text", ""), lang)
+                }
               }
-              val httpHead = new String(bytes, bodyStart,
-                math.max(0, httpBodyStart - bodyStart), UTF_8)
-              val lang = httpHead.linesIterator
-                .find(_.toLowerCase(java.util.Locale.ROOT).startsWith("content-language:"))
-                .map(_.split(":", 2)(1).trim).getOrElse("und")
-              if (uri.nonEmpty) {
-                nextPage = Page(uri, ts,
-                  java.util.Arrays.copyOfRange(bytes, httpBodyStart, bodyEnd),
-                  headers.getOrElse("x-graft-raw-text", ""), lang)
-              }
+              i = bodyEnd
             }
-            i = bodyEnd
         }
       }
     }

@@ -73,6 +73,12 @@ class ResponseParserSpec extends AnyFunSuite {
     assert((t2, c2, conf2, d) == (("unknown", "unknown", "medium", None)))
   }
 
+  test("CRLF responses parse identically to LF (no \\r leaks into values)") {
+    val (t, c, conf, date) = parse(
+      "TYPE: invoice\r\nCATEGORY: financial\r\nCONFIDENCE: high\r\nDATE: 2024-03-15\r\n")
+    assert((t, c, conf, date) == (("invoice", "financial", "high", Some("2024-03-15"))))
+  }
+
   test("q45 runs end-to-end with all four synthesized shapes present") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, "/root/testdata/sf0.001")
     val byType = df.groupBy("doc_type").count().collect()

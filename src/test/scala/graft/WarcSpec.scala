@@ -76,6 +76,18 @@ class WarcSpec extends AnyFunSuite {
     assert(back.forall(_.html.nonEmpty))
   }
 
+  test("parseable-but-overrunning content-length skips that record and resyncs, later records survive") {
+    val bad = PageGen.genRow(PageGen.DefaultSeed, 902L).page
+    val good = PageGen.genRow(PageGen.DefaultSeed, 903L).page
+    val badSeg = new String(Warc.writeSegment(Seq(bad)), UTF_8)
+    // still fits in an Int, but points past the end of the segment
+    val corrupted = badSeg.replaceFirst(
+      "(msgtype=response\r\nContent-Length: )\\d+", "$1999999999")
+    val seg = corrupted.getBytes(UTF_8) ++ Warc.writeSegment(Seq(good))
+    val back = Warc.parseSegment(seg)
+    assert(back.map(_.url) == Seq(good.url))
+  }
+
   test("url/lang with CR/LF are sanitized, never corrupt record framing") {
     val ts = new java.sql.Timestamp(1735689600000L)
     val evil = graft.core.Page("https://a.example/x\r\nWARC-Type: fake", ts,
