@@ -109,6 +109,55 @@ object ResponseParser {
     when(v === "" || upper(v) === "NOT_FOUND", lit(null)).otherwise(v)
   }
 
+  // ---- quality-assessment parse (detector.py:317-373) ------------------
+
+  /** quality label → score (detector.py:340-349); unknown → 2. */
+  val qualityScores: Seq[(String, Int)] = Seq(
+    "good" -> 3, "fair" -> 2, "poor" -> 1,
+    "complete" -> 3, "partial" -> 2, "unclear" -> 1,
+    "slight_skew" -> 2, "significant_skew" -> 1)
+
+  /** Lowercased quality dimension value; 'unknown' when absent. */
+  def qualityDim(resp: Column, key: String): Column = {
+    val raw = lower(lineValue(resp, key))
+    when(raw === "", "unknown").otherwise(raw)
+  }
+
+  private def scoreOf(dim: Column): Column =
+    qualityScores.foldRight(lit(2)) { case ((k, v), elseC) =>
+      when(dim === k, v).otherwise(elseC)
+    }
+
+  /** overall_quality from the four dimension lines: mean of the mapped
+    * scores, good ≥ 2.5 > fair ≥ 1.5 > poor (detector.py:351-364). */
+  def overallQuality(resp: Column): Column = {
+    val avg = (scoreOf(qualityDim(resp, "READABILITY")) +
+      scoreOf(qualityDim(resp, "ALIGNMENT")) +
+      scoreOf(qualityDim(resp, "COMPLETENESS")) +
+      scoreOf(qualityDim(resp, "CONTRAST"))).cast("double") / 4.0
+    when(avg >= 2.5, "good").otherwise(when(avg >= 1.5, "fair").otherwise("poor"))
+  }
+
+  /** ISSUES line → array of trimmed issues; NONE (case-insensitive) or a
+    * missing line → empty array (detector.py:334-338). */
+  def issues(resp: Column): Column = {
+    val v = lineValue(resp, "ISSUES")
+    when(v === "" || upper(v) === "NONE", array())
+      .otherwise(transform(split(v, ","), x => trim(x)))
+  }
+
+  // ---- multi-document detection parse (segmenter.py:285-313) -----------
+
+  /** MULTIPLE_DOCUMENTS: YES → true (anything else false; the reference
+    * uppercases the whole response before matching). */
+  def isMultiple(resp: Column): Column =
+    upper(lineValue(upper(resp), "MULTIPLE_DOCUMENTS")) === "YES"
+
+  /** COUNT line as int; unparseable/missing → 1 (reference default;
+    * try_cast because ANSI mode makes plain cast throw on garbage). */
+  def docCount(resp: Column): Column =
+    coalesce(lineValue(upper(resp), "COUNT").try_cast("int"), lit(1))
+
   // ---- DuckDB oracle mirrors (same tables, same regexes) ---------------
 
   private def sqlLine(respExpr: String, key: String): String =

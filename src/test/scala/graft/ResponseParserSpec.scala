@@ -79,6 +79,35 @@ class ResponseParserSpec extends AnyFunSuite {
     assert((t, c, conf, date) == (("invoice", "financial", "high", Some("2024-03-15"))))
   }
 
+  test("quality assessment: score mapping, unknown default, overall thresholds") {
+    import spark.implicits._
+    def overall(resp: String): String =
+      Seq(resp).toDF("r").select(ResponseParser.overallQuality(col("r"))).first().getString(0)
+    // all good -> 3.0 -> good
+    assert(overall("READABILITY: good\nALIGNMENT: good\nCOMPLETENESS: complete\nCONTRAST: good") == "good")
+    // all poor/unclear -> 1.0 -> poor
+    assert(overall("READABILITY: poor\nALIGNMENT: significant_skew\nCOMPLETENESS: unclear\nCONTRAST: poor") == "poor")
+    // missing lines score the unknown default 2 -> 2.0 -> fair
+    assert(overall("READABILITY: good\nCONTRAST: poor") == "fair")
+    // issues: NONE and missing both empty; list split + trimmed
+    def iss(resp: String): Seq[String] =
+      Seq(resp).toDF("r").select(ResponseParser.issues(col("r"))).first().getSeq[String](0)
+    assert(iss("ISSUES: NONE").isEmpty && iss("READABILITY: good").isEmpty)
+    assert(iss("ISSUES: stain, torn corner ,blur") == Seq("stain", "torn corner", "blur"))
+  }
+
+  test("multi-document detection: YES gate, count default on unparseable") {
+    import spark.implicits._
+    def parseMulti(resp: String): (Boolean, Int) = {
+      val r = Seq(resp).toDF("r")
+        .select(ResponseParser.isMultiple(col("r")), ResponseParser.docCount(col("r"))).first()
+      (r.getBoolean(0), r.getInt(1))
+    }
+    assert(parseMulti("MULTIPLE_DOCUMENTS: yes\nCOUNT: 3") == ((true, 3)))
+    assert(parseMulti("MULTIPLE_DOCUMENTS: NO\nCOUNT: not sure") == ((false, 1)))
+    assert(parseMulti("free-form refusal") == ((false, 1)))
+  }
+
   test("q45 runs end-to-end with all four synthesized shapes present") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, "/root/testdata/sf0.001")
     val byType = df.groupBy("doc_type").count().collect()
