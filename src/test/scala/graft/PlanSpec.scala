@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-plan regression gates — each pins a plan property a past
+  * round fixed or a 100 TB design decision depends on. AQE caveat: the
+  * executedPlan is final only after materializing THAT QueryExecution,
+  * so every assertion collects the same DataFrame first. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may hand back a session another suite configured
+    // (e.g. SkewJoinSpec disables broadcast joins) — pin every runtime
+    // conf these plan assertions depend on, keeping suite-order
+    // robustness (see round-1 note on shared SparkContext confs).
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q4 dimension join is a BroadcastHashJoin (never shuffles the fact side)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q4_nation_rollup")(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q5 resume-shaped anti-join broadcasts (LeftAnti)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q5_anti_join")(spark, d))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"))
+  }
+
+  test("q36 brute-force theta join spreads the streamed side (round-2 fix: was 1 partition = 1 core)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q36_jaccard_brute")(spark, d))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("RoundRobinPartitioning"),
+      s"expected an explicit round-robin repartition of the streamed side; plan:\n${p.take(2000)}")
+  }
+
+  test("q45 response parse is pure codegen'd expressions (no UDF, no python)") {
+    val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"))
+    // WholeStageCodegen renders as "*(n)" in executedPlan.toString
+    assert(p.contains("*(1)"), s"project not inside WholeStageCodegen:\n${p.take(500)}")
+  }
+
+  test("q19/q44 read the materialized extraction dump, not the pages table (extract-once/read-many)") {
+    for (q <- Seq("q19_extract_host_stats", "q44_engine_stats")) {
+      val p = executedPlan(graft.queries.GraftQueries.queries(q)(spark, d))
+      assert(p.contains("graft_extract_cache"), s"$q does not scan the dump")
+      assert(!p.contains("graft_pages_cache"), s"$q re-scans raw pages")
+    }
+  }
+
+  test("q1 aggregation is partial+final HashAggregate (map-side combine)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q1_pricing_summary")(spark, d))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
