@@ -23,9 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed: materialize the pages cache + warm the JIT on a tiny run
+    // untimed: materialize the pages cache + warm the JIT on a 10k-doc
+    // run (the byte tokenizer + density classifier need a few thousand
+    // docs to reach steady-state compilation; warming on 1k left the
+    // flagship measurement partly interpreting)
     graft.queries.GraftQueries.pagesPath(spark, sfDir)
-    SparkEntry.queries("q18_extract_pages")(spark, "/root/testdata/sf0.001").count()
+    SparkEntry.queries("q18_extract_pages")(spark, "/root/testdata/sf0.01").count()
 
     var extractionDocs = 0L
     var extractionSecs = 0.0
