@@ -102,6 +102,43 @@ class WarcSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back.head.html, evil.html))
   }
 
+  test("property: roundtrip survives adversarial urls/langs/payloads (count + payload bytes exact)") {
+    val rng = new PageGen.Rng(0x5eed5eedL)
+    def randStr(n: Int): String = {
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append(rng.nextInt(8) match {
+          case 0 => '\r'
+          case 1 => '\n'
+          case 2 => (rng.nextInt(26) + 'a').toChar
+          case 3 => "日本語擬似".charAt(rng.nextInt(5))
+          case 4 => ':'
+          case 5 => (rng.nextInt(0x1f) + 1).toChar // control chars
+          case _ => (rng.nextInt(94) + 33).toChar
+        })
+      }
+      sb.toString
+    }
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val pages = (0 until 200).map { i =>
+      val payload = new Array[Byte](rng.nextInt(400))
+      payload.indices.foreach(k => payload(k) = (rng.nextInt(256) - 128).toByte)
+      graft.core.Page(s"https://h$i.example/${randStr(12)}", ts, payload,
+        randStr(20), randStr(6))
+    }
+    val back = Warc.parseSegment(Warc.writeSegment(pages))
+    // no record lost to framing, payload bytes exact, urls sanitized-equal
+    assert(back.length == pages.length)
+    pages.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.html, b.html))
+      // expected url: controls → spaces at write, edges trimmed at
+      // header parse (header-value whitespace is not significant)
+      val expected = a.url.map(c => if (c >= 0x20 || c == '\t') c else ' ').trim
+      assert(b.url == expected)
+      assert(!b.url.exists(c => c == '\r' || c == '\n'))
+    }
+  }
+
   test("parser is total on garbage and truncated segments") {
     assert(Warc.parseSegment(Array.emptyByteArray).isEmpty)
     assert(Warc.parseSegment("not a warc at all".getBytes(UTF_8)).isEmpty)
