@@ -76,9 +76,15 @@ object ResponseParser {
   // either terminator identically in both engines.
   private def lineRegex(key: String): String = s"(?m)^\\s*$key:([^\\r\\n]*)"
 
-  /** Raw value of `KEY:` line ('' when absent — reference default). */
+  /** Raw value of the `KEY:` line ('' when absent or the response is
+    * null — reference default). LAST matching line wins, like the
+    * reference's overwrite-in-a-loop parsers (a model that corrects
+    * itself later in the response gets its correction honored);
+    * try_element_at(-1) because ANSI element_at throws on empty. */
   def lineValue(resp: Column, key: String): Column =
-    trim(regexp_extract(resp, lineRegex(key), 1))
+    coalesce(
+      trim(try_element_at(regexp_extract_all(resp, lit(lineRegex(key)), lit(1)), lit(-1))),
+      lit(""))
 
   /** doc_type column: TYPE line → bare-single-line fallback → mapping. */
   def docType(resp: Column): Column = {
@@ -139,19 +145,23 @@ object ResponseParser {
   }
 
   /** ISSUES line → array of trimmed issues; NONE (case-insensitive) or a
-    * missing line → empty array (detector.py:334-338). */
+    * missing/null line → empty array. A PRESENT-but-empty 'ISSUES:'
+    * yields [""], exactly like the reference (''.split(',') == ['']
+    * on the non-NONE branch, detector.py:334-338). */
   def issues(resp: Column): Column = {
+    val present = coalesce(resp.rlike("(?m)^\\s*ISSUES:"), lit(false))
     val v = lineValue(resp, "ISSUES")
-    when(v === "" || upper(v) === "NONE", array())
+    when(!present || upper(v) === "NONE", array())
       .otherwise(transform(split(v, ","), x => trim(x)))
   }
 
   // ---- multi-document detection parse (segmenter.py:285-313) -----------
 
-  /** MULTIPLE_DOCUMENTS: YES → true (anything else false; the reference
-    * uppercases the whole response before matching). */
+  /** MULTIPLE_DOCUMENTS: YES → true; anything else INCLUDING a null
+    * response → false (the reference uppercases the whole response
+    * before matching and defaults is_multiple=False). */
   def isMultiple(resp: Column): Column =
-    upper(lineValue(upper(resp), "MULTIPLE_DOCUMENTS")) === "YES"
+    coalesce(lineValue(upper(resp), "MULTIPLE_DOCUMENTS") === "YES", lit(false))
 
   /** COUNT line as int; unparseable/missing → 1 (reference default;
     * try_cast because ANSI mode makes plain cast throw on garbage). */
@@ -160,8 +170,10 @@ object ResponseParser {
 
   // ---- DuckDB oracle mirrors (same tables, same regexes) ---------------
 
+  // last-match + null-total, mirroring lineValue
   private def sqlLine(respExpr: String, key: String): String =
-    s"trim(regexp_extract($respExpr, '(?m)^\\s*$key:([^\\r\\n]*)', 1))"
+    s"trim(coalesce(list_extract(regexp_extract_all($respExpr, " +
+      s"'(?m)^\\s*$key:([^\\r\\n]*)', 1), -1), ''))"
 
   def sqlDocType(respExpr: String): String = {
     val fromLine = s"lower(${sqlLine(respExpr, "TYPE")})"
@@ -188,4 +200,43 @@ object ResponseParser {
     val v = sqlLine(respExpr, key)
     s"(CASE WHEN $v = '' OR upper($v) = 'NOT_FOUND' THEN NULL ELSE $v END)"
   }
+
+  def sqlQualityDim(respExpr: String, key: String): String = {
+    val raw = s"lower(${sqlLine(respExpr, key)})"
+    s"(CASE WHEN $raw = '' THEN 'unknown' ELSE $raw END)"
+  }
+
+  private def sqlScoreOf(dimExpr: String): String =
+    qualityScores.reverse.foldLeft("2") { case (elseC, (k, v)) =>
+      s"(CASE WHEN $dimExpr = '$k' THEN $v ELSE $elseC END)"
+    }
+
+  def sqlOverallQuality(respExpr: String): String = {
+    val sum = Seq("READABILITY", "ALIGNMENT", "COMPLETENESS", "CONTRAST")
+      .map(k => sqlScoreOf(sqlQualityDim(respExpr, k))).mkString(" + ")
+    val avg = s"(CAST($sum AS DOUBLE) / 4.0)"
+    s"(CASE WHEN $avg >= 2.5 THEN 'good' WHEN $avg >= 1.5 THEN 'fair' ELSE 'poor' END)"
+  }
+
+  /** issues as (csv, count) scalar mirrors — lists don't hash-compare
+    * portably across engines, so queries surface these two scalars. */
+  def sqlIssuesCsv(respExpr: String): String = {
+    val present = s"coalesce(regexp_matches($respExpr, '(?m)^\\s*ISSUES:'), false)"
+    val v = sqlLine(respExpr, "ISSUES")
+    s"(CASE WHEN NOT $present OR upper($v) = 'NONE' THEN ''" +
+      s" ELSE array_to_string(list_transform(string_split($v, ','), x -> trim(x)), '|') END)"
+  }
+
+  def sqlNIssues(respExpr: String): String = {
+    val present = s"coalesce(regexp_matches($respExpr, '(?m)^\\s*ISSUES:'), false)"
+    val v = sqlLine(respExpr, "ISSUES")
+    s"(CASE WHEN NOT $present OR upper($v) = 'NONE' THEN 0" +
+      s" ELSE CAST(len(string_split($v, ',')) AS INTEGER) END)"
+  }
+
+  def sqlIsMultiple(respExpr: String): String =
+    s"(${sqlLine(s"upper($respExpr)", "MULTIPLE_DOCUMENTS")} = 'YES')"
+
+  def sqlDocCount(respExpr: String): String =
+    s"coalesce(TRY_CAST(${sqlLine(s"upper($respExpr)", "COUNT")} AS INTEGER), 1)"
 }

@@ -486,6 +486,33 @@ object GraftQueries {
           metadataField(col("response"), "CURRENCY").as("currency"))
     }),
 
+    // F12 (quality + multi-doc parsers): synthesize assessment/segment
+    // responses incl. unknown dims, present-but-empty ISSUES, garbage
+    // COUNT, and a duplicate-key correction (last line wins)
+    "q46_quality_parse" -> ((s, d) => {
+      import graft.nlp.ResponseParser._
+      val did = col("doc_id")
+      val nl = "\n"
+      val resp = when(did % 5 === 0, lit(
+          s"READABILITY: good${nl}ALIGNMENT: good${nl}COMPLETENESS: complete${nl}CONTRAST: good${nl}ISSUES: NONE${nl}MULTIPLE_DOCUMENTS: NO${nl}COUNT: 1"))
+        .when(did % 5 === 1, concat(lit(
+          s"READABILITY: poor${nl}ALIGNMENT: significant_skew${nl}COMPLETENESS: unclear${nl}CONTRAST: poor${nl}ISSUES: stain, torn corner${nl}MULTIPLE_DOCUMENTS: YES${nl}COUNT: "),
+          ((did % 4) + 2).cast("string")))
+        .when(did % 5 === 2, lit(
+          s"READABILITY: fair${nl}CONTRAST: good${nl}ISSUES:${nl}MULTIPLE_DOCUMENTS: maybe${nl}COUNT: several"))
+        .when(did % 5 === 3, lit("QUALITY: unknown format"))
+        .otherwise(lit(
+          s"COUNT: 2${nl}READABILITY: poor${nl}READABILITY: good${nl}MULTIPLE_DOCUMENTS: YES${nl}COUNT: 3"))
+      t(s, d, "documents").select(col("doc_id")).withColumn("response", resp)
+        .select(col("doc_id"),
+          qualityDim(col("response"), "READABILITY").as("readability"),
+          overallQuality(col("response")).as("overall_quality"),
+          size(issues(col("response"))).as("n_issues"),
+          array_join(issues(col("response")), "|").as("issues_csv"),
+          isMultiple(col("response")).as("is_multiple"),
+          docCount(col("response")).as("doc_count"))
+    }),
+
     // NLP: rule-based NER + contextual party assignment (F8 — the
     // ExtractedMetadata persons/orgs/locations surface with cue-word
     // vendor/client/signatory/contact, extractor.py:142-170 + :329-381)
@@ -772,6 +799,37 @@ object GraftQueries {
          |  ${sqlMetadataField("response", "RECIPIENT")} AS recipient,
          |  ${sqlMetadataField("response", "AMOUNT")} AS amount,
          |  ${sqlMetadataField("response", "CURRENCY")} AS currency
+         |FROM (SELECT doc_id, $synth AS response FROM documents)""".stripMargin
+    },
+
+    "q46_quality_parse" -> {
+      import graft.nlp.ResponseParser._
+      val synth =
+        """(CASE
+          |  WHEN doc_id % 5 = 0 THEN
+          |    'READABILITY: good' || chr(10) || 'ALIGNMENT: good' || chr(10) ||
+          |    'COMPLETENESS: complete' || chr(10) || 'CONTRAST: good' || chr(10) ||
+          |    'ISSUES: NONE' || chr(10) || 'MULTIPLE_DOCUMENTS: NO' || chr(10) || 'COUNT: 1'
+          |  WHEN doc_id % 5 = 1 THEN
+          |    'READABILITY: poor' || chr(10) || 'ALIGNMENT: significant_skew' || chr(10) ||
+          |    'COMPLETENESS: unclear' || chr(10) || 'CONTRAST: poor' || chr(10) ||
+          |    'ISSUES: stain, torn corner' || chr(10) || 'MULTIPLE_DOCUMENTS: YES' || chr(10) ||
+          |    'COUNT: ' || CAST((doc_id % 4) + 2 AS VARCHAR)
+          |  WHEN doc_id % 5 = 2 THEN
+          |    'READABILITY: fair' || chr(10) || 'CONTRAST: good' || chr(10) ||
+          |    'ISSUES:' || chr(10) || 'MULTIPLE_DOCUMENTS: maybe' || chr(10) || 'COUNT: several'
+          |  WHEN doc_id % 5 = 3 THEN 'QUALITY: unknown format'
+          |  ELSE
+          |    'COUNT: 2' || chr(10) || 'READABILITY: poor' || chr(10) ||
+          |    'READABILITY: good' || chr(10) || 'MULTIPLE_DOCUMENTS: YES' || chr(10) || 'COUNT: 3'
+          |END)""".stripMargin
+      s"""SELECT doc_id,
+         |  ${sqlQualityDim("response", "READABILITY")} AS readability,
+         |  ${sqlOverallQuality("response")} AS overall_quality,
+         |  ${sqlNIssues("response")} AS n_issues,
+         |  ${sqlIssuesCsv("response")} AS issues_csv,
+         |  ${sqlIsMultiple("response")} AS is_multiple,
+         |  ${sqlDocCount("response")} AS doc_count
          |FROM (SELECT doc_id, $synth AS response FROM documents)""".stripMargin
     }
   )

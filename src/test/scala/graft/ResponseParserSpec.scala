@@ -108,6 +108,46 @@ class ResponseParserSpec extends AnyFunSuite {
     assert(parseMulti("free-form refusal") == ((false, 1)))
   }
 
+  test("duplicate KEY lines: the LAST one wins (reference overwrites in its line loop)") {
+    import spark.implicits._
+    val (t, _, _, d) = parse("TYPE: receipt\nTYPE: invoice\nDATE: 2023-01-01\nDATE: 2024-02-02")
+    assert(t == "invoice" && d == Some("2024-02-02"))
+    val r = Seq("COUNT: 2\nREADABILITY: poor\nREADABILITY: good\nCOUNT: 3").toDF("r")
+      .select(ResponseParser.docCount(col("r")),
+        ResponseParser.qualityDim(col("r"), "READABILITY")).first()
+    assert((r.getInt(0), r.getString(1)) == ((3, "good")))
+  }
+
+  test("null response is total: unknown/medium/false/1 defaults, empty issues") {
+    import spark.implicits._
+    val df = Seq(Option.empty[String]).toDF("r")
+    val row = df.select(
+      ResponseParser.docType(col("r")),
+      ResponseParser.confidence(col("r")),
+      ResponseParser.isMultiple(col("r")),
+      ResponseParser.docCount(col("r")),
+      ResponseParser.issues(col("r")),
+      ResponseParser.metadataField(col("r"), "DATE")).first()
+    assert(row.getString(0) == "unknown" && row.getString(1) == "medium")
+    assert(!row.getBoolean(2) && row.getInt(3) == 1)
+    assert(row.getSeq[String](4).isEmpty && row.isNullAt(5))
+  }
+
+  test("present-but-empty ISSUES yields one empty issue (reference ''.split(',') == [''])") {
+    import spark.implicits._
+    def iss2(resp: String): Seq[String] =
+      Seq(resp).toDF("r").select(ResponseParser.issues(col("r"))).first().getSeq[String](0)
+    assert(iss2("ISSUES:") == Seq(""))
+    assert(iss2("READABILITY: good").isEmpty)
+  }
+
+  test("q46 quality parse runs end-to-end and the correction variant honors last lines") {
+    val df = graft.queries.GraftQueries.queries("q46_quality_parse")(spark, "/root/testdata/sf0.001")
+    val v4 = df.filter(col("doc_id") % 5 === 4).select("readability", "doc_count", "is_multiple").first()
+    assert((v4.getString(0), v4.getInt(1), v4.getBoolean(2)) == (("good", 3, true)))
+    assert(df.count() == 500)
+  }
+
   test("q45 runs end-to-end with all four synthesized shapes present") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, "/root/testdata/sf0.001")
     val byType = df.groupBy("doc_type").count().collect()
