@@ -66,7 +66,8 @@ final case class ExtractedDoc(
   * are word count, link density, tag depth, heading level.
   */
 final case class Block(
-    text: String,
+    start: Int,             // [start, end) span into the builder's doc-level char store
+    end: Int,               // (no per-block String: ~30 String allocs/doc saved on the hot path)
     words: Int,
     linkedWords: Int,
     tagDepth: Int,
@@ -76,6 +77,7 @@ final case class Block(
     var score: Double = 0.0
 ) {
   def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
+  def length: Int = end - start
 }
 
 object ExtractionVersion {

@@ -109,7 +109,7 @@ object FormDetector {
       val builder = new BlockBuilder
       graft.html.ByteHtmlTokenizer.tokenize(html, builder)
       val (blocks, _) = builder.result()
-      detect(blocks.map(_.text))
+      detect(blocks.map(builder.textOf))
     } catch {
       case _: Throwable => FormResult(isForm = false, "none", 0, 0, 0, 0, Array.empty)
     }

@@ -17,7 +17,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class BlockBuilder extends HtmlHandler {
   private val blocks = new ArrayBuffer[Block](32)
-  private val buf = new java.lang.StringBuilder(256)
+  // ONE doc-level char store; blocks carry [start, end) spans into it
+  // instead of per-block Strings
+  private val buf = new java.lang.StringBuilder(1024)
+  private var blockStart = 0
   private var words = 0
   private var linkedWords = 0
   private var pendingSpace = false
@@ -79,7 +82,7 @@ final class BlockBuilder extends HtmlHandler {
       val c = s.charAt(i)
       if (Character.isWhitespace(c) || c == '\u00a0' /* NBSP */) {
         if (inWord) { inWord = false }
-        pendingSpace = buf.length() > 0
+        pendingSpace = buf.length() > blockStart // no leading space within the block
       } else {
         if (pendingSpace) { buf.append(' '); pendingSpace = false }
         if (!inWord) {
@@ -96,11 +99,12 @@ final class BlockBuilder extends HtmlHandler {
   private def flushBlock(): Unit = {
     inWord = false
     pendingSpace = false
-    if (buf.length() > 0) {
-      val t = buf.toString
-      blocks += Block(t, words, linkedWords, depth, headingLevel, boilerDepth > 0)
+    if (buf.length() > blockStart) {
+      blocks += Block(blockStart, buf.length(), words, linkedWords, depth,
+        headingLevel, boilerDepth > 0)
+      blockStart = buf.length()
     }
-    buf.setLength(0); words = 0; linkedWords = 0
+    words = 0; linkedWords = 0
   }
 
   def result(): (Array[Block], String) = {
@@ -109,12 +113,20 @@ final class BlockBuilder extends HtmlHandler {
     (blocks.toArray, titleText)
   }
 
+  /** The doc-level char store the blocks' [start, end) spans index —
+    * valid until [[reset]]; consumers must slice before reuse. */
+  def chars: CharSequence = buf
+
+  /** Materialize one block's text (slow path — FormDetector etc.). */
+  def textOf(b: Block): String = buf.substring(b.start, b.end)
+
   /** Clear all per-document state, KEEPING buffer capacity — lets one
     * builder serve a whole partition (Spark runs one task per thread)
     * instead of re-allocating buffers + growth arrays per document. */
   def reset(): Unit = {
     blocks.clear()
     buf.setLength(0)
+    blockStart = 0
     words = 0; linkedWords = 0; pendingSpace = false; inWord = false
     depth = 0; anchorDepth = 0; boilerDepth = 0; skipDepth = 0
     headingLevel = 0
@@ -279,8 +291,9 @@ object MainContentExtractor {
     * tokenizer runs once — engines re-classify the same block array. */
   private def cascade(builder: BlockBuilder): HtmlResult = {
     val (blocks, title) = builder.result()
+    val chars = builder.chars
     DensityClassifier.classify(blocks)
-    val strict = assemble(blocks, title)
+    val strict = assemble(blocks, title, chars)
     if (strict.confidence >= ConfidenceThreshold) strict
     else {
       DensityClassifier.classifyRelaxed(blocks)
@@ -302,12 +315,13 @@ object MainContentExtractor {
       // best.confidence` — ties keep the selected (first) engine.
       // fallbackUsed marks that the fallback's OUTPUT was used.
       if (relaxedConf > strict.confidence)
-        assemble(blocks, title).copy(engine = "density_relaxed", fallbackUsed = true)
+        assemble(blocks, title, chars).copy(engine = "density_relaxed", fallbackUsed = true)
       else strict
     }
   }
 
-  private def assemble(blocks: Array[Block], title: String): HtmlResult = {
+  private def assemble(blocks: Array[Block], title: String,
+                       chars: CharSequence): HtmlResult = {
     // presize exactly: growth-doubling on the output builder was pure
     // garbage at ~2x the text size per document
     var cap = 0
@@ -315,7 +329,7 @@ object MainContentExtractor {
     var i = 0
     while (i < blocks.length) {
       val b = blocks(i)
-      if (b.isContent) { cap += b.text.length + 1; n += 1 }
+      if (b.isContent) { cap += b.length + 1; n += 1 }
       i += 1
     }
     val sb = new java.lang.StringBuilder(math.max(cap, 1))
@@ -328,7 +342,7 @@ object MainContentExtractor {
       if (b.isContent) {
         if (sb.length() > 0) sb.append('\n')
         val start = sb.length()
-        sb.append(b.text)
+        sb.append(chars, b.start, b.end)
         val kind = if (b.headingLevel > 0) "heading" else "block"
         spans(nContent) = Span(start, sb.length(), kind, b.score)
         scoreSum += b.score
