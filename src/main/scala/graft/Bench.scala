@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.GraftQueries.setSf(sfDir)
 
     // untimed: materialize the pages cache + warm the JIT on a 10k-doc
     // run (the byte tokenizer + density classifier need a few thousand

@@ -21,6 +21,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.GraftQueries.setSf(sfDir)
     graft.queries.GraftQueries.pagesPath(spark, sfDir) // untimed generate
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { r =>

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pin the oracle dump paths to this run's sf BEFORE any query runs
+    // (execution-order-independent; round-2 ADVICE #5)
+    graft.queries.GraftQueries.setSf(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -122,9 +122,20 @@ final class BlockBuilder extends HtmlHandler {
 
   /** Clear all per-document state, KEEPING buffer capacity — lets one
     * builder serve a whole partition (Spark runs one task per thread)
-    * instead of re-allocating buffers + growth arrays per document. */
+    * instead of re-allocating buffers + growth arrays per document.
+    *
+    * Capacity is CLAMPED, not kept unconditionally: one pathological
+    * document (a 100 MB page) would otherwise grow this thread's char
+    * store + block buffer for the executor's lifetime — at 32 task
+    * threads that retains worst-doc x threads of heap forever. Normal
+    * pages sit far below the clamp, so the steady-state fast path still
+    * never reallocates. */
   def reset(): Unit = {
-    blocks.clear()
+    if (blocks.length > BlockBuilder.MaxKeepBlocks)
+      blocks.clearAndShrink(32)
+    else blocks.clear()
+    BlockBuilder.clampScratch(buf, BlockBuilder.MaxKeepChars)
+    BlockBuilder.clampScratch(titleBuf, 1 << 14)
     buf.setLength(0)
     blockStart = 0
     words = 0; linkedWords = 0; pendingSpace = false; inWord = false
@@ -147,6 +158,21 @@ final class BlockBuilder extends HtmlHandler {
 }
 
 object BlockBuilder {
+  /** Per-thread scratch retention ceilings (chars / blocks). */
+  val MaxKeepChars: Int = 1 << 20
+  val MaxKeepBlocks: Int = 1 << 16
+
+  /** Shrink an over-grown scratch builder back below `cap` in place:
+    * setLength(cap) pins count, trimToSize() reallocates the backing
+    * array to count, setLength(0) empties it — no reference change, so
+    * ThreadLocal holders stay valid. */
+  private[graft] def clampScratch(sb: java.lang.StringBuilder, cap: Int): Unit =
+    if (sb.capacity() > cap) {
+      sb.setLength(cap)
+      sb.trimToSize()
+      sb.setLength(0)
+    }
+
   /** Shared compiled pattern — String.replaceAll would recompile it per
     * document (one title collapse per doc on the extraction hot path). */
   private[html] val wsRun = java.util.regex.Pattern.compile("[\\s ]+")
@@ -280,6 +306,9 @@ object MainContentExtractor {
   def extractBytes(html: Array[Byte]): HtmlResult = {
     val (builder, textBuf) = scratch.get()
     builder.reset()
+    // same clamp as reset(): one pathological document must not grow
+    // this thread's tokenizer text buffer for the executor's lifetime
+    BlockBuilder.clampScratch(textBuf, BlockBuilder.MaxKeepChars)
     ByteHtmlTokenizer.tokenize(html, builder, textBuf)
     cascade(builder)
   }

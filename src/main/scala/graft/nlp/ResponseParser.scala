@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   *  - if TYPE is missing and the whole response is a single line, that
   *    line is the raw type (the bare-answer fallback)
   *  - CONFIDENCE must be high/medium/low, anything else → "medium"
-  *  - metadata values equal to NOT_FOUND (case-insensitive) → null
+  *  - metadata: NOT_FOUND (case-insensitive) lines never assign, so the
+  *    last non-sentinel duplicate wins; no surviving line → null
   *  - garbage anywhere never throws: unparseable responses yield
   *    doc_type/category "unknown" + null fields
   */
@@ -49,7 +50,9 @@ object ResponseParser {
     "court_filing" -> "legal_filing",
     "passport" -> "id_document",
     "drivers_license" -> "id_document",
-    "national_id" -> "id_document")
+    "national_id" -> "id_document",
+    "email" -> "correspondence",
+    "email_printout" -> "correspondence")
 
   val categoryMapping: Seq[(String, String)] = Seq(
     "financial" -> "financial",
@@ -108,11 +111,16 @@ object ResponseParser {
     when(raw.isin("high", "medium", "low"), raw).otherwise("medium")
   }
 
-  /** A metadata field: null when the line is absent/empty or the value
-    * is the NOT_FOUND sentinel. */
+  /** A metadata field, with the reference's exact assignment semantics
+    * (_parse_metadata, detector.py:262-283: assignment is SKIPPED for a
+    * NOT_FOUND value, so an earlier real value survives a later
+    * NOT_FOUND duplicate; an empty value IS assigned): the last
+    * matching line whose value isn't the NOT_FOUND sentinel wins —
+    * present-but-empty yields '', no surviving line yields null. */
   def metadataField(resp: Column, key: String): Column = {
-    val v = lineValue(resp, key)
-    when(v === "" || upper(v) === "NOT_FOUND", lit(null)).otherwise(v)
+    val vals = regexp_extract_all(resp, lit(lineRegex(key)), lit(1))
+    val kept = filter(vals, v => upper(trim(v)) =!= "NOT_FOUND")
+    trim(try_element_at(kept, lit(-1)))
   }
 
   // ---- quality-assessment parse (detector.py:317-373) ------------------
@@ -196,10 +204,10 @@ object ResponseParser {
     s"(CASE WHEN $raw IN ('high','medium','low') THEN $raw ELSE 'medium' END)"
   }
 
-  def sqlMetadataField(respExpr: String, key: String): String = {
-    val v = sqlLine(respExpr, key)
-    s"(CASE WHEN $v = '' OR upper($v) = 'NOT_FOUND' THEN NULL ELSE $v END)"
-  }
+  // mirrors metadataField: last non-NOT_FOUND match; '' kept, none → NULL
+  def sqlMetadataField(respExpr: String, key: String): String =
+    s"trim(list_extract(list_filter(regexp_extract_all($respExpr, " +
+      s"'(?m)^\\s*$key:([^\\r\\n]*)', 1), x -> upper(trim(x)) <> 'NOT_FOUND'), -1))"
 
   def sqlQualityDim(respExpr: String, key: String): String = {
     val raw = s"lower(${sqlLine(respExpr, key)})"

@@ -208,10 +208,17 @@ object Dedup {
     val a = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")).repartition(parallelism)
     val b = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+    val joined = a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / (size(col("a_sh")) + size(col("b_sh")) - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // release the cached shingle blocks once the result is materialized
+    // — repeated invocations in one session (BenchOne reps) would
+    // otherwise accumulate storage-memory blocks per call. blocking =
+    // false: the result is already computed; eviction can lag.
+    joined.localCheckpoint(eager = true)
+    sh.unpersist(blocking = false)
+    joined
   }
 
   // ---- SimHash ---------------------------------------------------------

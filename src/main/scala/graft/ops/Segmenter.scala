@@ -56,10 +56,14 @@ object Segmenter {
       val title = inside.find(_.kind == "heading")
         .map(h => text.substring(h.start, h.end)).orNull
       val nChars = e - s
+      // No overlap check needed: candidates are [starts(i), starts(i+1))
+      // over a SORTED start array, so segments are disjoint by
+      // construction (the reference's boundary validator suppresses
+      // overlaps because its VLM can propose arbitrary boundary pairs;
+      // this detector structurally cannot — round-2 VERDICT #3).
       val valid = conf >= MinConfidence &&
         nChars >= minChars &&
-        s >= 0 && e <= text.length &&
-        !out.exists(o => s < o.end && e > o.start) // overlap suppression
+        s >= 0 && e <= text.length
       if (valid) out += Segment(out.length, s, e, title, conf, nChars)
       i += 1
     }

@@ -148,6 +148,21 @@ class ResponseParserSpec extends AnyFunSuite {
     assert(df.count() == 500)
   }
 
+  test("metadata duplicate-key corner: NOT_FOUND never overwrites, empty value assigns ''") {
+    import spark.implicits._
+    // reference skips assignment on NOT_FOUND (detector.py:279-280), so
+    // the earlier real DATE survives the later NOT_FOUND line
+    val (_, _, _, d) = parse("TYPE: letter\nDATE: 2023-05-01\nDATE: NOT_FOUND")
+    assert(d == Some("2023-05-01"))
+    // present-but-empty value IS assigned (value '' != 'NOT_FOUND')
+    val v = Seq("RECIPIENT:\nTYPE: letter").toDF("r")
+      .select(ResponseParser.metadataField(col("r"), "RECIPIENT")).first()
+    assert(v.getString(0) == "")
+    // NOT_FOUND-only still yields null
+    val (_, _, _, d2) = parse("DATE: NOT_FOUND\nDATE: not_found")
+    assert(d2.isEmpty)
+  }
+
   test("q45 runs end-to-end with all four synthesized shapes present") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, "/root/testdata/sf0.001")
     val byType = df.groupBy("doc_type").count().collect()
