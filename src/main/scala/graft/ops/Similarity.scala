@@ -279,6 +279,151 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- candidate/verify split (oracle-checkable ANN) -------------------
+  //
+  // The blocking stages (SRP codes, IVF cells) aren't SQL-expressible,
+  // but everything AFTER candidate generation is: dump the distinct
+  // candidate id-pairs to parquet and both Spark and DuckDB re-derive
+  // cosine + rank/threshold over (dump ⋈ embeddings). This turns the
+  // whole ANN family from rows-only claims into value-checked queries
+  // (the q20/q22 pattern, round-2 VERDICT next-round #2).
+
+  /** Distinct (query_id, neighbor_id) candidates of the SRP index —
+    * same blocking as [[srpTopK]], stopping before the cosine/rank. */
+  def srpCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    bits: Int = SrpBits, probeRadius: Int = 1, tables: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = Array.tabulate(tables)(t => hyperplanes(dim, bits, t))
+    val bp = spark.sparkContext.broadcast(planes)
+    val codedCorpus = corpus
+      .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val pls = bp.value
+        it.flatMap { case (id, v) =>
+          pls.indices.iterator.map(t => (id, t, srpCode(v, pls(t))))
+        }
+      }
+      .toDF("neighbor_id", "table", "code")
+    val codedQueries = queries
+      .select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val pls = bp.value
+        it.flatMap { case (id, v) =>
+          pls.indices.iterator.flatMap { t =>
+            probeCodes(srpCode(v, pls(t)), bits, probeRadius).map(pc => (id, t, pc))
+          }
+        }
+      }
+      .toDF("query_id", "table", "code")
+    codedCorpus.join(broadcast(codedQueries), Seq("table", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Distinct (query_id, neighbor_id) candidates of the IVF index —
+    * same soft-assigned cells + probing as [[ivfTopK]]. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    nCells: Int = 32, nprobe: Int = 8, assign: Int = 2,
+                    sampleSize: Int = 2000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val centroids = kmeansCentroids(sample, nCells)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val codedCorpus = corpus
+      .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          nearestCentroids(v, cs, assign).iterator.map(cell => (id, cell))
+        }
+      }
+      .toDF("neighbor_id", "cell")
+    val codedQueries = queries
+      .select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          nearestCentroids(v, cs, nprobe).iterator.map(cell => (id, cell))
+        }
+      }
+      .toDF("query_id", "cell")
+    codedCorpus.join(broadcast(codedQueries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Distinct (a_id, b_id) near-dup candidates — [[cosineNearDups]]'s
+    * SRP blocking, stopping before the cosine verify. */
+  def nearDupCandidates(corpus: DataFrame,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        bits: Int = SrpBits, probeRadius: Int = 1, tables: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = Array.tabulate(tables)(t => hyperplanes(dim, bits, t))
+    val bp = spark.sparkContext.broadcast(planes)
+    val coded = corpus
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        val pls = bp.value
+        it.flatMap { case (id, v) =>
+          pls.indices.iterator.flatMap { t =>
+            val c = srpCode(v, pls(t))
+            Iterator.single((id, t, c, true)) ++
+              probeCodes(c, bits, probeRadius).drop(1).map(pc => (id, t, pc, false))
+          }
+        }
+      }
+      .toDF("id", "table", "code", "home")
+    val a = coded.filter(col("home"))
+      .select(col("table"), col("code"), col("id").as("a_id"))
+    val b = coded.select(col("table"), col("code"), col("id").as("b_id"))
+    a.join(b, Seq("table", "code"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Exact cosine top-k WITHIN a candidate set: join the vectors back
+    * by id, score, rank. Deterministic ties (cosine desc, id asc). */
+  def rankWithin(cands: DataFrame, vectors: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = vectors.select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+    val n = vectors.select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = cands
+      .join(n, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact cosine + threshold over candidate pairs (the near-dup
+    * verify stage, re-derivable from the pair dump). */
+  def verifyPairs(cands: DataFrame, vectors: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).cast("string").as("a_id"), col(vecCol).as("a_vec"))
+    val b = vectors.select(col(idCol).cast("string").as("b_id"), col(vecCol).as("b_vec"))
+    cands.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the 5th dedup mode): SRP
     * blocking, exact cosine verify, threshold filter. */
   def cosineNearDups(corpus: DataFrame, threshold: Double,

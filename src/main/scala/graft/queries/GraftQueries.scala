@@ -105,6 +105,120 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** LSH candidate-pair dump: the (a_id, b_id) output of MinHash
+    * banding + bucket join over the documents table, materialized so
+    * (a) q20/q22 verify stages scan it instead of re-banding, and
+    * (b) the DuckDB oracle can re-derive the exact n-gram jaccard +
+    * threshold over (dump ⋈ documents) — which turns the whole LSH
+    * verify path into a value-checked query instead of a rows-only
+    * claim (round-2 VERDICT next-round #2). Candidate GENERATION stays
+    * un-oracled by nature (banding isn't SQL), but every emitted pair's
+    * jaccard value and the threshold filter are now independently
+    * recomputed by DuckDB. */
+  def candsDumpPath(rows: Int): String =
+    s"/tmp/graft_cands_cache/mh${Dedup.NumHashes}b${Dedup.Bands}sh2-rows$rows"
+
+  def candsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = candsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(
+          Dedup.candidatePairs(
+            Dedup.minhashBands(t(spark, sfDir, "documents"), "doc_id", "text", 2)),
+          path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** DuckDB mirror of [[Dedup.jaccardVerify]] over the candidate dump:
+    * same tokenization (lowercase, split on \s+, drop empties), same
+    * <n-token fallback (the whole token string as a single shingle),
+    * same distinct-shingle jaccard and threshold. Hashed vs string
+    * shingles agree exactly unless 64-bit shingle hashes collide. */
+  private def jaccardVerifyOracle(shingleN: Int, threshold: Double,
+                                  candsPath: String = null,
+                                  docsRel: String = "documents"): String = {
+    val cands = if (candsPath == null) candsDumpPath(oracleRows) else candsPath
+    val terms = (0 until shingleN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM $docsRel),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= $shingleN THEN
+       |      list_distinct(list_transform(
+       |        generate_series(1, len(toks) - ${shingleN - 1}), i -> $terms))
+       |    ELSE [array_to_string(toks, ' ')] END AS sh
+       |  FROM toks)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+       |  FROM read_parquet('$cands/*.parquet') c
+       |  JOIN sh a ON CAST(a.doc_id AS VARCHAR) = c.a_id
+       |  JOIN sh b ON CAST(b.doc_id AS VARCHAR) = c.b_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** ANN candidate dumps (the q20/q22 pattern for the embedding side):
+    * the non-SQL blocking stage (SRP codes / IVF cells) materializes its
+    * distinct candidate id-pairs once; Spark AND DuckDB then re-derive
+    * cosine + rank/threshold from (dump ⋈ embeddings). */
+  def annDumpPath(tag: String, rows: Int): String =
+    s"/tmp/graft_ann_cache/$tag-rows$rows"
+
+  private def annCandsCached(spark: SparkSession, sfDir: String, tag: String)
+                            (build: => DataFrame): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = annDumpPath(tag, rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) atomicDump(build, path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** DuckDB mirror of [[Similarity.rankWithin]] over an ANN candidate
+    * dump: exact cosine (list_cosine_similarity on DOUBLE[] is bitwise-
+    * equal to the codegen'd CosineSimilarity expression — proven by the
+    * q17/q23 oracles), same deterministic tie-break, same k. */
+  private def annTopKOracle(tag: String, k: Int): String =
+    s"""SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cosine,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) DESC,
+       |               c.neighbor_id ASC) AS rank
+       |  FROM read_parquet('${annDumpPath(tag, oracleRows)}/*.parquet') c
+       |  JOIN embeddings q ON CAST(q.vec_id AS VARCHAR) = c.query_id
+       |  JOIN embeddings n ON CAST(n.vec_id AS VARCHAR) = c.neighbor_id)
+       |WHERE rank <= $k""".stripMargin
+
+  def formsDumpPath(rows: Int): String =
+    s"/tmp/graft_forms_cache/g${graft.gen.PageGen.GenVersion}-${graft.forms.FormDetector.Version}-rows$rows"
+
+  /** Detect-once, read-many for the form pipeline — the same pattern as
+    * [[extractedCached]]: q31 and q43 each ran the byte tokenizer over
+    * the whole raw corpus independently (round-2 VERDICT #2); now form
+    * detection materializes once per (GenVersion, FormsVersion, rows)
+    * and both scan the ~100x smaller detection table. */
+  def formsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = formsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+        atomicDump(
+          graft.forms.FormDetector.detectTable(
+            ExtractJob.readPages(spark, pagesPath(spark, sfDir))),
+          path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   // =====================================================================
   // Relational operator inventory (oracle-backed)
   // =====================================================================
@@ -367,20 +481,22 @@ object GraftQueries {
           sum(length(col("extracted_text")).cast("long")).as("total_chars"))
     }),
 
-    // dedup #2: MinHash + LSH near-duplicate pairs
+    // dedup #2: MinHash + LSH near-duplicate pairs; candidates come
+    // from the materialized dump so DuckDB can re-verify every pair's
+    // bigram jaccard + the 0.8 threshold over (dump ⋈ documents)
     "q20_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashDedup(t(s, d, "documents"), threshold = 0.8)),
+      Dedup.jaccardVerify(candsCached(s, d), t(s, d, "documents"),
+        "doc_id", "text", shingleN = 2, threshold = 0.8)),
 
     // dedup #3: SimHash near-duplicate pairs
     "q21_simhash_pairs" -> ((s, d) =>
       Dedup.simhashDedup(t(s, d, "documents"), maxHamming = 6)),
 
-    // dedup #4: n-gram (trigram) Jaccard verify over LSH candidates
-    "q22_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val cands = Dedup.candidatePairs(Dedup.minhashBands(docs, "doc_id", "text", 2))
-      Dedup.jaccardVerify(cands, docs, "doc_id", "text", shingleN = 3, threshold = 0.7)
-    }),
+    // dedup #4: n-gram (trigram) Jaccard verify over LSH candidates —
+    // same candidate dump as q20, trigram shingles, oracle-backed
+    "q22_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardVerify(candsCached(s, d), t(s, d, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.7)),
 
     // similarity search: brute-force cosine top-k (baseline; ranked on
     // exact cosine, rounded for output — DuckDB oracle mirrors both)
@@ -391,25 +507,36 @@ object GraftQueries {
           round(col("cosine"), 6).as("cosine"), col("rank"))
     }),
 
-    // similarity search: SRP-LSH bucketed top-k (scale path)
+    // similarity search: SRP-LSH bucketed top-k (scale path). The SRP
+    // candidate set dumps to parquet; rank is re-derived from
+    // (dump ⋈ embeddings) so DuckDB can verify the whole post-blocking
+    // stage value-for-value.
     "q24_ann_srp" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.srpTopK(e, e.filter(col("vec_id") < 10), k = 5,
-        bits = 8, probeRadius = 2)
+      val cands = annCandsCached(s, d, "srp-b8r2t4")(
+        Similarity.srpCandidates(e, e.filter(col("vec_id") < 10),
+          bits = 8, probeRadius = 2))
+      Similarity.rankWithin(cands, e, k = 5)
     }),
 
     // similarity search: IVF top-k (coarse k-means quantizer, soft
-    // assignment, nprobe probing)
+    // assignment, nprobe probing) — candidate dump + re-rank like q24
     "q35_ann_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
-        nCells = 32, nprobe = 8, assign = 2)
+      val cands = annCandsCached(s, d, "ivf-c32p8a2")(
+        Similarity.ivfCandidates(e, e.filter(col("vec_id") < 10),
+          nCells = 32, nprobe = 8, assign = 2))
+      Similarity.rankWithin(cands, e, k = 5)
     }),
 
-    // dedup #5: embedding-cosine near-dup pairs via SRP blocking
-    "q25_cosine_neardup" -> ((s, d) =>
-      Similarity.cosineNearDups(t(s, d, "embeddings"), threshold = 0.35,
-        bits = 8, probeRadius = 2)),
+    // dedup #5: embedding-cosine near-dup pairs via SRP blocking —
+    // candidate pair dump + cosine/threshold re-derived over it
+    "q25_cosine_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cands = annCandsCached(s, d, "ndp-b8r2t4")(
+        Similarity.nearDupCandidates(e, bits = 8, probeRadius = 2))
+      Similarity.verifyPairs(cands, e, threshold = 0.35)
+    }),
 
     // text analysis: language identification over extracted pages
     "q26_lang_id" -> ((s, d) => {
@@ -451,10 +578,13 @@ object GraftQueries {
     }),
 
     // signature-pair comparison (J5 as a first-class query): same-signer
-    // forms compared by signature-card trigram similarity, match > 0.75
+    // forms compared by signature-card trigram similarity, match > 0.75.
+    // Signed forms come from the SAME materialized detection table as
+    // q31 — one tokenizer pass for the whole form stage.
     "q43_signature_pairs" -> ((s, d) => {
-      val forms = graft.forms.SignatureCompare.signedForms(
-        ExtractJob.readPages(s, pagesPath(s, d)))
+      val forms = formsCached(s, d)
+        .filter(col("signer").isNotNull)
+        .select("url", "signer", "card")
       graft.forms.SignatureCompare.pairs(forms)
     }),
 
@@ -583,19 +713,13 @@ object GraftQueries {
           round(avg(col("sample_rate")), 2).as("avg_sample_rate"))
     }),
 
-    // form detection over raw pages (sibling pipeline to extraction)
+    // form detection over raw pages (sibling pipeline to extraction) —
+    // scans the materialized detection table, not the raw corpus
     "q31_form_detect" -> ((s, d) => {
-      import s.implicits._
-      ExtractJob.readPages(s, pagesPath(s, d))
-        .mapPartitions { it =>
-          it.map { p =>
-            val r = graft.forms.FormDetector.detectHtml(p.html)
-            (p.url, r.isForm, r.formType, r.nFields, r.nIndicators, r.nCheckboxes, r.nChecked)
-          }
-        }
-        .toDF("url", "is_form", "form_type", "n_fields", "n_indicators",
-          "n_checkboxes", "n_checked")
+      formsCached(s, d)
         .filter(col("is_form"))
+        .select("url", "is_form", "form_type", "n_fields", "n_indicators",
+          "n_checkboxes", "n_checked")
     }),
 
     // the integrated training-data flow: extract -> near-dup detection
@@ -610,7 +734,12 @@ object GraftQueries {
         .select(
           expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
           col("extracted_text").as("text"))
-      Dedup.minhashDedup(pages, threshold = 0.6)
+      // candidate dump keyed by the extraction inputs so DuckDB can
+      // re-derive the jaccard verify over (dump ⋈ extraction dump)
+      val cands = annCandsCached(s, d,
+        s"pagemh-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}")(
+        Dedup.candidatePairs(Dedup.minhashBands(pages, "doc_id", "text", 2)))
+      Dedup.jaccardVerify(cands, pages, "doc_id", "text", shingleN = 2, threshold = 0.6)
     })
   )
 
@@ -777,6 +906,34 @@ object GraftQueries {
          |  CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars
          |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
          |GROUP BY 1""".stripMargin,
+
+    // top-k within the dumped candidate set — the blocking stage is the
+    // only part DuckDB can't re-derive; cosine + ranking it can
+    "q24_ann_srp" -> annTopKOracle("srp-b8r2t4", k = 5),
+
+    "q35_ann_ivf" -> annTopKOracle("ivf-c32p8a2", k = 5),
+
+    "q25_cosine_neardup" ->
+      s"""SELECT a_id, b_id, cosine FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+         |  FROM read_parquet('${annDumpPath("ndp-b8r2t4", oracleRows)}/*.parquet') c
+         |  JOIN embeddings a ON CAST(a.vec_id AS VARCHAR) = c.a_id
+         |  JOIN embeddings b ON CAST(b.vec_id AS VARCHAR) = c.b_id)
+         |WHERE cosine >= 0.35""".stripMargin,
+
+    "q20_minhash_pairs" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.8),
+
+    "q22_ngram_jaccard" -> jaccardVerifyOracle(shingleN = 3, threshold = 0.7),
+
+    "q32_page_neardups" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.6,
+      candsPath = annDumpPath(
+        s"pagemh-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}",
+        oracleRows),
+      docsRel = s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+                   |        extracted_text AS text
+                   |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+                   |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
 
     "q36_jaccard_brute" ->
       """WITH sh AS (
