@@ -221,6 +221,75 @@ object Dedup {
     joined
   }
 
+  // ---- dedup clustering (keep-one-per-cluster) --------------------------
+
+  /** Connected components over an undirected near-dup pair list —
+    * the step AFTER [[minhashDedup]] that a training-data pipeline
+    * needs to actually drop duplicates: pairs → clusters → one
+    * canonical doc per cluster.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round every node takes the min label over itself + its
+    * neighbors (one equi-join + groupBy), then labels compress through
+    * their parents (label := label(label), a second equi-join) — the
+    * jumping squares path lengths, so rounds are O(log diameter), not
+    * O(diameter). All distributed state is (id, label) rows and every
+    * shuffle is an equi-join or groupBy on id; no driver-side graph —
+    * the driver only runs the (logarithmic) loop and a cheap
+    * convergence probe. localCheckpoint truncates lineage per round
+    * (at real scale: checkpoint to reliable storage instead).
+    *
+    * Ids are compared as STRINGS (lexicographic min) because dedup ids
+    * ride as strings end-to-end (hex ids from Extract.docId must not
+    * null out in a long cast); the canonical member is the
+    * lexicographically-smallest id, and the DuckDB oracle mirrors that
+    * ordering exactly.
+    *
+    * Returns (id, label) for every id that appears in `pairs`; callers
+    * left-join and coalesce to self for singletons. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val half = pairs.select(col(aCol).cast("string").as("src"),
+      col(bCol).cast("string").as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      val nbr = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+      val prop = labels.union(nbr).groupBy("id").agg(min(col("label")).as("label"))
+      val parents = prop.select(col("id").as("p_id"), col("label").as("p_label"))
+      val jumped = prop.join(parents, prop("label") === parents("p_id"))
+        .select(prop("id"), least(prop("label"), col("p_label")).as("label"))
+      val next = jumped.localCheckpoint(true)
+      // convergence probe: any label still moving? (limit(1) short-circuits)
+      done = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Per-document cluster assignment: every doc gets a cluster_id (its
+    * component's smallest member id; itself when unpaired) and an
+    * is_canonical flag — the keep-one-per-cluster selector. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id").withColumnRenamed("label", "comp")
+    docs.select(col(idCol).cast("string").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash over word shingles. */

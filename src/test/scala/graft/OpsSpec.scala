@@ -160,6 +160,51 @@ class OpsSpec extends AnyFunSuite {
     assert(hit >= (planted.size * 0.9).toInt, s"missed too many: $hit/${planted.size}")
   }
 
+  test("connected components: chains, cliques, cycles, singletons, canonical selection") {
+    import spark.implicits._
+    // chain a-b-c (diameter 2), clique d-e-f with the cycle edge, pair g-h;
+    // ids chosen so lexicographic min != insertion order
+    val pairs = Seq(
+      ("b", "a"), ("b", "c"),             // chain, min label arrives via b
+      ("d", "e"), ("e", "f"), ("f", "d"), // cycle
+      ("h", "g")).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d",
+      "g" -> "g", "h" -> "g"))
+    // keep-one-per-cluster over a docs table with a singleton "z"
+    val docsT = Seq("a", "b", "c", "d", "e", "f", "g", "h", "z").toDF("doc_id")
+    val clusters = Dedup.dedupClusters(docsT, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(clusters.count(_._3) == 4) // a, d, g, z canonical
+    assert(clusters.toSet.contains(("z", "z", true)))
+    assert(clusters.toSet.contains(("c", "a", false)))
+  }
+
+  test("connected components converge on a long path (pointer jumping beats diameter)") {
+    import spark.implicits._
+    // a 40-node path: plain propagation needs 40 rounds; with pointer
+    // jumping maxIters=25 must still fully converge to the single min
+    val pairs = (1 until 40).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs).collect()
+    assert(labels.forall(_.getString(1) == "n01"), "path did not converge to the min label")
+  }
+
+  test("dedup clustering on the real near-dup pairs: every cluster keeps exactly one canonical") {
+    val pairs = Dedup.minhashDedup(docs, threshold = 0.8)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val perCluster = clusters.groupBy("cluster_id")
+      .agg(sum(when(col("is_canonical"), 1).otherwise(0)).as("n_canon"))
+    assert(perCluster.filter(col("n_canon") =!= 1).isEmpty,
+      "every cluster must have exactly one canonical doc")
+    // the planted mirrors must collapse: fewer clusters than docs
+    val nDocs = docs.count()
+    val nClusters = clusters.select("cluster_id").distinct().count()
+    assert(nClusters < nDocs)
+  }
+
   test("fingerprint is whitespace/case robust, content sensitive") {
     assert(TextStats.fingerprint("Hello  world") == TextStats.fingerprint("hello\nworld "))
     assert(TextStats.fingerprint("hello world") != TextStats.fingerprint("world hello"))
