@@ -36,15 +36,7 @@ object Extract {
     val kind = sniff(page.html)
     kind match {
       case "html" =>
-        val res = MainContentExtractor.extractBytes(page.html)
-        ExtractedDoc(
-          url = page.url, warc_ts = page.warc_ts,
-          extracted_text = res.text, spans = res.spans,
-          payload_kind = "html", page_count = 1,
-          n_blocks = res.nBlocks, n_content_blocks = res.nContentBlocks,
-          confidence = res.confidence, lang = page.lang,
-          engine = res.engine, fallback_used = res.fallbackUsed,
-          error = null, extraction_version = ExtractionVersion.current)
+        htmlDoc(page, MainContentExtractor.extractBytes(page.html))
       case "pdf" =>
         PdfParser.extract(page.html) match {
           case Right(r) =>
@@ -63,6 +55,38 @@ object Extract {
         }
       case _ =>
         quarantine(page, "unknown", "unsupported_payload")
+    }
+  }
+
+  private def htmlDoc(page: Page,
+                      res: MainContentExtractor.HtmlResult): ExtractedDoc =
+    ExtractedDoc(
+      url = page.url, warc_ts = page.warc_ts,
+      extracted_text = res.text, spans = res.spans,
+      payload_kind = "html", page_count = 1,
+      n_blocks = res.nBlocks, n_content_blocks = res.nContentBlocks,
+      confidence = res.confidence, lang = page.lang,
+      engine = res.engine, fallback_used = res.fallbackUsed,
+      error = null, extraction_version = ExtractionVersion.current)
+
+  /** Routed per-row extraction: EngineSelector picks the STARTING
+    * engine from document characteristics (the reference's
+    * characteristics-based ordering, selector.py:89-130 — here the
+    * most_accurate strategy with the payload-size quality hint), then
+    * the confidence cascade proceeds from that engine. PDF/unknown
+    * dispatch is payload-typed and unchanged. The default pipeline
+    * ([[apply]]) stays strict-first — routing is an explicit job option
+    * (ExtractJob strategy param / StreamingExtract), preserving the
+    * byte-identity contract of the default path. */
+  def applyRouted(page: Page): ExtractedDoc = {
+    val kind = sniff(page.html)
+    if (kind != "html") apply(page)
+    else {
+      val quality =
+        if (page.html.length < EngineSelector.PoorQualityBytes) "poor" else null
+      val (start, _) = EngineSelector.selectEngine(
+        EngineSelector.MostAccurate, lang = page.lang, qualityHint = quality)
+      htmlDoc(page, MainContentExtractor.extractBytesRouted(page.html, start))
     }
   }
 

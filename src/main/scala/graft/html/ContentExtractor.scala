@@ -313,6 +313,39 @@ object MainContentExtractor {
     cascade(builder)
   }
 
+  /** Cascade with a routed STARTING engine (EngineSelector output):
+    * "density" is the default strict-first cascade; "density_relaxed"
+    * runs the recall engine first (selector.py's characteristics-based
+    * ordering — e.g. complex-script lang or poor-quality hint) and
+    * falls back to strict only below the confidence threshold, keeping
+    * the higher-confidence result exactly like [[cascade]]. The relaxed
+    * classifier applied to FRESH blocks is the pure relaxed criteria
+    * (its isContent ||= starts from false), so relaxed-first is a real
+    * engine order change, not a re-labelled strict run. */
+  def extractBytesRouted(html: Array[Byte], startEngine: String): HtmlResult = {
+    if (startEngine != "density_relaxed") extractBytes(html)
+    else {
+      val (builder, textBuf) = scratch.get()
+      builder.reset()
+      BlockBuilder.clampScratch(textBuf, BlockBuilder.MaxKeepChars)
+      ByteHtmlTokenizer.tokenize(html, builder, textBuf)
+      val (blocks, title) = builder.result()
+      val chars = builder.chars
+      DensityClassifier.classifyRelaxed(blocks)
+      val relaxed = assemble(blocks, title, chars).copy(engine = "density_relaxed")
+      if (relaxed.confidence >= ConfidenceThreshold) relaxed
+      else {
+        // strict assigns isContent directly, so re-classification is a
+        // clean second engine pass over the same block array
+        DensityClassifier.classify(blocks)
+        val strict = assemble(blocks, title, chars)
+        if (strict.confidence > relaxed.confidence)
+          strict.copy(fallbackUsed = true)
+        else relaxed
+      }
+    }
+  }
+
   /** Confidence cascade (hybrid.py:123-161 semantics): run the strict
     * density classifier; below the threshold, also run the relaxed
     * fallback and keep the HIGHER-confidence result (strictly greater,

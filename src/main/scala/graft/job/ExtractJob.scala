@@ -54,6 +54,16 @@ object ExtractJob {
     pages.mapPartitions { it => it.map(Extract(_)) }
   }
 
+  /** Routed variant: the EngineSelector orders the cascade per document
+    * from its characteristics (lang / payload size / kind) instead of
+    * always starting strict — selector.py's characteristics-based
+    * routing as a job option. The default job keeps [[extractDS]]
+    * (strict-first) so the byte-identity goldens stay pinned. */
+  def extractRoutedDS(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it => it.map(Extract.applyRouted) }
+  }
+
 
   def run(
       spark: SparkSession,

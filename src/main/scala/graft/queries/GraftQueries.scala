@@ -756,6 +756,26 @@ object GraftQueries {
     // references the text table 3x (banding + two verify joins) and each
     // reference is now a parquet scan, not a re-extraction (round-1's
     // 84.8 s q32 ran full HTML extraction 3x; VERDICT fix #1).
+    // characteristics-based engine routing (selector.py:50-75 + :89-130):
+    // per-document starting-engine decision from (payload kind, payload
+    // size, lang), aggregated by (engine, reason); the oracle re-derives
+    // the same rule table in SQL over (pages parquet ⋈ extraction dump)
+    "q49_engine_routing" -> ((s, d) => {
+      import graft.core.EngineSelector
+      val pages = s.read.parquet(pagesPath(s, d))
+        .select(col("url"), col("lang"),
+          length(col("html")).cast("int").as("payload_bytes"))
+      val kinds = extractedCached(s, d).select(col("url"), col("payload_kind"))
+      pages.join(kinds, Seq("url"))
+        .select(
+          EngineSelector.routeEngineCol(
+            col("payload_kind"), col("payload_bytes"), col("lang")).as("engine"),
+          EngineSelector.routeReasonCol(
+            col("payload_kind"), col("payload_bytes"), col("lang")).as("reason"))
+        .groupBy("engine", "reason")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // S5 WARC ingestion as a value-checked roundtrip: pages subset →
     // .warc.gz (production writer) → production reader → aggregate;
     // oracle aggregates the same subset from the pages parquet
@@ -977,6 +997,17 @@ object GraftQueries {
     "q20_minhash_pairs" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.8),
 
     "q22_ngram_jaccard" -> jaccardVerifyOracle(shingleN = 3, threshold = 0.7),
+
+    "q49_engine_routing" -> {
+      import graft.core.EngineSelector
+      val e = EngineSelector.sqlRouteEngine("e.payload_kind", "octet_length(p.html)", "p.lang")
+      val r = EngineSelector.sqlRouteReason("e.payload_kind", "octet_length(p.html)", "p.lang")
+      s"""SELECT engine, reason, count(*) AS n FROM (
+         |  SELECT $e AS engine, $r AS reason
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet') p
+         |  JOIN read_parquet('${extractedDumpPath(oracleRows)}/*.parquet') e USING (url))
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q48_warc_roundtrip" ->
       s"""SELECT lang, count(*) AS n,

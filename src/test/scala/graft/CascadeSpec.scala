@@ -51,6 +51,65 @@ class CascadeSpec extends AnyFunSuite {
     assert(!strictOnly.text.contains("x y"))
   }
 
+  test("engine selector: strategy dispatch mirrors selector.py branches") {
+    import graft.core.EngineSelector._
+    // fastest / cost: the priority ladder (selector.py:149-155, :209-214)
+    assert(selectEngine(Fastest)._1 == "density")
+    assert(selectEngine(CostOptimized)._1 == "density")
+    // most_accurate: poor quality or hard doc types escalate (:169-171)
+    assert(selectEngine(MostAccurate, qualityHint = "poor") ==
+      (("density_relaxed", "quality:poor")))
+    assert(selectEngine(MostAccurate, documentType = "mixed_content")._1 == "density_relaxed")
+    // most_accurate: complex-script langs escalate (:173-175)
+    assert(selectEngine(MostAccurate, lang = "chi_sim") == (("density_relaxed", "lang:chi_sim")))
+    assert(selectEngine(MostAccurate, lang = "eng")._1 == "density")
+    // language_optimized honors the map, falls back when unmapped (:182-189)
+    assert(selectEngine(LanguageOptimized, lang = "jpn")._1 == "density_relaxed")
+    assert(selectEngine(LanguageOptimized, lang = "deu")._1 == "density")
+    assert(selectEngine(LanguageOptimized, lang = "xx")._2 == "lang:unmapped")
+    // document_type_optimized: map, then quality hint, then best (:191-206)
+    assert(selectEngine(DocTypeOptimized, documentType = "form")._1 == "density_relaxed")
+    assert(selectEngine(DocTypeOptimized, documentType = "standard_text")._1 == "density")
+    assert(selectEngine(DocTypeOptimized, qualityHint = "poor")._1 == "density_relaxed")
+    // availability gates every branch (is_available, :223-227)
+    assert(selectEngine(MostAccurate, lang = "chi_sim",
+      available = Set("density"))._1 == "density")
+  }
+
+  test("routed cascade: relaxed-first accepts what strict-first deferred to fallback") {
+    // the lone-short-paragraph page: strict-first needs the fallback;
+    // relaxed-first accepts directly (no fallback fired)
+    val html = "<html><body><p>short lone note with seven words</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val strictFirst = MainContentExtractor.extractBytes(html)
+    assert(strictFirst.engine == "density_relaxed" && strictFirst.fallbackUsed)
+    val relaxedFirst = MainContentExtractor.extractBytesRouted(html, "density_relaxed")
+    assert(relaxedFirst.text == "short lone note with seven words")
+    // same accepted text, but as the SELECTED engine, not a fallback
+    assert(relaxedFirst.engine == "density_relaxed")
+    // routing to "density" is byte-identical to the default path
+    val viaDefault = MainContentExtractor.extractBytesRouted(html, "density")
+    assert(viaDefault.text == strictFirst.text && viaDefault.engine == strictFirst.engine)
+  }
+
+  test("routed extraction end-to-end: complex-lang page starts relaxed, default path unchanged") {
+    import graft.core.{Extract, Page}
+    // > PoorQualityBytes so the size hint doesn't mask the lang branch
+    val para = ("word " * 60).trim
+    val html = s"<html><body><p>$para</p><p>$para</p><p>$para</p><p>$para</p></body></html>"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(html.length >= graft.core.EngineSelector.PoorQualityBytes)
+    val zh = Page("https://a/1", new java.sql.Timestamp(0), html, "", "chi_sim")
+    val en = Page("https://a/2", new java.sql.Timestamp(0), html, "", "eng")
+    val rZh = Extract.applyRouted(zh)
+    val rEn = Extract.applyRouted(en)
+    // high-confidence page: each starting engine early-exits as itself
+    assert(rZh.engine == "density_relaxed" && !rZh.fallback_used)
+    assert(rEn.engine == "density" && !rEn.fallback_used)
+    // eng routing == the unrouted default, byte for byte
+    assert(rEn.extracted_text == Extract(en).extracted_text)
+  }
+
   test("extraction carries engine/fallback columns end-to-end") {
     val g = (0L until 50L).map(PageGen.genRow(PageGen.DefaultSeed, _))
       .filter(_.kind == "html").head
