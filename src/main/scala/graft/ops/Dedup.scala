@@ -311,21 +311,31 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming.
-    * Blocking by the pigeonhole principle: split the 64-bit hash into
-    * (maxHamming+1) chunks; any pair within the distance must agree on
-    * at least one full chunk → equi-join per chunk, verify exactly.
-    * Same shuffle shape as MinHash banding (bounded fan-out). */
-  def simhashDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+  /** Per-document 64-bit SimHash codes (id, sim) — the non-SQL kernel
+    * stage, split out so the q21 dump can materialize it: DuckDB then
+    * re-derives ALL pairs within the hamming radius by brute force over
+    * the dump, and — because pigeonhole blocking is lossless — the
+    * blocked [[simhashPairs]] join must emit exactly that set, turning
+    * the oracle into a completeness proof of the blocking. */
+  def simhashCodes(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleN: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val hashes = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .as[(String, String)]
       .mapPartitions(_.map { case (id, t) => (id, simhash(shingleHashes(t, shingleN))) })
       .toDF("id", "sim")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, from
+    * precomputed codes. Blocking by the pigeonhole principle: split the
+    * 64-bit hash into (maxHamming+1) chunks; any pair within the
+    * distance must agree on at least one full chunk → equi-join per
+    * chunk, verify exactly. Same shuffle shape as MinHash banding
+    * (bounded fan-out). */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
     val banded = hashes.select(col("id"), col("sim"),
       explode(expr(s"transform(sequence(0, ${chunks - 1}), " +
         s"c -> named_struct('band', c, 'band_hash', (sim >> (c * $bitsPer)) & ${(1L << bitsPer) - 1}))")).as("bk"))
@@ -339,4 +349,9 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Codes + blocked pairs in one call (the original one-shot shape). */
+  def simhashDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 2, maxHamming: Int = 3): DataFrame =
+    simhashPairs(simhashCodes(docs, idCol, textCol, shingleN), maxHamming)
 }

@@ -176,6 +176,73 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd refinement over the FULL corpus — removes the
+    * sample-only-quantizer caveat: the driver-side k-means above only
+    * seeds; these rounds see every vector. Per round: map-side
+    * nearest-cell assignment under broadcast centroids, then
+    * reduceByKey over FIXED-POINT Long sums (each component scaled by
+    * 2^20). Long addition is associative and order-independent, so the
+    * refined centroids are bit-identical at any parallelism or
+    * partitioning — a Double sum would drift with combine order and
+    * break the IVF determinism contract. Driver traffic is k rows of
+    * (d Longs + count) per round, independent of corpus size; map-side
+    * combine keeps the shuffle at k×d per partition. Overflow headroom:
+    * unit vectors → |fixed| ≤ 2^20, so a cell absorbs 2^43 vectors
+    * before a 64-bit sum can wrap (10^12-row safe). */
+  def refineCentroids(vecs: org.apache.spark.sql.Dataset[Array[Float]],
+                      init: Array[Array[Double]], iters: Int = 2): Array[Array[Double]] = {
+    val Fixed = 1L << 20
+    val sc = vecs.sparkSession.sparkContext
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val bc = sc.broadcast(centroids)
+      val agg = vecs.rdd
+        .map { v =>
+          val cs = bc.value
+          val c = nearestCentroid(v, cs)
+          val s = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { s(i) = math.round(v(i).toDouble * Fixed); i += 1 }
+          (c, (s, 1L))
+        }
+        .reduceByKey { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
+          val s1 = a._1; val s2 = b._1
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (s1, a._2 + b._2)
+        }
+        .collect()
+      // empty cells keep their previous centroid (same rule as the
+      // driver-side Lloyd above)
+      val next = centroids.map(_.clone())
+      agg.foreach { case (c, (s, n)) =>
+        val t = next(c)
+        var i = 0
+        while (i < s.length && i < t.length) {
+          t(i) = s(i).toDouble / Fixed / n; i += 1
+        }
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** The IVF coarse quantizer: seed with driver-side Lloyd on a
+    * deterministic ordered sample (limit() alone would depend on
+    * partition layout, changing centroids across core counts), then
+    * refine over the FULL corpus with [[refineCentroids]]. */
+  def quantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, sampleSize: Int): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val seeds = kmeansCentroids(sample, nCells)
+    refineCentroids(corpus.select(col(vecCol)).as[Array[Float]], seeds)
+  }
+
   @inline private def sqDist(v: Array[Float], ce: Array[Double]): Double = {
     var d = 0.0
     var i = 0
@@ -237,11 +304,7 @@ object Similarity {
               sampleSize: Int = 2000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // deterministic sample: ordered take (limit() alone would depend on
-    // partition layout, changing centroids across core counts)
-    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = kmeansCentroids(sample, nCells)
+    val centroids = quantizer(corpus, idCol, vecCol, nCells, sampleSize)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val codedCorpus = corpus
@@ -334,9 +397,7 @@ object Similarity {
                     sampleSize: Int = 2000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](1).toArray)
-    val centroids = kmeansCentroids(sample, nCells)
+    val centroids = quantizer(corpus, idCol, vecCol, nCells, sampleSize)
     val bc = spark.sparkContext.broadcast(centroids)
     val codedCorpus = corpus
       .select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))

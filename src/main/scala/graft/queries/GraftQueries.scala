@@ -190,6 +190,26 @@ object GraftQueries {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** SimHash code dump (the q20/q22 pattern for q21): the UDF kernel
+    * stage (id, sim) materializes once; Spark derives pairs via the
+    * pigeonhole-blocked join while DuckDB brute-forces ALL pairs within
+    * the radius from the same dump — blocking is lossless, so the two
+    * sets must match exactly (a completeness proof, not just a value
+    * check). Keyed by rows + shingle width only: documents.parquet is
+    * driver-provided static testdata. */
+  def simhashDumpPath(rows: Int): String =
+    s"/tmp/graft_cands_cache/simhash-sh2-rows$rows"
+
+  def simhashCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = simhashDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(Dedup.simhashCodes(t(spark, sfDir, "documents"), "doc_id", "text", 2), path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** ANN candidate dumps (the q20/q22 pattern for the embedding side):
     * the non-SQL blocking stage (SRP codes / IVF cells) materializes its
     * distinct candidate id-pairs once; Spark AND DuckDB then re-derive
@@ -395,6 +415,20 @@ object GraftQueries {
       docs.select((col("doc_id") +: cols :+ TextStats.qualityScore(col("text")).as("quality")): _*)
     }),
 
+    // training-data quality GATE: keep the top quartile by composite
+    // score. The threshold comes from a distributed percentile
+    // AGGREGATE broadcast back as a scalar — not percent_rank over a
+    // global ORDER BY, which would funnel 100 TB through one window
+    // partition; this shape is two shuffle-light passes at any scale.
+    "q50_quality_gate" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+      val thr = scored.agg(expr("percentile(quality, 0.75)").as("q75"))
+      scored.join(broadcast(thr))
+        .filter(col("quality") >= col("q75"))
+        .select(col("doc_id"), col("quality"), round(col("q75"), 6).as("q75"))
+    }),
+
     // W3 + lag: event ordering per user
     "q15_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -518,7 +552,7 @@ object GraftQueries {
 
     // dedup #3: SimHash near-duplicate pairs
     "q21_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashDedup(t(s, d, "documents"), maxHamming = 6)),
+      Dedup.simhashPairs(simhashCached(s, d), maxHamming = 6)),
 
     // dedup #4: n-gram (trigram) Jaccard verify over LSH candidates —
     // same candidate dump as q20, trigram shingles, oracle-backed
@@ -919,6 +953,19 @@ object GraftQueries {
         |    * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) * 5), 6) AS quality
         |FROM documents""".stripMargin,
 
+    // Spark percentile ≡ DuckDB quantile_cont (bitwise; proven by q33)
+    "q50_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    round(least(length(text) / 500.0, 1.0)
+        |      * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) * 5)
+        |      * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) * 5), 6) AS quality
+        |  FROM documents),
+        |thr AS (SELECT quantile_cont(quality, 0.75) AS q75 FROM scored)
+        |SELECT s.doc_id, s.quality, round(t.q75, 6) AS q75
+        |FROM scored s, thr t
+        |WHERE s.quality >= t.q75""".stripMargin,
+
     "q15_window_lag" ->
       """SELECT user_id, event_id,
         |  row_number() OVER w AS rn,
@@ -1051,6 +1098,17 @@ object GraftQueries {
                    |        extracted_text AS text
                    |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
                    |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // brute-force over the code dump: pigeonhole blocking is lossless,
+    // so the Spark blocked join must emit exactly this set (completeness
+    // proof of the blocking, plus a value check on the hamming kernel)
+    "q21_simhash_pairs" ->
+      s"""SELECT a.id AS a_id, b.id AS b_id,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+         |FROM read_parquet('${simhashDumpPath(oracleRows)}/*.parquet') a
+         |JOIN read_parquet('${simhashDumpPath(oracleRows)}/*.parquet') b
+         |  ON a.id < b.id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 6""".stripMargin,
 
     "q36_jaccard_brute" ->
       """WITH sh AS (

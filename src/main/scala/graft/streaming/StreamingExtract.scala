@@ -90,4 +90,19 @@ object StreamingExtract {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("window_start"), col("host"), col("n_docs"))
   }
+
+  /** Streaming exact dedup: keep one arrival per content hash, dropping
+    * re-crawls/mirrors across micro-batches — the streaming form of the
+    * batch exact dedup (q12's md5 groupBy). State is bounded by the
+    * watermark: dropDuplicatesWithinWatermark evicts a hash once the
+    * event-time watermark passes it, so the state store holds only the
+    * in-window tail — plain dropDuplicates state grows with every
+    * distinct document ever seen and would OOM a 10^12-row stream.
+    * The trade is explicit: a re-crawl arriving later than
+    * `watermarkDelay` after the original is re-emitted (downstream
+    * batch dedup remains the safety net, same layering as resume). */
+  def dedupStream(pages: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    pages.withColumn("content_hash", md5(col("html")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

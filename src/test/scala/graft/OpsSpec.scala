@@ -101,6 +101,26 @@ class OpsSpec extends AnyFunSuite {
         .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet))
   }
 
+  test("distributed centroid refinement is bit-identical across partitionings") {
+    import spark.implicits._
+    val sample = Array.tabulate(200)(i => Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat))
+    val seeds = Similarity.kmeansCentroids(sample, 4, iters = 1)
+    // fixed-point Long sums are order-independent: 1 partition vs 7
+    // partitions (different combine trees) must agree exactly
+    val one = Similarity.refineCentroids(
+      spark.createDataset(sample.toSeq).repartition(1), seeds, iters = 3)
+    val many = Similarity.refineCentroids(
+      spark.createDataset(sample.toSeq).repartition(7), seeds, iters = 3)
+    assert(one.zip(many).forall { case (x, y) => x.sameElements(y) },
+      "refined centroids drift with partitioning")
+    // stronger: on integer-component vectors the fixed-point sums are
+    // exact, so seed(1 iter) + 3 distributed rounds must equal the
+    // driver-side Lloyd run for 4 iterations bit-for-bit
+    val oracle = Similarity.kmeansCentroids(sample, 4, iters = 4)
+    assert(one.zip(oracle).forall { case (x, y) => x.sameElements(y) },
+      "distributed refine diverges from driver-side Lloyd")
+  }
+
   test("kmeans centroids are deterministic and partition the sample") {
     val sample = Array.tabulate(200)(i => Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat))
     val a = Similarity.kmeansCentroids(sample, 4)

@@ -112,4 +112,41 @@ class StreamingSpec extends AnyFunSuite {
       .filter(got("n_docs") =!= expected("n_docs"))
     assert(joined.isEmpty, "streaming window counts diverge from batch")
   }
+
+  test("streaming dedup == batch exact dedup (one survivor per content hash)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 400, s"$dir/pages", partitions = 4)
+    // plant re-crawls: same payload bytes under a new url, slightly
+    // later event time (mirror pages in the generator vary their bytes
+    // per host, so byte-level duplicates must be planted explicitly)
+    spark.read.parquet(s"$dir/pages").orderBy("url").limit(30)
+      .withColumn("url", concat(col("url"), lit("?recrawl=1")))
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 1 MINUTE"))
+      .select("url", "warc_ts", "html", "text", "lang")
+      .coalesce(1).write.mode("append").parquet(s"$dir/pages")
+    val stream = spark.readStream.schema(StreamingExtract.pageSchema)
+      .option("maxFilesPerTrigger", 1) // duplicates split across micro-batches
+      .parquet(s"$dir/pages")
+    // delay far beyond the generated ts range: nothing evicts, so the
+    // result must be EXACTLY one survivor per hash (deterministic)
+    val q = StreamingExtract.dedupStream(stream, watermarkDelay = "365 days")
+      .select(col("url"), col("content_hash"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out")
+    val batchHashes = spark.read.parquet(s"$dir/pages")
+      .select(md5(col("html")).as("content_hash")).distinct()
+    assert(got.count() == batchHashes.count(), "one survivor per distinct hash")
+    assert(got.select("content_hash").distinct().count() == got.count(),
+      "no hash emitted twice")
+    assert(got.select("content_hash").exceptAll(batchHashes).isEmpty &&
+      batchHashes.exceptAll(got.select("content_hash")).isEmpty,
+      "survivor hash set == batch distinct hash set")
+    // and the generator really planted duplicates (the test isn't vacuous)
+    assert(spark.read.parquet(s"$dir/pages").count() > batchHashes.count())
+  }
 }
