@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-balancing operators for training-data pipelines: per-domain
+  * quotas and deterministic splits. (No reference analog — the
+  * reference processes one document at a time; these are corpus-level
+  * operations a 100 TB training-data pipeline needs.)
+  */
+object Balance {
+
+  /** Exact top-k per group, skew-safe: a single `row_number() OVER
+    * (PARTITION BY group)` window funnels each group through one task,
+    * and web corpora are zipfian (the test generator's head host alone
+    * is ~14% of all rows) — at 10^12 rows that one task is the job.
+    * Instead: partial top-k within (group, salt) shards, then final
+    * top-k over the ≤ k·salts survivors per group. The overall top-k
+    * is a subset of the union of shard top-ks, so the result is
+    * EXACTLY the single-window answer (the DuckDB oracle for q52 runs
+    * the naive window and must hash-match) — only the heavy sort now
+    * runs at shard granularity.
+    *
+    * `order` must be a total order (break ties on a unique column) or
+    * rank assignment is nondeterministic. `saltKey` can be any
+    * per-row expression with spread within groups (e.g. the url). */
+  def topKPerGroup(df: DataFrame, group: Column, saltKey: Column,
+                   order: Seq[Column], k: Int, salts: Int = 8): DataFrame = {
+    val shard = Window.partitionBy(group, pmod(hash(saltKey), lit(salts)))
+      .orderBy(order: _*)
+    val partial = df.withColumn("__shard_rk", row_number().over(shard))
+      .filter(col("__shard_rk") <= k)
+      .drop("__shard_rk")
+    val fin = Window.partitionBy(group).orderBy(order: _*)
+    partial.withColumn("rk", row_number().over(fin)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic, engine-portable train/val/test assignment: buckets
+    * by the md5 hex string of the id — lexicographic thresholds on the
+    * lowercase hex ('cd' ≈ 80.1%, 'e6' ≈ 89.8%) rather than a
+    * hash-to-int conversion, because md5 hex + string comparison are
+    * bit-identical across Spark, DuckDB, and any other engine, while
+    * integer hashes (murmur3 etc.) are engine-specific. Reassigning a
+    * document never depends on corpus membership, so splits are stable
+    * under incremental ingestion — the property a reproducible
+    * training pipeline actually needs. */
+  def splitAssign(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    when(h < lit("cd"), "train").when(h < lit("e6"), "val").otherwise("test")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.job.ExtractJob
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Balance, Dedup, Similarity, TextStats}
 
 /** The SURVEY.md §2 operator inventory expressed as runnable queries
   * over the driver's parquet tables, each with a DuckDB-equivalent
@@ -427,6 +427,25 @@ object GraftQueries {
       scored.join(broadcast(thr))
         .filter(col("quality") >= col("q75"))
         .select(col("doc_id"), col("quality"), round(col("q75"), 6).as("q75"))
+    }),
+
+    // deterministic engine-portable train/val/test split (md5-prefix
+    // buckets — stable under incremental ingestion, identical in any
+    // engine that can md5 a string)
+    "q51_split_sample" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), Balance.splitAssign(col("doc_id")).as("split"))),
+
+    // domain balancing: at most 20 docs per host, best-first (longest
+    // extracted text). Two-phase salted top-k (Balance.topKPerGroup) —
+    // exactly the naive one-window-per-host answer the oracle runs,
+    // but no zipfian head host ever funnels through a single task.
+    "q52_host_cap" -> ((s, d) => {
+      val e = extractedCached(s, d).filter(col("error").isNull)
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      Balance.topKPerGroup(e, col("host"), col("url"),
+          Seq(length(col("extracted_text")).desc, col("url").asc), k = 20)
+        .select(col("host"), col("url"), col("rk"))
     }),
 
     // W3 + lag: event ordering per user
@@ -952,6 +971,25 @@ object GraftQueries {
         |    * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) * 5)
         |    * greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) * 5), 6) AS quality
         |FROM documents""".stripMargin,
+
+    "q51_split_sample" ->
+      """SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+        |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // the NAIVE single-window form — Spark's two-phase salted top-k
+    // must hash-match it exactly (exactness proof of the skew-safe plan)
+    "q52_host_cap" ->
+      s"""SELECT host, url, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url,
+         |    row_number() OVER (
+         |      PARTITION BY regexp_extract(url, '^https?://([^/]+)', 1)
+         |      ORDER BY length(extracted_text) DESC, url ASC) AS rk
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL)
+         |WHERE rk <= 20""".stripMargin,
 
     // Spark percentile ≡ DuckDB quantile_cont (bitwise; proven by q33)
     "q50_quality_gate" ->

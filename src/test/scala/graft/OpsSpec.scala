@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Balance, Dedup, Similarity, TextStats}
 
 /** Training-data operators vs brute-force ground truth computed on the
   * collected (small) tables: MinHash-LSH and SimHash must find the
@@ -119,6 +119,38 @@ class OpsSpec extends AnyFunSuite {
     val oracle = Similarity.kmeansCentroids(sample, 4, iters = 4)
     assert(one.zip(oracle).forall { case (x, y) => x.sameElements(y) },
       "distributed refine diverges from driver-side Lloyd")
+  }
+
+  test("salted two-phase top-k per group == naive single window (zipfian groups)") {
+    import spark.implicits._
+    // one head group with 500 rows, a tail of small groups
+    val rows = (0 until 500).map(i => ("head.example.com", f"u$i%04d", i % 37)) ++
+      (0 until 60).map(i => (s"tail${i % 12}.example.com", f"t$i%04d", i))
+    val df = rows.toDF("host", "url", "score")
+    val order = Seq(col("score").desc, col("url").asc)
+    val fast = Balance.topKPerGroup(df, col("host"), col("url"), order, k = 5)
+      .select("host", "url", "rk")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(order: _*)
+    val naive = df.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= 5).select("host", "url", "rk")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "two-phase top-k diverges from the single-window answer")
+  }
+
+  test("md5 split assignment is deterministic and roughly 80/10/10") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("doc_id")
+      .select(col("doc_id"), Balance.splitAssign(col("doc_id")).as("split"))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 3700 && counts("train") < 4300)
+    assert(counts("val") > 300 && counts("val") < 700)
+    assert(counts("test") > 300 && counts("test") < 700)
+    // stable under corpus growth: the first 1000 ids get the same split
+    val again = (0L until 1000L).toDF("doc_id")
+      .select(col("doc_id"), Balance.splitAssign(col("doc_id")).as("split"))
+    assert(again.exceptAll(df.filter(col("doc_id") < 1000)).isEmpty)
   }
 
   test("kmeans centroids are deterministic and partition the sample") {
