@@ -75,14 +75,24 @@ object EngineSelector {
   val PoorQualityBytes = 800
 
   /** Engine priority ladders (selector.py:133-139 best, :149-155
-    * fastest, :209-214 cost). For this roster the strict density engine
-    * is both the fastest AND the cheapest; "best" prefers it too
-    * because main-content precision is the product metric (unlike the
-    * reference, whose best engine is its slowest — the ladder is a
-    * property of the engine table, not of the dispatch). */
-  private val bestPriority = Seq("density", "density_relaxed")
-  private val fastestPriority = Seq("density", "density_relaxed")
-  private val costPriority = Seq("density", "density_relaxed")
+    * fastest, :209-214 cost), DERIVED from the characteristics table —
+    * the ladder is a property of the engine table, not of the dispatch
+    * (change a row above and every strategy reorders consistently).
+    * pdf_layout is payload-dispatched, never strategy-chosen, so the
+    * ladders range over the HTML engines only. For this roster the
+    * strict density engine is both the fastest AND the cheapest, and
+    * "best" prefers it too because main-content precision is the
+    * product metric (unlike the reference, whose best engine is its
+    * slowest). */
+  private val htmlEngines = Seq("density", "density_relaxed")
+  private val speedRank = Map("fast" -> 0, "medium" -> 1, "slow" -> 2)
+  private val levelRank = Map("high" -> 0, "medium" -> 1, "low" -> 2)
+  private val bestPriority =
+    htmlEngines.sortBy(e => (levelRank(characteristics(e).precision), e))
+  private val fastestPriority =
+    htmlEngines.sortBy(e => (speedRank(characteristics(e).speed), e))
+  private val costPriority =
+    htmlEngines.sortBy(e => (characteristics(e).memoryMb, e))
 
   /** The reference's strategy dispatch (select_engine, selector.py:
     * 89-130). `available` models engine availability (is_available);
@@ -137,40 +147,51 @@ object EngineSelector {
   //   size < PoorQualityBytes → density_relaxed, reason quality:poor
   //   lang → recall engine            reason lang:<l>
   //   else → density                  reason default
-  // One rule table drives both engines so Spark and DuckDB cannot drift.
+  // ONE arm list below renders all four public forms (engine/reason ×
+  // Column/SQL), so Spark and DuckDB — and engine vs reason — cannot
+  // drift: an arm added or reordered in one form is added in all four.
 
   private val complexLangs: Seq[String] =
     languageEngineMap.collect { case (l, "density_relaxed") => l }.toSeq.sorted
+  private val complexLangsSql = complexLangs.map(l => s"'$l'").mkString(", ")
+
+  /** One routing arm: predicate + engine + reason, each in Column and
+    * SQL form, over the (kind, size, lang) inputs. First match wins. */
+  private final class RouteArm(
+      val cond: (Column, Column, Column) => Column,
+      val condSql: (String, String, String) => String,
+      val engine: String,
+      val reason: (Column, Column, Column) => Column,
+      val reasonSql: (String, String, String) => String)
+
+  private val routeArms: Seq[RouteArm] = Seq(
+    new RouteArm((k, _, _) => k === "pdf", (k, _, _) => s"$k = 'pdf'",
+      "pdf_layout", (_, _, _) => lit("kind:pdf"), (_, _, _) => "'kind:pdf'"),
+    new RouteArm((k, _, _) => k === "unknown", (k, _, _) => s"$k = 'unknown'",
+      "none", (_, _, _) => lit("kind:unknown"), (_, _, _) => "'kind:unknown'"),
+    new RouteArm((_, s, _) => s < PoorQualityBytes,
+      (_, s, _) => s"$s < $PoorQualityBytes",
+      "density_relaxed", (_, _, _) => lit("quality:poor"), (_, _, _) => "'quality:poor'"),
+    new RouteArm((_, _, l) => l.isin(complexLangs: _*),
+      (_, _, l) => s"$l IN ($complexLangsSql)",
+      "density_relaxed",
+      (_, _, l) => concat(lit("lang:"), l), (_, _, l) => s"'lang:' || $l"))
 
   def routeEngineCol(kind: Column, size: Column, lang: Column): Column =
-    when(kind === "pdf", "pdf_layout")
-      .when(kind === "unknown", "none")
-      .when(size < PoorQualityBytes, "density_relaxed")
-      .when(lang.isin(complexLangs: _*), "density_relaxed")
-      .otherwise("density")
+    routeArms.foldRight(lit("density")) { (a, acc) =>
+      when(a.cond(kind, size, lang), a.engine).otherwise(acc)
+    }
 
   def routeReasonCol(kind: Column, size: Column, lang: Column): Column =
-    when(kind === "pdf", "kind:pdf")
-      .when(kind === "unknown", "kind:unknown")
-      .when(size < PoorQualityBytes, "quality:poor")
-      .when(lang.isin(complexLangs: _*), concat(lit("lang:"), lang))
-      .otherwise("default")
+    routeArms.foldRight(lit("default")) { (a, acc) =>
+      when(a.cond(kind, size, lang), a.reason(kind, size, lang)).otherwise(acc)
+    }
 
-  def sqlRouteEngine(kind: String, size: String, lang: String): String = {
-    val langs = complexLangs.map(l => s"'$l'").mkString(", ")
-    s"""(CASE WHEN $kind = 'pdf' THEN 'pdf_layout'
-       |  WHEN $kind = 'unknown' THEN 'none'
-       |  WHEN $size < $PoorQualityBytes THEN 'density_relaxed'
-       |  WHEN $lang IN ($langs) THEN 'density_relaxed'
-       |  ELSE 'density' END)""".stripMargin
-  }
+  def sqlRouteEngine(kind: String, size: String, lang: String): String =
+    routeArms.map(a => s"WHEN ${a.condSql(kind, size, lang)} THEN '${a.engine}'")
+      .mkString("(CASE ", " ", " ELSE 'density' END)")
 
-  def sqlRouteReason(kind: String, size: String, lang: String): String = {
-    val langs = complexLangs.map(l => s"'$l'").mkString(", ")
-    s"""(CASE WHEN $kind = 'pdf' THEN 'kind:pdf'
-       |  WHEN $kind = 'unknown' THEN 'kind:unknown'
-       |  WHEN $size < $PoorQualityBytes THEN 'quality:poor'
-       |  WHEN $lang IN ($langs) THEN 'lang:' || $lang
-       |  ELSE 'default' END)""".stripMargin
-  }
+  def sqlRouteReason(kind: String, size: String, lang: String): String =
+    routeArms.map(a => s"WHEN ${a.condSql(kind, size, lang)} THEN ${a.reasonSql(kind, size, lang)}")
+      .mkString("(CASE ", " ", " ELSE 'default' END)")
 }

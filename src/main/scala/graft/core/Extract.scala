@@ -76,7 +76,7 @@ object Extract {
     * the confidence cascade proceeds from that engine. PDF/unknown
     * dispatch is payload-typed and unchanged. The default pipeline
     * ([[apply]]) stays strict-first — routing is an explicit job option
-    * (ExtractJob strategy param / StreamingExtract), preserving the
+    * (`ExtractJob.run(..., routedSelection = true)`), preserving the
     * byte-identity contract of the default path. */
   def applyRouted(page: Page): ExtractedDoc = {
     val kind = sniff(page.html)

@@ -57,8 +57,9 @@ object ExtractJob {
   /** Routed variant: the EngineSelector orders the cascade per document
     * from its characteristics (lang / payload size / kind) instead of
     * always starting strict — selector.py's characteristics-based
-    * routing as a job option. The default job keeps [[extractDS]]
-    * (strict-first) so the byte-identity goldens stay pinned. */
+    * routing, wired into the job as `run(..., routedSelection = true)`.
+    * The default job keeps [[extractDS]] (strict-first) so the
+    * byte-identity goldens stay pinned. */
   def extractRoutedDS(pages: Dataset[Page]): Dataset[ExtractedDoc] = {
     import pages.sparkSession.implicits._
     pages.mapPartitions { it => it.map(Extract.applyRouted) }
@@ -71,7 +72,8 @@ object ExtractJob {
       outRoot: String,
       numPartitions: Int = 0,
       saltBuckets: Int = 8,
-      rowLevelResume: Boolean = true): Snapshot = {
+      rowLevelResume: Boolean = true,
+      routedSelection: Boolean = false): Snapshot = {
     import spark.implicits._
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
@@ -108,10 +110,14 @@ object ExtractJob {
       }
 
     // ---- extraction on scan splits (map-side; the html payload never
-    // crosses a shuffle; parallelism governed by maxPartitionBytes) ----
-    val extracted = pending.mapPartitions { it =>
-      it.map(p => Extract(p))
-    }
+    // crosses a shuffle; parallelism governed by maxPartitionBytes).
+    // routedSelection = the EngineSelector strategy option: the cascade
+    // STARTS from the engine the document's characteristics pick
+    // (default off — the strict-first path is the byte-identity
+    // golden contract) ----
+    val extracted =
+      if (routedSelection) extractRoutedDS(pending)
+      else pending.mapPartitions { it => it.map(p => Extract(p)) }
 
     commitSnapshot(extracted, outRoot, seq, dataDir, pendingFiles,
       numPartitions, saltBuckets)

@@ -185,8 +185,15 @@ object Dedup {
     * oracle/test scale). Everything is built from codegen'd SQL
     * expressions (split/transform/array_intersect — no UDF) precisely so
     * a DuckDB oracle can mirror it term for term. */
-  def jaccardBruteForce(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+  /** The LAZY brute-force plan (shingle → broadcast theta join →
+    * jaccard ≥ threshold) plus the persisted shingle handle. Split out
+    * so PlanSpec can gate the join shape (broadcast build side,
+    * round-robin-spread streamed side) — [[jaccardBruteForce]]
+    * materializes this via localCheckpoint, after which the plan is an
+    * opaque RDD scan. */
+  private[graft] def jaccardBruteForcePlan(
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", threshold: Double = 0.2): (DataFrame, DataFrame) = {
     val toks = filter(split(col(textCol), " "), x => x =!= "")
     // persisted: both join sides derive from this plan, and without the
     // persist the tokenize+shingle work would execute twice (once for
@@ -212,13 +219,21 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         (inter.cast("double") / (size(col("a_sh")) + size(col("b_sh")) - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // release the cached shingle blocks once the result is materialized
-    // — repeated invocations in one session (BenchOne reps) would
-    // otherwise accumulate storage-memory blocks per call. blocking =
-    // false: the result is already computed; eviction can lag.
-    joined.localCheckpoint(eager = true)
+    (joined, sh)
+  }
+
+  def jaccardBruteForce(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+    val (joined, sh) = jaccardBruteForcePlan(docs, idCol, textCol, threshold)
+    // materialize via eager localCheckpoint, RETURN the checkpointed
+    // Dataset (returning the lazy plan would recompute the whole O(N²)
+    // join on first use after the unpersist below), then release the
+    // cached shingle blocks — repeated invocations in one session
+    // (BenchOne reps) would otherwise accumulate storage-memory blocks
+    // per call. blocking = false: the result is already computed.
+    val out = joined.localCheckpoint(eager = true)
     sh.unpersist(blocking = false)
-    joined
+    out
   }
 
   // ---- dedup clustering (keep-one-per-cluster) --------------------------

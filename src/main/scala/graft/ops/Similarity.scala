@@ -462,7 +462,11 @@ object Similarity {
     * by id, score, rank. Deterministic ties (cosine desc, id asc). */
   def rankWithin(cands: DataFrame, vectors: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // broadcast only the vectors that actually appear as queries in the
+    // candidate set (a semi-join slice), NOT the whole vectors table —
+    // the query set is tiny while the corpus is the thing that scales
     val q = vectors.select(col(idCol).cast("string").as("query_id"), col(vecCol).as("q_vec"))
+      .join(broadcast(cands.select("query_id").distinct()), Seq("query_id"), "left_semi")
     val n = vectors.select(col(idCol).cast("string").as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = cands
       .join(n, Seq("neighbor_id"))

@@ -52,11 +52,32 @@ object GraftQueries {
     val path = warcDumpPath(rows)
     genLock.synchronized {
       if (!new java.io.File(s"$path/_DONE").exists()) {
+        // same temp-dir + atomic-rename discipline as atomicDump: a
+        // crash mid-writeSegments (or a partition-count change between
+        // runs) must never leave a partially-written or mixed-segment
+        // dir behind the _DONE-guarded path
+        import java.nio.file._
+        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+        deleteRecursively(new java.io.File(tmp))
         val subset = ExtractJob.readPages(spark, pagesPath(spark, sfDir))
           .filter(expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long) % 20 = 0"))
-        graft.sources.Warc.writeSegments(subset, path, compress = true)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(path, "_DONE"), Array.emptyByteArray)
+        graft.sources.Warc.writeSegments(subset, tmp, compress = true)
+        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
+        val dest = Paths.get(path)
+        try {
+          Files.createDirectories(dest.getParent)
+          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
+            else {
+              deleteRecursively(dest.toFile)
+              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+                deleteRecursively(new java.io.File(tmp))
+              }
+            }
+        }
       }
     }
     path
@@ -112,8 +133,20 @@ object GraftQueries {
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     } catch {
       case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-        // another writer won the race; keep theirs, drop ours
-        deleteRecursively(tmp.toFile)
+        if (Files.exists(dest.resolve("_SUCCESS"))) {
+          // another writer won the race; keep theirs, drop ours
+          deleteRecursively(tmp.toFile)
+        } else {
+          // dest is a CORRUPT leftover (present, no _SUCCESS — e.g. a
+          // crashed pre-atomic writer): replace it with our complete
+          // output instead of discarding the fresh data and reading
+          // the broken dump forever
+          deleteRecursively(dest.toFile)
+          try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            deleteRecursively(tmp.toFile) // a racing writer re-created it
+          }
+        }
     }
   }
 

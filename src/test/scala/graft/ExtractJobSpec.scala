@@ -47,6 +47,21 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("routedSelection job option: per-row routed oracle, full coverage, same urls") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 300, s"$dir/pages", partitions = 3)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out", routedSelection = true)
+    val rows = ExtractJob.readExtracted(spark, s"$dir/out")
+      .select("url", "extracted_text").collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val url = r.getString(0)
+      val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+      val golden = Extract.applyRouted(PageGen.genRow(PageGen.DefaultSeed, idx).page)
+      assert(r.getString(1) == golden.extracted_text, s"routed mismatch for $url")
+    }
+  }
+
   test("resume: partial run + resume == clean full run (idempotent)") {
     val dir = tmp()
     // a growing crawl: first half arrives, is committed, then the rest

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan regression gates — each pins a plan property a past
   * round fixed or a 100 TB design decision depends on. AQE caveat: the
@@ -46,10 +47,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q36 brute-force theta join spreads the streamed side (round-2 fix: was 1 partition = 1 core)") {
-    val p = executedPlan(graft.queries.GraftQueries.queries("q36_jaccard_brute")(spark, d))
-    assert(p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("RoundRobinPartitioning"),
-      s"expected an explicit round-robin repartition of the streamed side; plan:\n${p.take(2000)}")
+    // gate the LAZY plan: the query itself materializes through an
+    // eager localCheckpoint (so its final plan is an opaque RDD scan)
+    val docs = spark.read.parquet(s"$d/documents.parquet").filter(col("doc_id") < 200)
+    val (joined, sh) = graft.ops.Dedup.jaccardBruteForcePlan(docs)
+    try {
+      val p = executedPlan(joined)
+      assert(p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("RoundRobinPartitioning"),
+        s"expected an explicit round-robin repartition of the streamed side; plan:\n${p.take(2000)}")
+    } finally sh.unpersist(blocking = false)
   }
 
   test("q45 response parse is pure codegen'd expressions (no UDF, no python)") {
