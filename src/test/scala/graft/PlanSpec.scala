@@ -59,6 +59,20 @@ class PlanSpec extends AnyFunSuite {
     } finally sh.unpersist(blocking = false)
   }
 
+  test("q52 host cap runs TWO windows with a salted shard partitioning (no single-task head host)") {
+    // AQE renders BOTH "== Final Plan ==" and "== Initial Plan ==" —
+    // count only the final section or every node double-counts
+    val p = executedPlan(graft.queries.GraftQueries.queries("q52_host_cap")(spark, d))
+      .split("== Initial Plan ==").head
+    // two Window nodes: the (host, salt)-sharded partial top-k and the
+    // per-host final top-k over <= k*salts survivors
+    val windows = p.split("Window \\[", -1).length - 1
+    assert(windows >= 2, s"expected the two-phase window plan; got $windows Window nodes:\n${p.take(1500)}")
+    // the heavy (first) shard window must partition by host AND the salt
+    assert(p.contains("pmod(hash("),
+      s"expected a salted shard partitioning in the plan:\n${p.take(1500)}")
+  }
+
   test("q45 response parse is pure codegen'd expressions (no UDF, no python)") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, d)
     // string checks are vacuous here (ScalaUDF prettyName is "UDF",
