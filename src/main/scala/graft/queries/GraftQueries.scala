@@ -1209,6 +1209,35 @@ object GraftQueries {
          |GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // pair stage re-derived from the forms dump: same signer blocking,
+    // same per-signer cap (row_number by url), same char-trigram
+    // jaccard (string trigrams here vs 64-bit hashed trigrams in
+    // Spark — equal unless hashes collide, the q22 caveat), same
+    // threshold. Only the byte-tokenizer DETECTION stage (the dump's
+    // producer) stays non-SQL.
+    "q43_signature_pairs" ->
+      s"""WITH f AS (
+         |  SELECT signer, url, card FROM (
+         |    SELECT signer, url, card,
+         |      row_number() OVER (PARTITION BY signer ORDER BY url) AS rn
+         |    FROM read_parquet('${formsDumpPath(oracleRows)}/*.parquet')
+         |    WHERE signer IS NOT NULL)
+         |  WHERE rn <= ${graft.forms.SignatureCompare.MaxPerSigner}),
+         |tri AS (
+         |  SELECT signer, url,
+         |    CASE WHEN length(card) < 3 THEN [card]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, length(card) - 2), i -> substring(card, i, 3)))
+         |    END AS tg
+         |  FROM f)
+         |SELECT signer, a_url, b_url, similarity,
+         |  similarity > ${graft.forms.SignatureCompare.MatchThreshold} AS is_match
+         |FROM (
+         |  SELECT a.signer, a.url AS a_url, b.url AS b_url,
+         |    CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+         |      / (len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg))) AS similarity
+         |  FROM tri a JOIN tri b ON a.signer = b.signer AND a.url < b.url)""".stripMargin,
+
     "q44_engine_stats" ->
       s"""SELECT payload_kind, engine, fallback_used, count(*) AS n,
          |  CAST(sum(CAST(round(confidence * 1000000) AS BIGINT)) AS BIGINT) AS conf_micros
