@@ -441,6 +441,25 @@ object GraftQueries {
         size(array_distinct(toks)).as("n_distinct_tokens"))
     }),
 
+    // sketch-based corpus statistics — the 100 TB forms of COUNT
+    // (DISTINCT) and quantiles: HyperLogLog++ (mergeable, map-side
+    // partial, fixed memory per group) and percentile_approx (bounded
+    // error, single pass), vs their exact forms that need a full
+    // shuffle of distinct values / a global sort. Approx values are
+    // engine-specific (DuckDB's sketches differ), so this is rows-only
+    // by nature; OpsSpec asserts the relative-error bounds against the
+    // exact answers.
+    "q53_sketch_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = explode(filter(split(col("text"), " "), x => x =!= ""))
+      docs.select(col("lang"), toks.as("tok"), length(col("text")).as("len"))
+        .groupBy(col("lang"))
+        .agg(
+          approx_count_distinct(col("tok"), 0.02).as("approx_vocab"),
+          percentile_approx(col("len"), lit(0.5), lit(2000)).as("approx_median_len"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     // text analysis: quality features + composite score
     "q14_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")

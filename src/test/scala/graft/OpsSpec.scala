@@ -153,6 +153,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again.exceptAll(df.filter(col("doc_id") < 1000)).isEmpty)
   }
 
+  test("sketches track exact answers: HLL vocab within 5%, approx median within 2% of exact") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = explode(filter(split(col("text"), " "), x => x =!= ""))
+    val flat = docs.select(toks.as("tok"), length(col("text")).as("len"))
+    val exactVocab = flat.select("tok").distinct().count().toDouble
+    val exactMedian = flat.stat.approxQuantile("len", Array(0.5), 0.0).head // rel err 0 = exact
+    val row = flat.agg(
+      approx_count_distinct(col("tok"), 0.02).as("v"),
+      percentile_approx(col("len"), lit(0.5), lit(2000)).as("m")).first()
+    val hll = row.getLong(0).toDouble
+    val med = row.getInt(1).toDouble
+    assert(math.abs(hll - exactVocab) / exactVocab < 0.05,
+      f"HLL vocab $hll%.0f vs exact $exactVocab%.0f")
+    assert(math.abs(med - exactMedian) / exactMedian < 0.02,
+      f"approx median $med%.0f vs exact $exactMedian%.0f")
+  }
+
   test("kmeans centroids are deterministic and partition the sample") {
     val sample = Array.tabulate(200)(i => Array.tabulate(8)(j => ((i * 7 + j) % 13).toFloat))
     val a = Similarity.kmeansCentroids(sample, 4)
