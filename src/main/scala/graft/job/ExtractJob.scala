@@ -78,6 +78,19 @@ object ExtractJob {
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
 
+    // ---- routing-mode guard: resuming a table extracted under the other
+    // engine-selection mode would silently commit a MIXED snapshot chain
+    // (strict-first and routed outputs differ per row), violating the
+    // byte-identity contract the goldens pin. The mode is part of the
+    // table's identity — recorded in every manifest, refused on mismatch.
+    val routingMode = if (routedSelection) "routed" else "strict"
+    SnapshotStore.committedRouting(outRoot).foreach { committed =>
+      require(committed == routingMode,
+        s"outRoot $outRoot was extracted with routing=$committed; resuming with " +
+          s"routing=$routingMode would mix extraction outputs — use a new outRoot " +
+          "or re-extract from scratch")
+    }
+
     // ---- file-level resume (S7): scan only uncommitted input files ----
     // O(#files) driver-side set arithmetic; at 10^12 rows this replaces
     // a full-table anti-join that would shuffle the payload column.
@@ -89,7 +102,7 @@ object ExtractJob {
     if (pendingFiles.isEmpty) {
       SnapshotStore.deleteRecursively(dataDir) // clear any crashed writer's leftovers
       val snap = Snapshot(seq, seq - 1, ExtractionVersion.current, dataDir,
-        Nil, 0L, allFiles)
+        Nil, 0L, allFiles, routingMode)
       SnapshotStore.commit(outRoot, snap)
       return snap
     }
@@ -120,7 +133,7 @@ object ExtractJob {
       else pending.mapPartitions { it => it.map(p => Extract(p)) }
 
     commitSnapshot(extracted, outRoot, seq, dataDir, pendingFiles,
-      numPartitions, saltBuckets)
+      numPartitions, saltBuckets, routingMode)
     } finally SnapshotStore.releaseLock(outRoot)
   }
 
@@ -130,11 +143,19 @@ object ExtractJob {
     * crash replay, so the row-level anti-join vs committed urls makes
     * the commit idempotent. */
   def appendSnapshot(extracted: Dataset[ExtractedDoc], outRoot: String,
-                     numPartitions: Int = 0, saltBuckets: Int = 8): Snapshot = {
+                     numPartitions: Int = 0, saltBuckets: Int = 8,
+                     routingMode: String = "strict"): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
+      // same routing-mode guard as run(): never mix extraction modes
+      // in one snapshot chain
+      SnapshotStore.committedRouting(outRoot).foreach { committed =>
+        require(committed == routingMode,
+          s"outRoot $outRoot was extracted with routing=$committed; appending " +
+            s"routing=$routingMode output would mix extraction modes")
+      }
       val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
       val committedDirs = SnapshotStore.dataDirs(outRoot)
       val deduped =
@@ -143,16 +164,23 @@ object ExtractJob {
           val committed = spark.read.parquet(committedDirs: _*).select("url")
           extracted.join(committed, Seq("url"), "left_anti").as[ExtractedDoc]
         }
-      commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets)
+      commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets, routingMode)
     } finally SnapshotStore.releaseLock(outRoot)
   }
+
+  /** The output clustering key — codegen'd salted host (never the
+    * interpreted ParseUrl; see [[graft.ops.Hosts]]). Public so PlanSpec
+    * can gate the expression the production commit actually uses. */
+  def clusterKey(saltBuckets: Int): org.apache.spark.sql.Column =
+    graft.ops.Hosts.saltedHostKey(col("url"), saltBuckets)
 
   /** Shared tail of the pipeline: salted-host output clustering, write,
     * lineage aggregation, atomic manifest commit. */
   private def commitSnapshot(
       extracted: Dataset[ExtractedDoc], outRoot: String, seq: Int,
       dataDir: String, inputFiles: Seq[String],
-      numPartitions: Int, saltBuckets: Int): Snapshot = {
+      numPartitions: Int, saltBuckets: Int,
+      routingMode: String = "strict"): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -165,7 +193,7 @@ object ExtractJob {
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sparkContext.defaultParallelism * 2
     val clustered = extracted
-      .repartition(parts, expr(s"concat(parse_url(url, 'HOST'), '#', pmod(hash(url), $saltBuckets))"))
+      .repartition(parts, clusterKey(saltBuckets))
 
     // tuple, not a nested case class: Janino cannot compile accessors of
     // object-nested private case classes and would drop to interpreted mode
@@ -199,7 +227,8 @@ object ExtractJob {
       dataDir = dataDir,
       partitions = lineageRows.sortBy(_.partitionId),
       rowCount = lineageRows.map(_.rowCount).sum,
-      inputFiles = inputFiles)
+      inputFiles = inputFiles,
+      routing = routingMode)
     SnapshotStore.commit(outRoot, snap)
     emitEvents(spark, outRoot, snap)
     snap

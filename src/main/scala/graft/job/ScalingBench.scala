@@ -45,14 +45,17 @@ object ScalingBench {
   /** The measured job: the run() pipeline minus the disk write —
     * extraction on scan splits, salted-host repartition of the
     * (text-only) output, checksum aggregation forcing every byte. */
-  def runOnce(spark: SparkSession, pagesPath: String, parts: Int): (Long, Double) = {
-    import spark.implicits._
-    val t0 = System.nanoTime()
-    val out = ExtractJob.extractDS(ExtractJob.readPages(spark, pagesPath))
-      .repartition(parts, expr("concat(parse_url(url, 'HOST'), '#', pmod(hash(url), 8))"))
+  /** The timed plan, exposed lazily so PlanSpec can gate it (no
+    * interpreted ParseUrl on the measured path). */
+  def benchDF(spark: SparkSession, pagesPath: String, parts: Int): org.apache.spark.sql.DataFrame =
+    ExtractJob.extractDS(ExtractJob.readPages(spark, pagesPath))
+      .repartition(parts, ExtractJob.clusterKey(8))
       .agg(count(lit(1)), sum(length(col("extracted_text"))),
         sum(when(col("error").isNotNull, 1L).otherwise(0L)))
-      .first()
+
+  def runOnce(spark: SparkSession, pagesPath: String, parts: Int): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val out = benchDF(spark, pagesPath, parts).first()
     val secs = (System.nanoTime() - t0) / 1e9
     (out.getLong(0), secs)
   }

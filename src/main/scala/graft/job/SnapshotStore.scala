@@ -35,7 +35,8 @@ final case class Snapshot(
     dataDir: String,
     partitions: Seq[PartitionLineage],
     rowCount: Long,
-    inputFiles: Seq[String] = Nil) // input files consumed by THIS snapshot
+    inputFiles: Seq[String] = Nil,  // input files consumed by THIS snapshot
+    routing: String = "strict")     // engine-selection mode: strict | routed
 
 object SnapshotStore {
 
@@ -126,7 +127,27 @@ object SnapshotStore {
       s"""{"partition_id":${p.partitionId},"row_count":${p.rowCount},"error_count":${p.errorCount},"warc_ts_min":${p.warcTsMin},"warc_ts_max":${p.warcTsMax}}"""
     }.mkString("[", ",", "]")
     val inputs = s.inputFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
-    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
+    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","routing":"${esc(s.routing)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
+  }
+
+  /** Routing mode of the committed table: the mode every committed
+    * snapshot was extracted with (manifests older than the field read
+    * as "strict", the historical default). Mixed modes in one table
+    * are a corruption of the byte-identity contract and are reported
+    * as such. */
+  def committedRouting(root: String): Option[String] = {
+    val seq = currentSequence(root)
+    val modes = (1 to seq).map { i =>
+      val m = parseStringField(readManifest(root, i), "routing")
+      if (m.isEmpty) "strict" else m
+    }.distinct
+    modes match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"snapshot chain at $root mixes extraction routing modes ${many.mkString(",")} — " +
+          "the table violates the byte-identity contract; rebuild from a clean outRoot")
+    }
   }
 
   /** Union of input files consumed by all committed snapshots. */

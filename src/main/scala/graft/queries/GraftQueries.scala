@@ -607,7 +607,7 @@ object GraftQueries {
     // the aggregate is order-independent (exact DuckDB mirror)
     "q19_extract_host_stats" -> ((s, d) => {
       extractedCached(s, d)
-        .groupBy(substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
+        .groupBy(graft.ops.Hosts.hostOf(col("url")).as("host"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_errors"),
           sum(round(col("confidence") * 1000000).cast("long")).as("conf_micros"),

@@ -66,7 +66,7 @@ object StreamingExtract {
   def statefulHostCounts(pages: DataFrame): org.apache.spark.sql.Dataset[(String, Long)] = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    pages.select(parse_url(col("url"), lit("HOST")).as[String])
+    pages.select(graft.ops.Hosts.hostOf(col("url")).as[String])
       .groupByKey(identity)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (host: String, rows: Iterator[String], state: GroupState[Long]) =>
@@ -86,7 +86,7 @@ object StreamingExtract {
       .withWatermark("warc_ts", watermark)
       .groupBy(
         window(col("warc_ts"), window_),
-        parse_url(col("url"), lit("HOST")).as("host"))
+        graft.ops.Hosts.hostOf(col("url")).as("host"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("window.start").as("window_start"), col("host"), col("n_docs"))
   }

@@ -62,6 +62,32 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("routing-mode guard: resuming with the other engine-selection mode is refused") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 60, s"$dir/pages", partitions = 2)
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out") // strict
+    assert(snap.routing == "strict")
+    assert(SnapshotStore.readManifest(s"$dir/out", 1).contains("\"routing\":\"strict\""))
+    // new files arrive; flipping the flag on resume must refuse, not mix
+    ExtractJob.generatePages(spark, 120, s"$dir/pages", partitions = 2,
+      start = 60, append = true)
+    val e = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, s"$dir/pages", s"$dir/out", routedSelection = true)
+    }
+    assert(e.getMessage.contains("routing=strict"))
+    // the refused attempt must not have committed anything or left the lock
+    assert(SnapshotStore.currentSequence(s"$dir/out") == 1)
+    val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/out") // same mode: fine
+    assert(snap2.rowCount == 60 && snap2.routing == "strict")
+    // appendSnapshot enforces the same invariant
+    val routedRoot = s"$dir/routed"
+    ExtractJob.run(spark, s"$dir/pages", routedRoot, routedSelection = true)
+    val extra = ExtractJob.extractDS(ExtractJob.readPages(spark, s"$dir/pages"))
+    intercept[IllegalArgumentException] {
+      ExtractJob.appendSnapshot(extra, routedRoot) // strict into a routed table
+    }
+  }
+
   test("resume: partial run + resume == clean full run (idempotent)") {
     val dir = tmp()
     // a growing crawl: first half arrives, is committed, then the rest

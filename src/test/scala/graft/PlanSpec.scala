@@ -105,6 +105,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  private def hasParseUrl(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ParseUrl]))
+    }.exists(identity)
+
+  test("no interpreted ParseUrl on the flagship commit / bench / streaming hot paths (round-3 VERDICT #1)") {
+    // the production clustering key itself
+    assert(!org.apache.spark.sql.graftshim.ColumnBridge
+      .expression(graft.job.ExtractJob.clusterKey(8)).exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ParseUrl]),
+      "ExtractJob.clusterKey regressed to parse_url")
+    // the measured scaling-bench plan (tiny generated pages table)
+    val pagesDir = java.nio.file.Files.createTempDirectory("planspec_pages").toString
+    graft.job.ExtractJob.generatePages(spark, 50, pagesDir, partitions = 2)
+    val bench = graft.job.ScalingBench.benchDF(spark, pagesDir, 8)
+    assert(!hasParseUrl(bench), "ScalingBench.benchDF contains a ParseUrl node")
+    // streaming metric plans (batch DataFrame through the same builders)
+    val pages = spark.read.parquet(pagesDir).select("url", "warc_ts")
+    assert(!hasParseUrl(graft.streaming.StreamingExtract.hostThroughput(pages)),
+      "hostThroughput contains a ParseUrl node")
+    // q19 host rollup shares the same helper
+    val q19 = graft.queries.GraftQueries.queries("q19_extract_host_stats")(spark, d)
+    assert(!hasParseUrl(q19), "q19 regressed to parse_url")
+  }
+
   test("q1 aggregation is partial+final HashAggregate (map-side combine)") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q1_pricing_summary")(spark, d))
     // AQE's toString prints Final AND Initial sections — count only the
