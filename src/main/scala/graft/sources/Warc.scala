@@ -210,13 +210,32 @@ object Warc {
   /** Read a directory of .warc / .warc.gz segments into the typed pages
     * Dataset via the built-in binaryFile source (one task per segment —
     * CC segments are ~1 GB, so 100 TB ⇒ ~100k parallel tasks). */
-  def readPages(spark: SparkSession, dir: String): Dataset[Page] = {
-    import spark.implicits._
+  def readPages(spark: SparkSession, dir: String): Dataset[Page] =
+    pagesOf(segmentsDF(spark, dir))
+
+  /** Read a SPECIFIC set of segment files — the file-manifest resume
+    * path (ExtractJob.runWarc scans only segments no committed snapshot
+    * has consumed, mirroring the parquet path's O(#files) resume). */
+  def readPagesFiles(spark: SparkSession, files: Seq[String]): Dataset[Page] = {
+    require(files.nonEmpty, "readPagesFiles: empty file list")
+    pagesOf(spark.read.format("binaryFile").load(files: _*)
+      .select(col("path"), col("content")))
+  }
+
+  /** Segment file paths under `dir` as the scan would enumerate them —
+    * the unit of resume bookkeeping (manifest `input_files`). */
+  def listSegments(spark: SparkSession, dir: String): Seq[String] =
+    segmentsDF(spark, dir).inputFiles.toSeq.sorted
+
+  private def segmentsDF(spark: SparkSession, dir: String) =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
       .load(dir)
       .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+
+  private def pagesOf(df: org.apache.spark.sql.DataFrame): Dataset[Page] = {
+    import df.sparkSession.implicits._
+    df.as[(String, Array[Byte])]
       .flatMap { case (path, content) =>
         val bytes = if (path.endsWith(".gz")) gunzip(content) else content
         parseSegmentIterator(bytes)
@@ -224,22 +243,32 @@ object Warc {
   }
 
   /** Generator-side: write pages as deterministic WARC segments, one
-    * file per input partition. Segments are collected to the driver
-    * before writing — fine for test fixtures; a production writer would
-    * foreachPartition straight to the distributed FS. */
+    * file per input partition, written FROM THE EXECUTORS (atomic
+    * tmp+rename per segment; nothing rides through driver heap — at a
+    * real sf the old collect()-based writer pushed every payload byte
+    * through the driver). Local-mode executors share the local FS; a
+    * cluster deployment points `dir` at the distributed FS. */
   def writeSegments(pages: Dataset[Page], dir: String, compress: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     import pages.sparkSession.implicits._
-    val segments = pages.mapPartitions { it =>
+    val ext = if (compress) ".warc.gz" else ".warc"
+    val doGzip = compress
+    // returns only O(#partitions) ids to the driver, forcing the write job
+    pages.mapPartitions { it =>
       val ps = it.toSeq
       if (ps.isEmpty) Iterator.empty
-      else Iterator.single(writeSegment(ps))
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val bytes = writeSegment(ps)
+        val target = java.nio.file.Paths.get(dir, f"segment-$pid%05d$ext")
+        val tmp = target.resolveSibling(target.getFileName.toString + s".tmp-$pid")
+        java.nio.file.Files.write(tmp, if (doGzip) gzip(bytes) else bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Iterator.single(pid)
+      }
     }.collect()
-    val ext = if (compress) ".warc.gz" else ".warc"
-    segments.zipWithIndex.foreach { case (bytes, i) =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, f"segment-$i%05d$ext"),
-        if (compress) gzip(bytes) else bytes)
-    }
+    ()
   }
 }

@@ -160,6 +160,43 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.gunzip("nope".getBytes(UTF_8)).isEmpty)
   }
 
+  test("file-manifest resume: re-run extracts ONLY newly-arrived segments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftwarcresume").toString
+    val first = (0 until 80).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    Warc.writeSegments(spark.createDataset(first).repartition(2), s"$dir/segments")
+    val snap1 = graft.job.ExtractJob.runWarc(spark, s"$dir/segments", s"$dir/out")
+    assert(snap1.rowCount == 80 && snap1.inputFiles.size == 2)
+    assert(snap1.inputFiles.forall(
+      graft.job.SnapshotStore.readManifest(s"$dir/out", 1).contains))
+
+    // re-run with nothing new: a 0-row snapshot, no segment re-consumed
+    val snap2 = graft.job.ExtractJob.runWarc(spark, s"$dir/segments", s"$dir/out")
+    assert(snap2.rowCount == 0)
+
+    // one NEW segment arrives (distinct filename so nothing is clobbered)
+    val extra = (80 until 120).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    val stage = Files.createTempDirectory("graftwarcstage").toString
+    Warc.writeSegments(spark.createDataset(extra).coalesce(1), stage)
+    val staged = new java.io.File(stage).listFiles().filter(_.getName.endsWith(".warc"))
+    assert(staged.length == 1)
+    Files.move(staged.head.toPath,
+      java.nio.file.Paths.get(s"$dir/segments", "segment-late.warc"))
+
+    // rowLevelResume OFF: only file bookkeeping protects against
+    // re-extraction — if the committed segments were rescanned, the 80
+    // old urls would duplicate and the total would be 160, not 120
+    val snap3 = graft.job.ExtractJob.runWarc(spark, s"$dir/segments", s"$dir/out",
+      rowLevelResume = false)
+    assert(snap3.rowCount == 40, s"resume re-extracted: ${snap3.rowCount}")
+    assert(snap3.inputFiles.size == 1 &&
+      snap3.inputFiles.head.endsWith("segment-late.warc"))
+
+    val all = graft.job.ExtractJob.readExtracted(spark, s"$dir/out")
+    assert(all.count() == 120)
+    assert(all.select("url").distinct().count() == 120)
+  }
+
   test("spark ingestion: warc dir → extraction ≡ direct extraction") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftwarc").toString
