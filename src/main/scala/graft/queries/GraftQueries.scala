@@ -687,11 +687,19 @@ object GraftQueries {
         .select("doc_id", "ws_tokens", "bpeish_tokens", "fingerprint")
     }),
 
-    // NLP: flat entity table over extracted pages (F1-F13 + G4)
+    // NLP: flat entity table over extracted pages (F1-F13 + G4).
+    // Value-checked end-to-end since round 4: the DuckDB oracle
+    // re-derives every (url, text, label, normalized, rule) row from
+    // the extraction dump with the SAME rule table (EntityOracle
+    // generates the SQL from EntityMatcher.rules — detection AND
+    // normalization both independently recomputed). Offsets/confidence
+    // stay on the engine surface (EntitySpec planted-truth coverage);
+    // the oracle projection is the value contract.
     "q28_entities" -> ((s, d) => {
       graft.nlp.EntityStage.explodeEntities(
         extractedCached(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
         "url", "extracted_text")
+        .select("url", "text", "label", "normalized", "rule")
     }),
 
     // NLP: first-match-wins field assignment per document (A7) — fields
@@ -1115,6 +1123,60 @@ object GraftQueries {
          |  CAST(sum(length(extracted_text)) AS BIGINT) AS total_chars
          |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
          |GROUP BY 1""".stripMargin,
+
+    // the whole entity engine re-derived rule-by-rule from the
+    // extraction dump (EntityOracle builds the SQL from
+    // EntityMatcher.rules itself — same pattern sources, SQL twins of
+    // every normalizer). Equality here is also a no-cross-rule-overlap
+    // proof for the corpus: the engine suppresses overlapped spans, the
+    // oracle doesn't, so any overlap shows up as an extra oracle row.
+    "q28_entities" ->
+      graft.nlp.EntityOracle.flatSql(
+        s"""(SELECT url, extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // first-match-wins field assignment (A7) re-derived: winner per
+    // (url, label) = min (rule priority rank, in-document occurrence)
+    "q29_entity_fields" ->
+      graft.nlp.EntityOracle.fieldsSql(
+        s"""(SELECT url, extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // form detection re-derived from the RAW PAGES payload (fully
+    // independent of the tokenizer+detector pipeline): form pages are
+    // the <form>-bearing html docs; fields/indicators/checkboxes are
+    // counted with the detector's own regex families over the payload
+    // (planted <p> form lines are single-line, so the payload regex is
+    // the labelValue line rule); form_type is the same keyword ladder
+    // over tag-stripped text
+    "q31_form_detect" ->
+      s"""WITH hp AS (
+         |  SELECT url, decode(html) AS h
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+         |  WHERE octet_length(html) >= 15
+         |    AND substring(CAST(html AS VARCHAR), 1, 15) = '<!DOCTYPE html>'
+         |),
+         |fp AS (
+         |  SELECT url, h,
+         |    regexp_replace(regexp_replace(h, '<(script|style)[^>]*>.*?</(script|style)>', ' ', 'gs'), '<[^>]*>', ' ', 'g') AS stripped
+         |  FROM hp WHERE contains(h, '<form action')
+         |)
+         |SELECT url, TRUE AS is_form,
+         |  CASE
+         |    WHEN regexp_matches(lower(stripped), 'invoice|bill to|remit') THEN 'invoice'
+         |    WHEN regexp_matches(lower(stripped), 'insurance|policy|claim') THEN 'insurance'
+         |    WHEN regexp_matches(lower(stripped), 'application|applicant|apply') THEN 'application'
+         |    WHEN regexp_matches(lower(stripped), 'registration|register|enroll') THEN 'registration'
+         |    WHEN regexp_matches(lower(stripped), 'agreement|terms|undersigned') THEN 'agreement'
+         |    WHEN regexp_matches(lower(stripped), 'tax|irs|withholding') THEN 'tax'
+         |    ELSE 'generic' END AS form_type,
+         |  CAST(len(regexp_extract_all(h, '<p>[A-Za-z][A-Za-z .''-]{1,40}?: *[^<]*</p>')) AS INTEGER) AS n_fields,
+         |  CAST(len(regexp_extract_all(stripped, '(?i)\\b(please\\s+(fill|complete|sign)|required\\s+field|signature|checkbox|initials|form\\s+(no|number)|submit|applicant|undersigned)\\b')) AS INTEGER) AS n_indicators,
+         |  CAST(len(regexp_extract_all(h, '\\[[ xX]\\]')) AS INTEGER) AS n_checkboxes,
+         |  CAST(len(regexp_extract_all(h, '\\[[xX]\\]')) AS INTEGER) AS n_checked
+         |FROM fp""".stripMargin,
 
     // top-k within the dumped candidate set — the blocking stage is the
     // only part DuckDB can't re-derive; cosine + ranking it can
