@@ -331,19 +331,41 @@ object MainContentExtractor {
       ByteHtmlTokenizer.tokenize(html, builder, textBuf)
       val (blocks, title) = builder.result()
       val chars = builder.chars
+      // same no-losing-assemble discipline as cascade(): confidences
+      // are pure functions of the block flags, so decide the winner on
+      // flag passes alone and build text+spans exactly once
       DensityClassifier.classifyRelaxed(blocks)
-      val relaxed = assemble(blocks, title, chars).copy(engine = "density_relaxed")
-      if (relaxed.confidence >= ConfidenceThreshold) relaxed
+      val relaxedConf = confidenceOf(blocks)
+      if (relaxedConf >= ConfidenceThreshold)
+        assemble(blocks, title, chars).copy(engine = "density_relaxed")
       else {
         // strict assigns isContent directly, so re-classification is a
         // clean second engine pass over the same block array
         DensityClassifier.classify(blocks)
-        val strict = assemble(blocks, title, chars)
-        if (strict.confidence > relaxed.confidence)
-          strict.copy(fallbackUsed = true)
-        else relaxed
+        val strictConf = confidenceOf(blocks)
+        if (strictConf > relaxedConf)
+          assemble(blocks, title, chars).copy(fallbackUsed = true)
+        else {
+          // relaxed won: re-derive its flags (cheap) for the one assemble
+          DensityClassifier.classifyRelaxed(blocks)
+          assemble(blocks, title, chars).copy(engine = "density_relaxed")
+        }
       }
     }
+  }
+
+  /** Mean content-block score — assemble's confidence without the
+    * text/span build (pure function of the classifier flags). */
+  private def confidenceOf(blocks: Array[Block]): Double = {
+    var scoreSum = 0.0
+    var nContent = 0
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      if (b.isContent) { scoreSum += b.score; nContent += 1 }
+      i += 1
+    }
+    if (nContent == 0) 0.0 else scoreSum / nContent
   }
 
   /** Confidence cascade (hybrid.py:123-161 semantics): run the strict
@@ -364,15 +386,7 @@ object MainContentExtractor {
       // span string build) only when the fallback actually wins, since
       // on most corpora the strict engine keeps winning and the losing
       // assemble was the single biggest allocation on the hot path.
-      var scoreSum = 0.0
-      var nContent = 0
-      var i = 0
-      while (i < blocks.length) {
-        val b = blocks(i)
-        if (b.isContent) { scoreSum += b.score; nContent += 1 }
-        i += 1
-      }
-      val relaxedConf = if (nContent == 0) 0.0 else scoreSum / nContent
+      val relaxedConf = confidenceOf(blocks)
       // strictly greater, like the reference's `result.confidence >
       // best.confidence` — ties keep the selected (first) engine.
       // fallbackUsed marks that the fallback's OUTPUT was used.

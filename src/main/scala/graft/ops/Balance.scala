@@ -26,14 +26,22 @@ object Balance {
     * rank assignment is nondeterministic. `saltKey` can be any
     * per-row expression with spread within groups (e.g. the url). */
   def topKPerGroup(df: DataFrame, group: Column, saltKey: Column,
-                   order: Seq[Column], k: Int, salts: Int = 8): DataFrame = {
+                   order: Seq[Column], k: Int, salts: Int = 8,
+                   rankCol: String = "rk"): DataFrame = {
+    // rankCol is part of the OUTPUT contract — an input column of the
+    // same name would be silently clobbered, so refuse it explicitly;
+    // the shard-rank scratch column just dodges collisions by name
+    require(!df.columns.contains(rankCol),
+      s"topKPerGroup: input already has a '$rankCol' column — pass a different rankCol")
+    val shardRk = Iterator.from(0).map(i => s"__shard_rk$i")
+      .find(n => !df.columns.contains(n)).get
     val shard = Window.partitionBy(group, pmod(hash(saltKey), lit(salts)))
       .orderBy(order: _*)
-    val partial = df.withColumn("__shard_rk", row_number().over(shard))
-      .filter(col("__shard_rk") <= k)
-      .drop("__shard_rk")
+    val partial = df.withColumn(shardRk, row_number().over(shard))
+      .filter(col(shardRk) <= k)
+      .drop(shardRk)
     val fin = Window.partitionBy(group).orderBy(order: _*)
-    partial.withColumn("rk", row_number().over(fin)).filter(col("rk") <= k)
+    partial.withColumn(rankCol, row_number().over(fin)).filter(col(rankCol) <= k)
   }
 
   /** Deterministic, engine-portable train/val/test assignment: buckets

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bump when any dedup kernel output changes (hash64 / simhash /
+    * minhashSignature / banding) — keys the materialized candidate and
+    * code dumps (candsDumpPath / simhashDumpPath / the pagemh tag),
+    * exactly like ExtractionVersion keys the extraction dump: a kernel
+    * change must never silently reuse a stale /tmp dump the oracle then
+    * green-lights (round-3 ADVICE #2). */
+  val Version: String = "dedup-1"
+
   /** Exact dedup: group by content hash, keep the smallest id.
     * (doc_id semantics follow the reference's deterministic-id rule;
     * see graft.core.Extract.docId.) */
@@ -120,6 +128,24 @@ object Dedup {
   def oversizedBuckets(bands: DataFrame, maxBucket: Int = 1000): Long =
     bands.groupBy("band", "band_hash").count()
       .filter(col("count") > maxBucket).count()
+
+  /** Audit the [[candidatePairs]] bucket cap AT DUMP TIME: count the
+    * dropped buckets and record the count in a `_bucket_audit.json`
+    * sidecar inside the dump dir (underscore-prefixed, so parquet
+    * readers skip it), logging when nonzero — the cap is deliberate,
+    * but it must never be SILENT (round-3 VERDICT "What's wrong" #2).
+    * One cheap aggregate over the (already computed) bands. */
+  def auditBucketCap(bands: DataFrame, destDir: String, maxBucket: Int = 1000): Long = {
+    val n = oversizedBuckets(bands, maxBucket)
+    val p = java.nio.file.Paths.get(destDir, "_bucket_audit.json")
+    if (java.nio.file.Files.isDirectory(p.getParent)) {
+      java.nio.file.Files.writeString(p,
+        s"""{"oversized_buckets_dropped":$n,"max_bucket":$maxBucket}""" + "\n")
+    }
+    if (n > 0) println(s"[graft] LSH bucket cap dropped $n oversized buckets " +
+      s"(maxBucket=$maxBucket) — recorded in $p")
+    n
+  }
 
   /** Candidate pairs from LSH buckets (a < b, distinct). The self-join
     * is an equi-join on (band, band_hash): shuffle-bounded, skew handled

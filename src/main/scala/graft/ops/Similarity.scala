@@ -19,6 +19,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Bump when any ANN blocking kernel changes (SRP hashing, IVF
+    * quantizer, probing) — keys the ANN candidate dumps
+    * (GraftQueries.annDumpPath) so a kernel change can't silently reuse
+    * a stale dump (round-3 ADVICE #2, same contract as Dedup.Version). */
+  val Version: String = "ann-1"
+
   /** Cosine similarity between two ARRAY<FLOAT/DOUBLE> columns: a
     * native codegen'd Catalyst expression (graft.functions
     * .CosineSimilarity). Double accumulation, sequential left-to-right —

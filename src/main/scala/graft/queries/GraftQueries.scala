@@ -160,8 +160,17 @@ object GraftQueries {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
     val path = extractedDumpPath(rows)
     genLock.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        atomicDump(extractedPages(spark, sfDir), path)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // extractedPages shrinks scan splits for its CPU-bound pass;
+        // restore afterwards (round-3 ADVICE #3 — cache state must not
+        // leak conf into later queries' scan planning)
+        val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+        try atomicDump(extractedPages(spark, sfDir), path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
+      }
     }
     spark.read.parquet(path)
   }
@@ -177,17 +186,20 @@ object GraftQueries {
     * jaccard value and the threshold filter are now independently
     * recomputed by DuckDB. */
   def candsDumpPath(rows: Int): String =
-    s"/tmp/graft_cands_cache/mh${Dedup.NumHashes}b${Dedup.Bands}sh2-rows$rows"
+    s"/tmp/graft_cands_cache/${Dedup.Version}-mh${Dedup.NumHashes}b${Dedup.Bands}sh2-rows$rows"
 
   def candsCached(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
     val path = candsDumpPath(rows)
     genLock.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
-        atomicDump(
-          Dedup.candidatePairs(
-            Dedup.minhashBands(t(spark, sfDir, "documents"), "doc_id", "text", 2)),
-          path)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // bands cached: the pair join AND the bucket-cap audit read it
+        val bands = Dedup.minhashBands(t(spark, sfDir, "documents"), "doc_id", "text", 2).cache()
+        try {
+          atomicDump(Dedup.candidatePairs(bands), path)
+          Dedup.auditBucketCap(bands, path) // never a silent drop
+        } finally bands.unpersist(blocking = false)
+      }
     }
     spark.read.parquet(path)
   }
@@ -231,7 +243,7 @@ object GraftQueries {
     * check). Keyed by rows + shingle width only: documents.parquet is
     * driver-provided static testdata. */
   def simhashDumpPath(rows: Int): String =
-    s"/tmp/graft_cands_cache/simhash-sh2-rows$rows"
+    s"/tmp/graft_cands_cache/${Dedup.Version}-simhash-sh2-rows$rows"
 
   def simhashCached(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
@@ -248,7 +260,7 @@ object GraftQueries {
     * distinct candidate id-pairs once; Spark AND DuckDB then re-derive
     * cosine + rank/threshold from (dump ⋈ embeddings). */
   def annDumpPath(tag: String, rows: Int): String =
-    s"/tmp/graft_ann_cache/$tag-rows$rows"
+    s"/tmp/graft_ann_cache/${graft.ops.Similarity.Version}-$tag-rows$rows"
 
   private def annCandsCached(spark: SparkSession, sfDir: String, tag: String)
                             (build: => DataFrame): DataFrame = {
@@ -290,11 +302,20 @@ object GraftQueries {
     val path = formsDumpPath(rows)
     genLock.synchronized {
       if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // shrink scan splits for the CPU-bound detection pass only —
+        // restore after so a cold build can't skew every later query's
+        // scan planning (round-3 ADVICE #3)
+        val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
-        atomicDump(
-          graft.forms.FormDetector.detectTable(
-            ExtractJob.readPages(spark, pagesPath(spark, sfDir))),
-          path)
+        try
+          atomicDump(
+            graft.forms.FormDetector.detectTable(
+              ExtractJob.readPages(spark, pagesPath(spark, sfDir))),
+            path)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+          case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        }
       }
     }
     spark.read.parquet(path)
@@ -914,19 +935,55 @@ object GraftQueries {
     }),
 
     "q32_page_neardups" -> ((s, d) => {
-      val pages = extractedCached(s, d)
-        .filter(col("error").isNull && col("payload_kind") === "html")
-        .select(
-          expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
-          col("extracted_text").as("text"))
-      // candidate dump keyed by the extraction inputs so DuckDB can
-      // re-derive the jaccard verify over (dump ⋈ extraction dump)
-      val cands = annCandsCached(s, d,
-        s"pagemh-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}")(
-        Dedup.candidatePairs(Dedup.minhashBands(pages, "doc_id", "text", 2)))
-      Dedup.jaccardVerify(cands, pages, "doc_id", "text", shingleN = 2, threshold = 0.6)
+      val pages = extractedPagesDocs(s, d)
+      Dedup.jaccardVerify(pageCandsCached(s, d), pages,
+        "doc_id", "text", shingleN = 2, threshold = 0.6)
     })
   )
+
+  /** The extraction corpus as (doc_id, text) — q32's dedup input. */
+  private def extractedPagesDocs(s: SparkSession, d: String): DataFrame =
+    extractedCached(s, d)
+      .filter(col("error").isNull && col("payload_kind") === "html")
+      .select(
+        expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
+        col("extracted_text").as("text"))
+
+  /** q32's candidate dump (minhash bands + bucket join over the
+    * extraction corpus), keyed by every input version so DuckDB can
+    * re-derive the jaccard verify over (dump ⋈ extraction dump).
+    * Factored out of the query so [[warmCaches]] can stage it untimed —
+    * the q32 bench row should measure the LSH+verify plan, not a
+    * one-time parquet write (round-3 VERDICT next-round #6). */
+  def pageCandsTag: String =
+    s"pagemh-${Dedup.Version}-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}"
+
+  def pageCandsCached(s: SparkSession, d: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(d)
+    val path = annDumpPath(pageCandsTag, rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val bands = Dedup.minhashBands(extractedPagesDocs(s, d), "doc_id", "text", 2).cache()
+        try {
+          atomicDump(Dedup.candidatePairs(bands), path)
+          Dedup.auditBucketCap(bands, path)
+        } finally bands.unpersist(blocking = false)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Materialize every shared dump up front (untimed by Bench): the
+    * engine's extract-once/detect-once/block-once read-many tables.
+    * One-time pipeline work — per-query bench rows then measure the
+    * QUERY plan over the dumps, independent of cache temperature. */
+  def warmCaches(spark: SparkSession, sfDir: String): Unit = {
+    extractedCached(spark, sfDir)
+    formsCached(spark, sfDir)
+    candsCached(spark, sfDir)
+    simhashCached(spark, sfDir)
+    pageCandsCached(spark, sfDir)
+  }
 
   // =====================================================================
   // DuckDB oracles
@@ -1243,9 +1300,7 @@ object GraftQueries {
          |  FROM documents d LEFT JOIN comp c ON c.id = CAST(d.doc_id AS VARCHAR))""".stripMargin,
 
     "q32_page_neardups" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.6,
-      candsPath = annDumpPath(
-        s"pagemh-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}",
-        oracleRows),
+      candsPath = annDumpPath(pageCandsTag, oracleRows),
       docsRel = s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
                    |        extracted_text AS text
                    |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')

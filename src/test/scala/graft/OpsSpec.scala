@@ -50,6 +50,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got == truth, s"minhash ${got.size} vs truth ${truth.size}")
   }
 
+  test("LSH bucket cap on a pathological all-identical corpus is audited, never silent") {
+    import spark.implicits._
+    // 60 byte-identical docs -> every (band, bucket) holds all 60
+    val identical = (0 until 60)
+      .map(i => (i.toLong, "the very same pathological document text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(identical, "doc_id", "text", 2).cache()
+    try {
+      // cap below the bucket size: every bucket is oversized and dropped
+      assert(Dedup.candidatePairs(bands, maxBucket = 10).count() == 0)
+      val dir = java.nio.file.Files.createTempDirectory("bucketaudit")
+      val dropped = Dedup.auditBucketCap(bands, dir.toString, maxBucket = 10)
+      assert(dropped > 0, "expected oversized buckets on an identical corpus")
+      val sidecar = dir.resolve("_bucket_audit.json")
+      assert(java.nio.file.Files.exists(sidecar), "audit sidecar not written")
+      val json = java.nio.file.Files.readString(sidecar)
+      assert(json.contains(s""""oversized_buckets_dropped":$dropped""") &&
+        json.contains(""""max_bucket":10"""), json)
+      // a sane cap keeps the buckets (and the audit reports zero)
+      assert(Dedup.auditBucketCap(bands, dir.toString, maxBucket = 1000) == 0L)
+      assert(Dedup.candidatePairs(bands, maxBucket = 1000).count() == 60L * 59 / 2)
+    } finally bands.unpersist(blocking = false)
+  }
+
   test("simhash pairs all have verified low hamming and cover planted dups") {
     val got = Dedup.simhashDedup(docs, maxHamming = 6).collect()
     assert(got.nonEmpty)
