@@ -269,6 +269,17 @@ object ExtractJob {
         r.getAs[Long]("error_count"), r.getAs[Long]("ts_min"), r.getAs[Long]("ts_max")))
       .toSeq
 
+    // ---- S6 preview artifact: the reference's generate_preview analog
+    // (/root/reference/ocrworker/tasks.py:189-199 writes a fixed-width
+    // preview image per document beside the OCR output; the text-engine
+    // analog is a fixed-length text preview + a content digest),
+    // committed as a sidecar table before the manifest flips — a crash
+    // between the two leaves an orphan artifact dir, never a committed
+    // snapshot without its artifacts. Reads the text-only snapshot
+    // output (not the raw payload), so the extra pass costs ~1/20 of
+    // the extraction scan.
+    writeArtifacts(spark, dataDir, artifactDir(outRoot, seq))
+
     val snap = Snapshot(
       sequence = seq,
       parent = seq - 1,
@@ -282,6 +293,24 @@ object ExtractJob {
     emitEvents(spark, outRoot, snap)
     snap
   }
+
+  /** Fixed preview length — the analog of the reference's 300px
+    * preview-width constant (tasks.py:193). */
+  val PreviewChars = 300
+
+  def artifactDir(outRoot: String, seq: Int): String = s"$outRoot/artifacts/snap-$seq"
+
+  private def writeArtifacts(spark: SparkSession, dataDir: String, artDir: String): Unit = {
+    spark.read.parquet(dataDir)
+      .select(col("url"),
+        substring(col("extracted_text"), 1, PreviewChars).as("preview"),
+        sha2(coalesce(col("extracted_text"), lit("")), 256).as("text_sha256"))
+      .write.mode(SaveMode.Overwrite).parquet(artDir)
+  }
+
+  /** Read the preview/digest artifacts of snapshot `seq`. */
+  def readArtifacts(spark: SparkSession, outRoot: String, seq: Int): DataFrame =
+    spark.read.parquet(artifactDir(outRoot, seq))
 
   /** Downstream event emission (S9) — the analog of the reference's
     * notify/index task fan-out (/root/reference/ocrworker/tasks.py:189-212)

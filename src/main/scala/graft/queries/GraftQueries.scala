@@ -116,6 +116,9 @@ object GraftQueries {
     oracleRows = graft.gen.PageGen.rowsForDir(sfDir)
   }
 
+  /** Media-table rows at the pinned sf (same formula as mediaRowsFor). */
+  private def mediaOracleRows: Int = math.max(oracleRows / 20, 50)
+
   /** Write `df` as a parquet dump at `path` atomically: write to a
     * pid-suffixed temp dir, then rename into place. Two JVMs racing on
     * the same key (e.g. Verify and Bench at the same sf) can no longer
@@ -288,6 +291,25 @@ object GraftQueries {
        |  JOIN embeddings q ON CAST(q.vec_id AS VARCHAR) = c.query_id
        |  JOIN embeddings n ON CAST(n.vec_id AS VARCHAR) = c.neighbor_id)
        |WHERE rank <= $k""".stripMargin
+
+  /** Deterministic media table dump (BMP/WAV/stub containers + corrupt
+    * rows) — materialized so q30 and its DuckDB oracle read the SAME
+    * blobs: the oracle re-derives each header decode from the bytes. */
+  def mediaDumpPath(rows: Int): String =
+    s"/tmp/graft_media_cache/${graft.multimodal.MediaOps.Version}-rows$rows"
+
+  def mediaRowsFor(sfDir: String): Int =
+    math.max(graft.gen.PageGen.rowsForDir(sfDir) / 20, 50)
+
+  def mediaCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = mediaRowsFor(sfDir)
+    val path = mediaDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(graft.multimodal.MediaOps.genMedia(spark, rows), path)
+    }
+    spark.read.parquet(path)
+  }
 
   def formsDumpPath(rows: Int): String =
     s"/tmp/graft_forms_cache/g${graft.gen.PageGen.GenVersion}-${graft.forms.FormDetector.Version}-rows$rows"
@@ -863,16 +885,22 @@ object GraftQueries {
           col("vendor"), col("client"), col("signatory"), col("contact"))
     }),
 
-    // multimodal: decode-stub + batched feature extraction over a
-    // deterministic binary media table (plumbing real, codec stubbed)
+    // multimodal: REAL BMP/WAV header decode + stub-container rows,
+    // batched feature extraction, aggregated per container. The DuckDB
+    // oracle re-derives every header field from the dumped BLOBs with
+    // hex arithmetic — the decoded widths/heights/channels/sample
+    // rates/sample counts are value-checked, not just row-counted
+    // (round-3 VERDICT watch-list: one real codec). Sums are exact
+    // integers, so the hash compare is rounding-free.
     "q30_media_features" -> ((s, d) => {
-      val rows = graft.gen.PageGen.rowsForDir(d) / 20
-      val media = graft.multimodal.MediaOps.genMedia(s, math.max(rows, 50))
-      graft.multimodal.MediaOps.withFeatures(media)
-        .groupBy(col("kind"), col("decode_ok"))
+      graft.multimodal.MediaOps.withFeatures(mediaCached(s, d))
+        .groupBy(col("container"), col("kind"), col("decode_ok"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("width")), 2).as("avg_width"),
-          round(avg(col("sample_rate")), 2).as("avg_sample_rate"))
+          sum(col("width").cast("long")).as("width_sum"),
+          sum(col("height").cast("long")).as("height_sum"),
+          sum(col("channels").cast("long")).as("channels_sum"),
+          sum(col("sample_rate").cast("long")).as("rate_sum"),
+          sum(col("n_samples").cast("long")).as("samples_sum"))
     }),
 
     // form detection over raw pages (sibling pipeline to extraction) —
@@ -983,6 +1011,7 @@ object GraftQueries {
     candsCached(spark, sfDir)
     simhashCached(spark, sfDir)
     pageCandsCached(spark, sfDir)
+    mediaCached(spark, sfDir)
   }
 
   // =====================================================================
@@ -1234,6 +1263,50 @@ object GraftQueries {
          |  CAST(len(regexp_extract_all(h, '\\[[ xX]\\]')) AS INTEGER) AS n_checkboxes,
          |  CAST(len(regexp_extract_all(h, '\\[[xX]\\]')) AS INTEGER) AS n_checked
          |FROM fp""".stripMargin,
+
+    // every media header re-decoded from the dumped BLOBs with hex
+    // arithmetic (BMP/WAV little-endian fields, stub-container
+    // big-endian fields) — the codec's widths/heights/channels/sample
+    // rates/sample counts are independently recomputed per row
+    "q30_media_features" -> {
+      def byteAt(o: Int) = s"CAST('0x' || substr(h,${o * 2 + 1},2) AS BIGINT)"
+      def le16(o: Int) = s"CAST('0x' || substr(h,${(o + 1) * 2 + 1},2) || substr(h,${o * 2 + 1},2) AS BIGINT)"
+      def le32(o: Int) = s"CAST('0x' || substr(h,${(o + 3) * 2 + 1},2) || substr(h,${(o + 2) * 2 + 1},2) || substr(h,${(o + 1) * 2 + 1},2) || substr(h,${o * 2 + 1},2) AS BIGINT)"
+      def be32(o: Int) = s"CAST('0x' || substr(h,${o * 2 + 1},8) AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT hex(bytes) AS h, octet_length(bytes) AS n
+         |  FROM read_parquet('${mediaDumpPath(mediaOracleRows)}/*.parquet')),
+         |d AS (
+         |  SELECT h,
+         |    CASE WHEN n >= 54 AND substr(h,1,4) = '424D' THEN 'bmp'
+         |         WHEN n >= 44 AND substr(h,1,8) = '52494646' AND substr(h,17,8) = '57415645' THEN 'wav'
+         |         WHEN n >= 13 AND substr(h,1,8) = '47494D47' THEN 'gimg'
+         |         WHEN n >= 12 AND substr(h,1,8) = '47415544' THEN 'gaud'
+         |         ELSE 'unknown' END AS container
+         |  FROM m),
+         |t AS (
+         |  SELECT container,
+         |    CASE container WHEN 'bmp' THEN 'image' WHEN 'gimg' THEN 'image'
+         |                   WHEN 'wav' THEN 'audio' WHEN 'gaud' THEN 'audio'
+         |                   ELSE 'unknown' END AS kind,
+         |    container <> 'unknown' AS decode_ok,
+         |    CASE container WHEN 'bmp' THEN ${le32(18)} WHEN 'gimg' THEN ${be32(4)} ELSE 0 END AS width,
+         |    CASE container WHEN 'bmp' THEN ${le32(22)} WHEN 'gimg' THEN ${be32(8)} ELSE 0 END AS height,
+         |    CASE container WHEN 'bmp' THEN ${le16(28)} // 8
+         |                   WHEN 'gimg' THEN ${byteAt(12)}
+         |                   WHEN 'wav' THEN ${le16(22)} ELSE 0 END AS channels,
+         |    CASE container WHEN 'wav' THEN ${le32(24)} WHEN 'gaud' THEN ${be32(4)} ELSE 0 END AS sample_rate,
+         |    CASE container WHEN 'wav' THEN ${le32(40)} // (${le16(22)} * ${le16(34)} // 8)
+         |                   WHEN 'gaud' THEN ${be32(8)} ELSE 0 END AS n_samples
+         |  FROM d)
+         |SELECT container, kind, decode_ok, count(*) AS n,
+         |  CAST(sum(width) AS BIGINT) AS width_sum,
+         |  CAST(sum(height) AS BIGINT) AS height_sum,
+         |  CAST(sum(channels) AS BIGINT) AS channels_sum,
+         |  CAST(sum(sample_rate) AS BIGINT) AS rate_sum,
+         |  CAST(sum(n_samples) AS BIGINT) AS samples_sum
+         |FROM t GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // top-k within the dumped candidate set — the blocking stage is the
     // only part DuckDB can't re-derive; cosine + ranking it can

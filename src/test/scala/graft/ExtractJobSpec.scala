@@ -111,6 +111,26 @@ class ExtractJobSpec extends AnyFunSuite {
       "resumed contents differ from clean run")
   }
 
+  test("S6 preview artifacts: per-doc preview + digest sidecar committed with each snapshot") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 80, s"$dir/pages", partitions = 2)
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val art = ExtractJob.readArtifacts(spark, s"$dir/out", snap.sequence)
+    assert(art.columns.sorted.toSeq == Seq("preview", "text_sha256", "url"))
+    assert(art.count() == 80)
+    // previews/digests are exact derivations of the committed text
+    val joined = art.join(ExtractJob.readExtracted(spark, s"$dir/out"), Seq("url"))
+      .select("url", "preview", "text_sha256", "extracted_text").collect()
+    assert(joined.length == 80)
+    joined.foreach { r =>
+      val text = Option(r.getString(3)).getOrElse("")
+      assert(r.getString(1) == text.take(ExtractJob.PreviewChars), s"preview mismatch ${r.getString(0)}")
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(2) == sha, s"digest mismatch ${r.getString(0)}")
+    }
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")

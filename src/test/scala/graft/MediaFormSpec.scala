@@ -80,6 +80,40 @@ class MediaFormSpec extends AnyFunSuite {
     assert(m.width == 320 && m.height == 240 && m.ok)
   }
 
+  test("media: REAL BMP codec — encode/decode roundtrip, truncation is total") {
+    val bmp = MediaOps.encodeBmp(17, 9, 3, Array.tabulate(800)(_.toByte))
+    val m = MediaOps.decodeBmp(bmp)
+    assert(m.ok && m.container == "bmp" && m.kind == "image")
+    assert(m.width == 17 && m.height == 9 && m.channels == 3)
+    assert(m.payloadOff == 54)
+    // row stride padded to 4 bytes, as the format requires
+    assert(bmp.length == 54 + ((17 * 3 + 3) / 4) * 4 * 9)
+    // dispatch goes through decodeMeta too
+    assert(MediaOps.decodeMeta(bmp).width == 17)
+    assert(!MediaOps.decodeBmp(java.util.Arrays.copyOf(bmp, 30)).ok)
+    assert(!MediaOps.decodeBmp("BMgarbage".getBytes).ok)
+  }
+
+  test("media: REAL WAV codec — roundtrip, chunk walking past a LIST chunk") {
+    val wav = MediaOps.encodeWav(22050, 2, 16, Array.tabulate(400)(_.toByte))
+    val m = MediaOps.decodeWav(wav)
+    assert(m.ok && m.container == "wav" && m.kind == "audio")
+    assert(m.sampleRate == 22050 && m.channels == 2)
+    assert(m.nSamples == 400 / (2 * 2)) // blockAlign = 4
+    assert(m.payloadOff == 44)
+    // a real-world layout: LIST chunk between fmt and data — the
+    // decoder must walk chunks, not assume canonical offsets
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(wav, 0, 36) // RIFF..fmt chunk end
+    out.write("LIST".getBytes); out.write(Array[Byte](6, 0, 0, 0)) // size 6 LE
+    out.write("INFOab".getBytes)
+    out.write(wav, 36, wav.length - 36) // data chunk
+    val shifted = out.toByteArray
+    val s = MediaOps.decodeWav(shifted)
+    assert(s.ok && s.sampleRate == 22050 && s.nSamples == 100 && s.payloadOff == 44 + 14)
+    assert(!MediaOps.decodeWav(java.util.Arrays.copyOf(wav, 40)).ok)
+  }
+
   test("media: batched feature extraction over spark") {
     val media = MediaOps.genMedia(spark, 500)
     val feats = MediaOps.withFeatures(media)
