@@ -261,7 +261,10 @@ object Warc {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val bytes = writeSegment(ps)
         val target = java.nio.file.Paths.get(dir, f"segment-$pid%05d$ext")
-        val tmp = target.resolveSibling(target.getFileName.toString + s".tmp-$pid")
+        // underscore prefix: a crashed writer's temp must never match the
+        // ingestion glob (*.warc*) — Spark's file index skips _* files,
+        // and the readers' pathGlobFilter can't see it either
+        val tmp = target.resolveSibling("_tmp-" + target.getFileName.toString)
         java.nio.file.Files.write(tmp, if (doGzip) gzip(bytes) else bytes)
         java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,

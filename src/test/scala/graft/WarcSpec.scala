@@ -160,6 +160,19 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.gunzip("nope".getBytes(UTF_8)).isEmpty)
   }
 
+  test("a crashed writer's _tmp segment is invisible to ingestion and resume") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftwarctmp").toString
+    val pages = (0 until 30).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    Warc.writeSegments(spark.createDataset(pages).coalesce(1), dir)
+    // plant a crashed writer's leftover: a full copy under the _tmp name
+    val seg = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc")).head
+    Files.copy(seg.toPath, seg.toPath.resolveSibling("_tmp-segment-99999.warc"))
+    // neither the page reader nor the resume file list may see it
+    assert(Warc.readPages(spark, dir).count() == 30, "tmp leftover was ingested (duplicates)")
+    assert(Warc.listSegments(spark, dir).size == 1)
+  }
+
   test("file-manifest resume: re-run extracts ONLY newly-arrived segments") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftwarcresume").toString
