@@ -413,14 +413,28 @@ object WarcExtractCli {
 }
 
 /** Generator entry point:
-  *   runMain graft.job.GenCli <rows> <outPath>
+  *   runMain graft.job.GenCli <rows> <outPath> [--warc|--warc-gz]
+  * Default output is the pages parquet; `--warc`/`--warc-gz` writes the
+  * same deterministic corpus as Common-Crawl-style WARC segments (one
+  * per partition, executor-side atomic writes) so WarcExtractCli is
+  * drivable end-to-end from the CLI.
   */
 object GenCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenCli <rows> <outPath>")
+    require(args.length >= 2, "usage: GenCli <rows> <outPath> [--warc|--warc-gz]")
     val spark = GraftSession.local()
-    ExtractJob.generatePages(spark, args(0).toLong, args(1))
-    println(s"generated ${args(0)} pages at ${args(1)}")
+    val rows = args(0).toLong
+    args.drop(2).headOption match {
+      case Some(flag @ ("--warc" | "--warc-gz")) =>
+        import spark.implicits._
+        val pages = spark.range(0, rows, 1, spark.sparkContext.defaultParallelism)
+          .mapPartitions(_.map(i => graft.gen.PageGen.genRow(graft.gen.PageGen.DefaultSeed, i).page))
+        graft.sources.Warc.writeSegments(pages, args(1), compress = flag == "--warc-gz")
+        println(s"generated $rows pages as WARC segments at ${args(1)}")
+      case _ =>
+        ExtractJob.generatePages(spark, rows, args(1))
+        println(s"generated $rows pages at ${args(1)}")
+    }
     spark.stop()
   }
 }

@@ -250,6 +250,12 @@ object Warc {
     * cluster deployment points `dir` at the distributed FS. */
   def writeSegments(pages: Dataset[Page], dir: String, compress: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // Sweep temps left by a previous crashed run: they are invisible to
+    // every reader (the _-prefix), so without this they would accumulate
+    // silently, leaking a full segment copy per crash.
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_tmp-"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     import pages.sparkSession.implicits._
     val ext = if (compress) ".warc.gz" else ".warc"
     val doGzip = compress
@@ -258,17 +264,26 @@ object Warc {
       val ps = it.toSeq
       if (ps.isEmpty) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val bytes = writeSegment(ps)
         val target = java.nio.file.Paths.get(dir, f"segment-$pid%05d$ext")
-        // underscore prefix: a crashed writer's temp must never match the
-        // ingestion glob (*.warc*) — Spark's file index skips _* files,
-        // and the readers' pathGlobFilter can't see it either
-        val tmp = target.resolveSibling("_tmp-" + target.getFileName.toString)
-        java.nio.file.Files.write(tmp, if (doGzip) gzip(bytes) else bytes)
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // Underscore prefix: Spark's file index drops _-prefixed files
+        // before pathGlobFilter runs, so a crashed writer's temp is
+        // invisible to segmentsDF/listSegments. (The *.warc* glob itself
+        // WOULD match "_tmp-…" — any non-Spark listing of this dir must
+        // keep skipping _* names, as listSegments does.) Attempt-suffixed
+        // so a speculative/zombie retry of the same partition never
+        // interleaves writes into a live temp; the ATOMIC_MOVE makes
+        // last-finisher-wins safe since both attempts carry equal bytes.
+        val tmp = target.resolveSibling(
+          "_tmp-" + target.getFileName.toString + "." + tc.taskAttemptId())
+        try {
+          java.nio.file.Files.write(tmp, if (doGzip) gzip(bytes) else bytes)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
         Iterator.single(pid)
       }
     }.collect()

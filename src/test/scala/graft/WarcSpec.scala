@@ -171,6 +171,11 @@ class WarcSpec extends AnyFunSuite {
     // neither the page reader nor the resume file list may see it
     assert(Warc.readPages(spark, dir).count() == 30, "tmp leftover was ingested (duplicates)")
     assert(Warc.listSegments(spark, dir).size == 1)
+    // and the next writer run sweeps it (invisible ≠ leaked forever)
+    Warc.writeSegments(spark.createDataset(
+      (30 until 40).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)).coalesce(1), dir)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp-")),
+      "stale _tmp leftover survived the next writeSegments run")
   }
 
   test("file-manifest resume: re-run extracts ONLY newly-arrived segments") {
