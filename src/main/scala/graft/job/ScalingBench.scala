@@ -81,6 +81,24 @@ object ScalingBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Cheap phase probe: the pure-CPU calibration pair alone (~1 min),
+    * printing the platform ceiling for an N→4N pairing WITHOUT paying
+    * for a full measured campaign — used to decide whether the VM phase
+    * is worth spending a full ScalingBench window on.
+    *   runMain graft.job.CalibProbe [n] [reps]
+    */
+  def calibPair(n: Int, reps: Int): Double = {
+    val n4 = n * 4
+    var calN = Double.MaxValue; var cal4N = Double.MaxValue
+    (1 to reps).foreach { _ =>
+      val sN = session(n)
+      try { val c = calibrateOnce(sN, n4); if (c < calN) calN = c } finally sN.stop()
+      val s4 = session(n4)
+      try { val c = calibrateOnce(s4, n4); if (c < cal4N) cal4N = c } finally s4.stop()
+    }
+    (calN / cal4N) / 4.0
+  }
+
   /** Interleaved best-of measurement: alternating N / 4N runs inside the
     * same wall-clock window decorrelates the two levels from the
     * sandbox VM's noisy phases (observed ±30% on identical busy-loops). */
@@ -136,5 +154,14 @@ object ScalingBench {
     dir.mkdirs()
     java.nio.file.Files.writeString(dir.toPath.resolve(s"scaling_${n}_$n4.json"), json + "\n")
     if (n == 4) java.nio.file.Files.writeString(dir.toPath.resolve("scaling.json"), json + "\n")
+  }
+}
+
+object CalibProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 8
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val eff = ScalingBench.calibPair(n, reps)
+    println(f"""{"metric":"calibration_ceiling","n_cores":$n,"n4_cores":${n * 4},"value":$eff%.3f}""")
   }
 }

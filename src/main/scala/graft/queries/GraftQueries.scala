@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.job.ExtractJob
-import graft.ops.{Balance, Dedup, Similarity, TextStats}
+import graft.ops.{Balance, Decontam, Dedup, Repetition, Similarity, TextStats}
 
 /** The SURVEY.md §2 operator inventory expressed as runnable queries
   * over the driver's parquet tables, each with a DuckDB-equivalent
@@ -541,6 +541,37 @@ object GraftQueries {
       Balance.topKPerGroup(e, col("host"), col("url"),
           Seq(length(col("extracted_text")).desc, col("url").asc), k = 20)
         .select(col("host"), col("url"), col("rk"))
+    }),
+
+    // Gopher/C4 repetition filters: per-doc duplicate-line and n-gram
+    // repetition fractions + the published keep thresholds. One-pass
+    // map-side kernel (ops/Repetition) — a projection on the corpus
+    // scan at any scale; the DuckDB oracle re-derives all four
+    // fractions and the gate from the raw text via unnest aggregates.
+    // (This corpus has no intra-doc line structure, so the line
+    // fractions are exact zeros here; OpsSpec proves the line path on
+    // planted boilerplate-heavy docs.)
+    "q54_repetition" -> ((s, d) =>
+      Repetition.withStats(t(s, d, "documents"))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_line_char_frac"),
+          col("top_bigram_frac"), col("dup_trigram_frac"), col("keep"))),
+
+    // benchmark decontamination: training docs sharing a token 8-gram
+    // with the (deterministic, tiny) eval slice — eval grams broadcast,
+    // corpus side map-side distinct-gram explode, the only shuffle is
+    // the groupBy over matched pairs. The oracle re-derives the pair
+    // list with a lateral-unnest self-join in DuckDB.
+    "q55_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // the local documents parquet is ONE scan split — spread the
+      // gram explode across cores (same under-split fix as q36; at
+      // real scale the corpus scan has ~800k splits and no
+      // repartition of raw text would appear here)
+      Decontam.contaminationPairs(
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .repartition(2 * s.sparkContext.defaultParallelism),
+        docs.filter(col("doc_id") % 50 === 0),
+        keyCol = "doc_id", textCol = "text", n = 8)
     }),
 
     // W3 + lag: event ordering per user
@@ -1149,6 +1180,69 @@ object GraftQueries {
         |SELECT s.doc_id, s.quality, round(t.q75, 6) AS q75
         |FROM scored s, thr t
         |WHERE s.quality >= t.q75""".stripMargin,
+
+    // all four repetition fractions + the gate re-derived from raw text
+    // via unnest aggregates; the gate compares UNROUNDED values (the
+    // kernel does too), rounding only the surfaced columns
+    "q54_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS len FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |), lstats AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dlf,
+        |    CAST(sum((c-1)*len) AS DOUBLE) / nullif(sum(c*len), 0) AS dlcf
+        |  FROM lines GROUP BY 1
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents
+        |), tchars AS (
+        |  SELECT doc_id, coalesce(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0) AS tc FROM toks
+        |), bg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM toks, unnest(range(1, len(tk))) AS r(i))
+        |  GROUP BY 1, 2
+        |), topbg AS (
+        |  SELECT doc_id, CAST(c * (length(g) - 1) AS DOUBLE) AS mass
+        |  FROM (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM bg)
+        |  WHERE rn = 1
+        |), tgs AS (
+        |  SELECT doc_id, CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dtf FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id, tk[i]||' '||tk[i+1]||' '||tk[i+2] AS g FROM toks, unnest(range(1, len(tk)-1)) AS r(i))
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), raw AS (
+        |  SELECT d.doc_id,
+        |    coalesce(l.dlf, 0.0) AS dlf, coalesce(l.dlcf, 0.0) AS dlcf,
+        |    coalesce(b.mass / nullif(tc.tc, 0), 0.0) AS tbf,
+        |    coalesce(g.dtf, 0.0) AS dtf
+        |  FROM documents d
+        |  LEFT JOIN lstats l USING (doc_id)
+        |  LEFT JOIN tchars tc USING (doc_id)
+        |  LEFT JOIN topbg b USING (doc_id)
+        |  LEFT JOIN tgs g USING (doc_id))
+        |SELECT doc_id, round(dlf, 6) AS dup_line_frac, round(dlcf, 6) AS dup_line_char_frac,
+        |  round(tbf, 6) AS top_bigram_frac, round(dtf, 6) AS dup_trigram_frac,
+        |  (dlf <= 0.30 AND dlcf <= 0.20 AND tbf <= 0.20 AND dtf <= 0.30) AS keep
+        |FROM raw""".stripMargin,
+
+    // the contamination pair list re-derived with a lateral-unnest
+    // 8-gram self-join (the oracle needs no broadcast hints — equality
+    // of the PAIR SET is what proves the Spark plan's semantics)
+    "q55_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents
+        |), ng AS (
+        |  SELECT DISTINCT doc_id,
+        |    tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7] AS g
+        |  FROM toks, unnest(range(1, len(tk)-6)) AS r(i)
+        |)
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_shared
+        |FROM ng t JOIN ng e ON t.g = e.g
+        |WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+        |GROUP BY 1, 2""".stripMargin,
 
     "q15_window_lag" ->
       """SELECT user_id, event_id,

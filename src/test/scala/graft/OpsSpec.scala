@@ -304,4 +304,51 @@ class OpsSpec extends AnyFunSuite {
     assert(TextStats.fingerprint("hello world") != TextStats.fingerprint("world hello"))
     assert(TextStats.bpeishCount("the cat's hat 1234!") > 0)
   }
+
+  test("repetition filters fire on planted boilerplate, pass clean prose") {
+    import graft.ops.Repetition
+    // nav-menu boilerplate: the same line 6 of 10 times -> both line
+    // signals way past the Gopher thresholds
+    val boiler = (Seq.fill(6)("home products about contact login") ++
+      Seq("alpha bravo", "charlie delta", "echo foxtrot", "golf hotel")).mkString("\n")
+    val b = Repetition.stats(boiler)
+    assert(b.dup_line_frac == 0.5, s"excess 5 of 10 lines, got ${b.dup_line_frac}")
+    assert(b.dup_line_char_frac > 0.2 && !b.keep)
+    // a 2-gram loop: "buy now buy now ..." -> top bigram dominates
+    val loop = Array.fill(30)("buy now").mkString(" ")
+    val l = Repetition.stats(loop)
+    assert(l.top_bigram_frac > 0.2 && l.dup_trigram_frac > 0.3 && !l.keep)
+    // clean prose with no repetition passes every gate
+    val clean = "the quick brown fox jumps over a lazy dog while twelve wizards brew quirky potions"
+    val c = Repetition.stats(clean)
+    assert(c.dup_line_frac == 0.0 && c.top_bigram_frac < 0.2 && c.dup_trigram_frac == 0.0 && c.keep)
+    // degenerate inputs never NaN
+    assert(Repetition.stats("").keep && Repetition.stats(null).keep)
+    assert(Repetition.stats("one").keep && Repetition.stats("\n\n").keep)
+    // the DataFrame surface agrees with the kernel
+    import spark.implicits._
+    val df = graft.ops.Repetition.withStats(
+      Seq((1L, boiler), (2L, loop), (3L, clean)).toDF("doc_id", "text"))
+    val keeps = df.select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keeps == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("decontamination finds exactly the planted 8-gram overlaps, broadcast-side eval") {
+    import spark.implicits._
+    import graft.ops.Decontam
+    val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val train = Seq(
+      // shares the first 8-gram (and two more by overlap) with evalDoc
+      (10L, "xx " + evalDoc.split(' ').take(9).mkString(" ") + " yy"),
+      (11L, "completely different words with no overlap at all here today"),
+      (12L, "short doc")).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val pairs = Decontam.contaminationPairs(train, eval, "doc_id", "text", n = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == Set((10L, 100L, 2L)), s"got ${got.toSet}")
+    // the eval side must broadcast (100 TB-side never shuffles for the join)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "eval grams must be broadcast")
+  }
 }
