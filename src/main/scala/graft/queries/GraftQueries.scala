@@ -1228,6 +1228,36 @@ object GraftQueries {
         |  (dlf <= 0.30 AND dlcf <= 0.20 AND tbf <= 0.20 AND dtf <= 0.30) AS keep
         |FROM raw""".stripMargin,
 
+    // the Rabin–Karp/FNV-1a rolling fingerprint re-derived in PURE SQL:
+    // normalize (lowercase, whitespace-collapse, trim — exactly the
+    // kernel's skip/separator semantics), then fold FNV-1a over the
+    // char codes with HUGEINT mod-2^64 arithmetic (the 128-bit type
+    // absorbs the 64x40-bit product; xor works on HUGEINT), formatted
+    // as two 32-bit hex halves. bpeish_tokens re-runs the GPT-2-style
+    // pre-tokenizer regex (RE2-safe verbatim) with ceil(len/4) per run.
+    "q27_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS norm
+        |  FROM documents
+        |), codes AS (
+        |  SELECT doc_id, text,
+        |    list_prepend(CAST(-3750763034362895579 AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT),
+        |      list_transform(string_split(norm, ''), ch -> CAST(unicode(ch) AS HUGEINT))) AS cs
+        |  FROM base
+        |), fp AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(cs, (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM codes
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'),
+        |    r -> (length(r) + 3) // 4)) AS INTEGER) AS bpeish_tokens,
+        |  printf('%08x%08x', CAST(h // 4294967296 AS BIGINT), CAST(h % 4294967296 AS BIGINT)) AS fingerprint
+        |FROM fp""".stripMargin,
+
     // the contamination pair list re-derived with a lateral-unnest
     // 8-gram self-join (the oracle needs no broadcast hints — equality
     // of the PAIR SET is what proves the Spark plan's semantics)
