@@ -67,6 +67,51 @@ object TextStats {
     df.withColumn(outCol, fn(col(textCol)))
   }
 
+  /** DuckDB mirror of [[predictLang]], generated from the SAME
+    * [[stopwords]] table (the EntityOracle pattern: one rule source
+    * emits both engines, so the lists cannot drift). `sourceRel` must
+    * provide (url, lang, t). Semantics mirrored step by step: CJK
+    * letter-ratio over the first 4000 chars (the exact UnicodeBlock
+    * ranges), else stopword hit-rates over the first 400 `[^\p{L}]+`-
+    * split lowercased words, argmax with the kernel's (count, lang)
+    * tie-break via a sorted struct list, 0.03 evidence floor. Safe
+    * because the corpus is BMP-only (Java UTF-16 units = code points)
+    * and ASCII/Latin-1 cased (per-char toLowerCase = lower()). */
+  def langIdOracleSql(sourceRel: String): String = {
+    val langs = stopwords.keys.toSeq.sorted
+    def lit(ws: Set[String]) =
+      ws.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ",", "]")
+    val hitCols = langs.map(l =>
+      s"len(list_filter(wl, w -> list_contains(${lit(stopwords(l))}, w))) AS c_$l").mkString(",\n    ")
+    val structs = langs.map(l => s"struct_pack(c := c_$l, l := '$l')").mkString(",\n      ")
+    s"""WITH base AS (
+       |  SELECT url, lang, t AS text FROM $sourceRel
+       |), feat AS (
+       |  SELECT url, lang,
+       |    length(regexp_replace(substring(text, 1, 4000), '[^\\p{L}]', '', 'g')) AS n_letters,
+       |    length(regexp_replace(substring(text, 1, 4000), '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]', '', 'g')) AS n_cjk,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '')[1:400] AS wl
+       |  FROM base
+       |), hits AS (
+       |  SELECT url, lang, n_letters, n_cjk, len(wl) AS nw,
+       |    $hitCols
+       |  FROM feat
+       |), best AS (
+       |  SELECT url, lang, n_letters, n_cjk, nw,
+       |    list_sort([
+       |      $structs])[-1] AS b
+       |  FROM hits
+       |), pred AS (
+       |  SELECT url, lang,
+       |    CASE WHEN n_letters > 0 AND CAST(n_cjk AS DOUBLE)/n_letters > 0.25 THEN 'zho'
+       |         WHEN nw = 0 THEN 'und'
+       |         WHEN CAST(b.c AS DOUBLE)/nw < 0.03 THEN 'und'
+       |         ELSE b.l END AS predicted_lang
+       |  FROM best)
+       |SELECT url, lang, predicted_lang, (lang = predicted_lang) AS correct
+       |FROM pred""".stripMargin
+  }
+
   // ---- quality scoring (pure SQL expressions — codegen'd) -------------
 
   /** Shallow quality features, Gopher/C4-style: length, token stats,

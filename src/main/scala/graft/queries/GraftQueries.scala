@@ -1334,6 +1334,69 @@ object GraftQueries {
          |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
          |GROUP BY 1""".stripMargin,
 
+    // the segmenter re-derived relationally from the dumped spans:
+    // heading starts become candidate boundaries (plus a leading 0 when
+    // the first heading is offset), contained-span aggregates give the
+    // confidence and title, and the validators (0.6 confidence floor,
+    // 5% min char share, bounds) filter before re-indexing. The
+    // confidence mean folds the body scores with list_reduce over the
+    // kernel's exact stable sort order (start, then original array
+    // ordinal) — bitwise-equal doubles, no rounding needed.
+    "q42_segments" ->
+      s"""WITH docs AS (
+         |  SELECT url, extracted_text AS text, spans
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html' AND length(extracted_text) > 0
+         |), sp AS (
+         |  SELECT url, i, spans[i]."start" AS s_start, spans[i]."end" AS s_end,
+         |         spans[i].kind AS kind, spans[i].score AS score,
+         |         CAST(spans[i]."start" AS BIGINT) * 1000000 + i AS ord_key
+         |  FROM docs, unnest(range(1, len(spans) + 1)) AS r(i)
+         |), heads AS (
+         |  SELECT url, s_start, row_number() OVER (PARTITION BY url ORDER BY ord_key) AS hn
+         |  FROM sp WHERE kind = 'heading'
+         |), bounds AS (
+         |  SELECT url, s_start AS seg_start FROM heads
+         |  UNION ALL
+         |  SELECT d.url, 0 FROM docs d
+         |  WHERE NOT EXISTS (SELECT 1 FROM heads h WHERE h.url = d.url AND h.s_start = 0 AND h.hn = 1)
+         |), cand AS (
+         |  SELECT b.url, b.seg_start,
+         |    coalesce(lead(b.seg_start) OVER (PARTITION BY b.url ORDER BY b.seg_start) - 1,
+         |             length(d.text)) AS seg_end,
+         |    length(d.text) AS tlen, d.text AS text
+         |  FROM bounds b JOIN docs d ON b.url = d.url
+         |), conf AS (
+         |  SELECT c.url, c.seg_start, c.seg_end, c.tlen, c.text,
+         |    coalesce((SELECT list_reduce(list(score ORDER BY ord_key), (a, b) -> a + b) / count(*)
+         |              FROM sp WHERE sp.url = c.url AND sp.kind <> 'heading'
+         |                AND sp.s_start >= c.seg_start AND sp.s_end <= c.seg_end), 0.0) AS confidence,
+         |    (SELECT substring(c.text, min_by(s_start, ord_key) + 1,
+         |                      min_by(s_end, ord_key) - min_by(s_start, ord_key))
+         |     FROM sp WHERE sp.url = c.url AND sp.kind = 'heading'
+         |       AND sp.s_start >= c.seg_start AND sp.s_end <= c.seg_end) AS title
+         |  FROM cand c
+         |), valid AS (
+         |  SELECT url, seg_start, seg_end, title, confidence, seg_end - seg_start AS n_chars
+         |  FROM conf
+         |  WHERE confidence >= 0.6 AND (seg_end - seg_start) >= tlen * (5.0 / 100.0)
+         |    AND seg_start >= 0 AND seg_end <= tlen
+         |)
+         |SELECT url, CAST(row_number() OVER (PARTITION BY url ORDER BY seg_start) - 1 AS INTEGER) AS doc_index,
+         |  CAST(seg_start AS INTEGER) AS "start", CAST(seg_end AS INTEGER) AS "end",
+         |  title, confidence, CAST(seg_end - seg_start AS INTEGER) AS n_chars
+         |FROM valid""".stripMargin,
+
+    // the lang-id classifier re-derived from the SAME stopword tables
+    // (TextStats.langIdOracleSql emits the SQL from the kernel's own
+    // Map — the DocType/EntityOracle shared-rule-table pattern):
+    // CJK letter ratio, stopword argmax, evidence floor, all in SQL
+    "q26_lang_id" ->
+      TextStats.langIdOracleSql(
+        s"""(SELECT url, lang, extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
     // the whole entity engine re-derived rule-by-rule from the
     // extraction dump (EntityOracle builds the SQL from
     // EntityMatcher.rules itself — same pattern sources, SQL twins of
