@@ -574,6 +574,17 @@ object GraftQueries {
         keyCol = "doc_id", textCol = "text", n = 8)
     }),
 
+    // S11 JSON sidecar, parse form: the events table's props column is
+    // a JSON string (the reference's sidecar payload); extract a typed
+    // field and roll up. get_json_object is Catalyst-native (one parse
+    // per row, no UDF); the oracle uses DuckDB's json_extract_string.
+    "q56_json_props" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // W3 + lag: event ordering per user
     "q15_window_lag" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -1273,6 +1284,13 @@ object GraftQueries {
         |FROM ng t JOIN ng e ON t.g = e.g
         |WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
         |GROUP BY 1, 2""".stripMargin,
+
+    "q56_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q15_window_lag" ->
       """SELECT user_id, event_id,
