@@ -25,11 +25,7 @@ object Decontam {
   /** Distinct token n-grams per row: (keyCol, gram). */
   def distinctGrams(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
     val toks = filter(split(col(textCol), "\\s+"), x => x =!= "")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(keyCol), explode(array_distinct(grams)).as("gram"))
+    df.select(col(keyCol), explode(Ngrams.distinct(toks, n)).as("gram"))
   }
 
   /** Contaminated (train_id, eval_id, n_shared) pairs: training docs

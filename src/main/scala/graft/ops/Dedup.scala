@@ -227,10 +227,7 @@ object Dedup {
     // small by contract (brute force is the capped baseline).
     val sh = docs.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col(idCol), array_distinct(
-        transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))).as("sh"))
+      .select(col(idCol), Ngrams.distinct(col("toks"), 3).as("sh"))
       .persist()
     // A small parquet corpus arrives as ONE scan split, and a
     // nested-loop join inherits the STREAMED side's partitioning — so

@@ -40,15 +40,22 @@ object Repetition {
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
+  /** The `keep` field is derived by [[Stats.gated]] — the gate exists
+    * exactly once, and the UDF struct carries it to the DataFrame
+    * surface unchanged. */
   final case class Stats(dup_line_frac: Double, dup_line_char_frac: Double,
-                         top_bigram_frac: Double, dup_trigram_frac: Double) {
-    def keep: Boolean =
-      dup_line_frac <= DupLineMax && dup_line_char_frac <= DupLineCharMax &&
-        top_bigram_frac <= TopBigramMax && dup_trigram_frac <= DupTrigramMax
+                         top_bigram_frac: Double, dup_trigram_frac: Double,
+                         keep: Boolean)
+  object Stats {
+    def gated(dupLineFrac: Double, dupLineCharFrac: Double,
+              topBigramFrac: Double, dupTrigramFrac: Double): Stats =
+      Stats(dupLineFrac, dupLineCharFrac, topBigramFrac, dupTrigramFrac,
+        dupLineFrac <= DupLineMax && dupLineCharFrac <= DupLineCharMax &&
+          topBigramFrac <= TopBigramMax && dupTrigramFrac <= DupTrigramMax)
   }
 
   def stats(text: String): Stats = {
-    if (text == null || text.isEmpty) return Stats(0.0, 0.0, 0.0, 0.0)
+    if (text == null || text.isEmpty) return Stats.gated(0.0, 0.0, 0.0, 0.0)
 
     // ---- line repetition -------------------------------------------
     val lineCounts = new java.util.HashMap[String, Int]()
@@ -126,7 +133,7 @@ object Repetition {
       dupTrigramFrac = excess.toDouble / total
     }
 
-    Stats(dupLineFrac, dupLineCharFrac, topBigramFrac, dupTrigramFrac)
+    Stats.gated(dupLineFrac, dupLineCharFrac, topBigramFrac, dupTrigramFrac)
   }
 
   /** Attach the four repetition fractions (rounded to 6 — same
@@ -138,11 +145,7 @@ object Repetition {
       .withColumn("dup_line_char_frac", round(col("__rep.dup_line_char_frac"), 6))
       .withColumn("top_bigram_frac", round(col("__rep.top_bigram_frac"), 6))
       .withColumn("dup_trigram_frac", round(col("__rep.dup_trigram_frac"), 6))
-      .withColumn("keep",
-        col("__rep.dup_line_frac") <= DupLineMax &&
-          col("__rep.dup_line_char_frac") <= DupLineCharMax &&
-          col("__rep.top_bigram_frac") <= TopBigramMax &&
-          col("__rep.dup_trigram_frac") <= DupTrigramMax)
+      .withColumn("keep", col("__rep.keep"))
       .drop("__rep")
   }
 }

@@ -87,9 +87,15 @@ object TextStats {
     s"""WITH base AS (
        |  SELECT url, lang, t AS text FROM $sourceRel
        |), feat AS (
+       |  -- n_cjk counts CJK chars AMONG LETTERS ONLY (strip non-letters
+       |  -- first, then keep the block ranges): the kernel classifies via
+       |  -- isLetter before the UnicodeBlock check, so block punctuation
+       |  -- (katakana middle dot U+30FB, sound marks, U+30A0) must not
+       |  -- count toward either side of the ratio
        |  SELECT url, lang,
        |    length(regexp_replace(substring(text, 1, 4000), '[^\\p{L}]', '', 'g')) AS n_letters,
-       |    length(regexp_replace(substring(text, 1, 4000), '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]', '', 'g')) AS n_cjk,
+       |    length(regexp_replace(regexp_replace(substring(text, 1, 4000), '[^\\p{L}]', '', 'g'),
+       |                          '[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]', '', 'g')) AS n_cjk,
        |    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), x -> x <> '')[1:400] AS wl
        |  FROM base
        |), hits AS (

@@ -1252,9 +1252,13 @@ object GraftQueries {
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'), ' ')) AS norm
         |  FROM documents
         |), codes AS (
+        |  -- the empty-element filter matters: string_split('', '') is ['']
+        |  -- and unicode('') is -1, which would drive the fold negative on
+        |  -- empty/whitespace-only text (the kernel hashes nothing there)
         |  SELECT doc_id, text,
         |    list_prepend(CAST(-3750763034362895579 AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT),
-        |      list_transform(string_split(norm, ''), ch -> CAST(unicode(ch) AS HUGEINT))) AS cs
+        |      list_transform(list_filter(string_split(norm, ''), ch -> ch <> ''),
+        |                     ch -> CAST(unicode(ch) AS HUGEINT))) AS cs
         |  FROM base
         |), fp AS (
         |  SELECT doc_id, text,
@@ -1263,10 +1267,11 @@ object GraftQueries {
         |)
         |SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS ws_tokens,
-        |  CAST(list_sum(list_transform(
+        |  CAST(coalesce(list_sum(list_transform(
         |    regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'),
-        |    r -> (length(r) + 3) // 4)) AS INTEGER) AS bpeish_tokens,
-        |  printf('%08x%08x', CAST(h // 4294967296 AS BIGINT), CAST(h % 4294967296 AS BIGINT)) AS fingerprint
+        |    r -> (length(r) + 3) // 4)), 0) AS INTEGER) AS bpeish_tokens,
+        |  coalesce(printf('%08x%08x', CAST(h // 4294967296 AS BIGINT), CAST(h % 4294967296 AS BIGINT)),
+        |           '0000000000000000') AS fingerprint
         |FROM fp""".stripMargin,
 
     // the contamination pair list re-derived with a lateral-unnest
