@@ -574,6 +574,31 @@ object GraftQueries {
         keyCol = "doc_id", textCol = "text", n = 8)
     }),
 
+    // the end-to-end CURATION pipeline over the real extraction output —
+    // the composition a training-data user actually runs: extraction →
+    // Gopher repetition gate → corpus-median quality threshold
+    // (broadcast scalar, no global sort) → per-host cap (salted exact
+    // top-k) → deterministic split assignment. Every stage is the
+    // already-oracle-backed operator (q54/q50/q52/q51 shapes); the
+    // oracle chains their SQL mirrors into one derivation.
+    "q57_curation" -> ((s, d) => {
+      val base = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html" &&
+          length(col("extracted_text")) > 0)
+        .select(col("url"), col("extracted_text"))
+      val kept = Repetition.withStats(base, textCol = "extracted_text")
+        .filter(col("keep"))
+        .withColumn("quality", TextStats.qualityScore(col("extracted_text")))
+      val thr = kept.agg(expr("percentile(quality, 0.5)").as("q50"))
+      val gated = kept.join(broadcast(thr))
+        .filter(col("quality") >= col("q50"))
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      Balance.topKPerGroup(gated, col("host"), col("url"),
+          Seq(col("quality").desc, col("url").asc), k = 10)
+        .select(col("url"), col("host"), col("quality"), col("rk"),
+          Balance.splitAssign(col("url")).as("split"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1289,6 +1314,72 @@ object GraftQueries {
         |FROM ng t JOIN ng e ON t.g = e.g
         |WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
         |GROUP BY 1, 2""".stripMargin,
+
+    // the full curation chain re-derived in one SQL derivation: the
+    // q54 repetition fractions (over the extraction dump, unrounded
+    // gate), the q14/q50 quality formula + median threshold
+    // (quantile_cont ≡ Spark percentile), the q52 naive-window host cap
+    // (the salted two-phase plan must hash-match it), and the q51
+    // md5-prefix split — stages that are each oracle-proven alone,
+    // composed
+    "q57_curation" ->
+      s"""WITH base AS (
+         |  SELECT url, extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html' AND length(extracted_text) > 0
+         |), lines AS (
+         |  SELECT url, line, count(*) AS c, length(line) AS len FROM (
+         |    SELECT url, unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+         |    FROM base)
+         |  GROUP BY 1, 2
+         |), lstats AS (
+         |  SELECT url,
+         |    CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dlf,
+         |    CAST(sum((c-1)*len) AS DOUBLE) / nullif(sum(c*len), 0) AS dlcf
+         |  FROM lines GROUP BY 1
+         |), toks AS (
+         |  SELECT url, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk FROM base
+         |), tchars AS (
+         |  SELECT url, coalesce(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0) AS tc FROM toks
+         |), bg AS (
+         |  SELECT url, g, count(*) AS c FROM (
+         |    SELECT url, tk[i] || ' ' || tk[i+1] AS g FROM toks, unnest(range(1, len(tk))) AS r(i))
+         |  GROUP BY 1, 2
+         |), topbg AS (
+         |  SELECT url, CAST(c * (length(g) - 1) AS DOUBLE) AS mass
+         |  FROM (SELECT url, g, c, row_number() OVER (PARTITION BY url ORDER BY c DESC, g ASC) AS rn FROM bg)
+         |  WHERE rn = 1
+         |), tgs AS (
+         |  SELECT url, CAST(sum(c - 1) AS DOUBLE) / sum(c) AS dtf FROM (
+         |    SELECT url, g, count(*) AS c FROM (
+         |      SELECT url, tk[i]||' '||tk[i+1]||' '||tk[i+2] AS g FROM toks, unnest(range(1, len(tk)-1)) AS r(i))
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1
+         |), kept AS (
+         |  SELECT b.url,
+         |    round(least(length(b.text) / 500.0, 1.0)
+         |      * greatest(0.0, 1.0 - CAST(length(regexp_replace(b.text, '[^0-9]', '', 'g')) AS DOUBLE) / length(b.text) * 5)
+         |      * greatest(0.0, 1.0 - CAST(length(regexp_replace(b.text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(b.text) * 5), 6) AS quality
+         |  FROM base b
+         |  LEFT JOIN lstats l USING (url)
+         |  LEFT JOIN tchars tc USING (url)
+         |  LEFT JOIN topbg tb USING (url)
+         |  LEFT JOIN tgs g USING (url)
+         |  WHERE coalesce(l.dlf, 0.0) <= 0.30 AND coalesce(l.dlcf, 0.0) <= 0.20
+         |    AND coalesce(tb.mass / nullif(tc.tc, 0), 0.0) <= 0.20 AND coalesce(g.dtf, 0.0) <= 0.30
+         |), thr AS (
+         |  SELECT quantile_cont(quality, 0.5) AS q50 FROM kept
+         |), ranked AS (
+         |  SELECT k.url, regexp_extract(k.url, '^https?://([^/]+)', 1) AS host, k.quality,
+         |    row_number() OVER (
+         |      PARTITION BY regexp_extract(k.url, '^https?://([^/]+)', 1)
+         |      ORDER BY k.quality DESC, k.url ASC) AS rk
+         |  FROM kept k, thr t WHERE k.quality >= t.q50
+         |)
+         |SELECT url, host, quality, CAST(rk AS INTEGER) AS rk,
+         |  CASE WHEN md5(url) < 'cd' THEN 'train'
+         |       WHEN md5(url) < 'e6' THEN 'val' ELSE 'test' END AS split
+         |FROM ranked WHERE rk <= 10""".stripMargin,
 
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,
