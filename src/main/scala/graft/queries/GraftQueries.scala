@@ -586,9 +586,17 @@ object GraftQueries {
         .filter(col("error").isNull && col("payload_kind") === "html" &&
           length(col("extracted_text")) > 0)
         .select(col("url"), col("extracted_text"))
+      // materialize the scored projection ONCE (url, quality — text
+      // dropped): the threshold aggregate and the gate join both
+      // consume it, and without this the repetition kernel would run
+      // twice (measured 7.6 s → 3.1 s at sf0.1). At scale this is the
+      // same pattern as extractedCached: curation reads a materialized
+      // per-doc feature projection, not the raw corpus, twice.
       val kept = Repetition.withStats(base, textCol = "extracted_text")
         .filter(col("keep"))
-        .withColumn("quality", TextStats.qualityScore(col("extracted_text")))
+        .select(col("url"),
+          TextStats.qualityScore(col("extracted_text")).as("quality"))
+        .localCheckpoint(true)
       val thr = kept.agg(expr("percentile(quality, 0.5)").as("q50"))
       val gated = kept.join(broadcast(thr))
         .filter(col("quality") >= col("q50"))
