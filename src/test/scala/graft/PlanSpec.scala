@@ -73,6 +73,33 @@ class PlanSpec extends AnyFunSuite {
       s"expected a salted shard partitioning in the plan:\n${p.take(1500)}")
   }
 
+  test("q55 decontamination broadcasts the eval grams (corpus side never sort-merge-joins)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q55_decontam")(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast-hash-join against the corpus grams:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the 100 TB-side gram stream must never sort for the overlap join")
+  }
+
+  test("q57 curation: checkpointed feature projection, broadcast threshold, salted two-phase cap") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q57_curation")(spark, d))
+      .split("== Initial Plan ==").head
+    // the scored (url, quality) projection is an eager localCheckpoint —
+    // downstream consumers scan the materialized RDD, so the repetition
+    // kernel cannot run twice
+    assert(p.contains("ExistingRDD"),
+      s"q57 must read the checkpointed feature projection:\n${p.take(1200)}")
+    // the corpus-median threshold joins as a broadcast scalar (never a
+    // global sort / percent_rank funnel)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"quality threshold must join as a broadcast scalar:\n${p.take(1200)}")
+    // the host cap keeps the q52 two-phase salted window shape
+    val windows = p.split("Window \\[", -1).length - 1
+    assert(windows >= 2, s"expected the two-phase salted top-k windows; got $windows")
+    assert(p.contains("pmod(hash("), "expected the salted shard partitioning")
+  }
+
   test("q45 response parse is pure codegen'd expressions (no UDF, no python)") {
     val df = graft.queries.GraftQueries.queries("q45_response_parse")(spark, d)
     // string checks are vacuous here (ScalaUDF prettyName is "UDF",
