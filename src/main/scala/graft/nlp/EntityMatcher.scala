@@ -179,6 +179,17 @@ object EntityMatcher {
 
   private val rulesByPriority = rules.sortBy(-_.priority)
 
+  /** Version token keying the materialized entity dump — bump when any
+    * rule, normalizer, or suppression behavior changes bytes (same
+    * discipline as FormDetector.Version / Dedup.Version). */
+  val Version: String = "entities-1"
+
+  /** Public (rule name → priority rank) table, rank 0 = evaluated
+    * first. The q29 relational derivation joins this so its
+    * first-match-wins winner is EXACTLY assignFields' minBy
+    * (priorityOf(rule), start) over the dumped entity rows. */
+  def ruleRanks: Seq[(String, Int)] = rulesByPriority.map(_.name).zipWithIndex
+
   /** Context-window confidence (patterns.py:239-251 semantics): look
     * ±window chars around the match; a context word present → 1.0,
     * otherwise baseConfidence. */

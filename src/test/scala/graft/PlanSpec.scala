@@ -123,6 +123,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q28/q29 read the materialized entity dump, never re-running the engine pass") {
+    for (q <- Seq("q28_entities", "q29_entity_fields")) {
+      val p = executedPlan(graft.queries.GraftQueries.queries(q)(spark, d))
+      assert(p.contains("graft_entities_cache"), s"$q does not scan the entity dump")
+      assert(!p.contains("MapPartitions"),
+        s"$q re-runs the entity engine (MapPartitions in plan) instead of scanning the dump")
+    }
+  }
+
   test("q31/q43 read the materialized forms dump, never the raw pages (detect-once/read-many)") {
     for (q <- Seq("q31_form_detect", "q43_signature_pairs")) {
       val p = executedPlan(graft.queries.GraftQueries.queries(q)(spark, d))
