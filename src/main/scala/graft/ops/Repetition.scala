@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
+  /** Version token keying the materialized per-doc feature dump (bump
+    * when any fraction definition or threshold changes). */
+  val Version: String = "rep-1"
+
   val DupLineMax = 0.30
   val DupLineCharMax = 0.20
   val TopBigramMax = 0.20

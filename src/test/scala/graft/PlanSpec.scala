@@ -82,14 +82,22 @@ class PlanSpec extends AnyFunSuite {
       "the 100 TB-side gram stream must never sort for the overlap join")
   }
 
-  test("q57 curation: checkpointed feature projection, broadcast threshold, salted two-phase cap") {
+  test("q57 curation: materialized feature dump, broadcast threshold, salted two-phase cap") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q57_curation")(spark, d))
       .split("== Initial Plan ==").head
-    // the scored (url, quality) projection is an eager localCheckpoint —
-    // downstream consumers scan the materialized RDD, so the repetition
-    // kernel cannot run twice
-    assert(p.contains("ExistingRDD"),
-      s"q57 must read the checkpointed feature projection:\n${p.take(1200)}")
+    // the scored (url, quality) projection is the materialized rep
+    // dump — both consumers scan it, so the repetition kernel never
+    // runs inside the query
+    assert(p.contains("graft_rep_cache"),
+      s"q57 must read the materialized feature dump:\n${p.take(1200)}")
+    // the repetition kernel is a ScalaUDF — walk the optimized plan's
+    // expressions (string checks on "UDF" are vacuous, see q45 note)
+    val df57 = graft.queries.GraftQueries.queries("q57_curation")(spark, d)
+    val hasUdf = df57.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    }.exists(identity)
+    assert(!hasUdf, "q57 re-runs the repetition kernel in-query instead of scanning the dump")
     // the corpus-median threshold joins as a broadcast scalar (never a
     // global sort / percent_rank funnel)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
