@@ -244,8 +244,10 @@ object EntityMatcher {
     out.sortBy(e => (e.start, e.rule)).toArray
   }
 
-  private val priorityOf: Map[String, Int] =
-    rulesByPriority.map(_.name).zipWithIndex.toMap
+  // BY CONSTRUCTION the same table ruleRanks publishes: q29's
+  // relational derivation joins ruleRanks, and assignFields minBys
+  // over this map — one expression, so they cannot drift
+  private val priorityOf: Map[String, Int] = ruleRanks.toMap
 
   /** First-match-wins field assignment (extractor.py:264-327 semantics):
     * per label, the entity with the smallest (priority-rank, position). */

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * per JVM; the executor-singleton analog of the reference's cached
   * engines, /root/reference/ocrworker/engines/factory.py:9-13).
   *
-  * Two perf decisions (round-1 VERDICT "What's wrong" #2):
-  *  - the regex engine runs ONCE per row; entities and the
-  *    first-match-wins fields both derive from that single pass (the
-  *    reference computes both from one PatternMatcher pass too,
-  *    extractor.py:236-258);
+  * Two perf decisions:
+  *  - the engine runs ONCE per corpus, not per query: explodeEntities
+  *    feeds the materialized entity dump (GraftQueries.entitiesCached)
+  *    that q28 scans and q29 derives first-match-wins fields from
+  *    relationally (EntityMatcher.ruleRanks ⋈ min-struct — exactly
+  *    assignFields' minBy semantics, kept for driver-side use and
+  *    spec ground truth);
   *  - the stage is mapPartitions over a typed projection, NOT a Scala
   *    UDF: a UDF returning ARRAY<STRUCT> goes through interpreted
   *    CatalystTypeConverters per row; the Dataset encoder path is
@@ -59,18 +61,4 @@ object EntityStage {
         "vendor", "client", "signatory", "contact")
   }
 
-  /** First-match-wins field map per document (A7 semantics), from the
-    * same single engine pass. */
-  def withFields(df: DataFrame, textCol: String, idCol: String = "url"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("string"), col(textCol))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        it.map { case (id, t) =>
-          (id, EntityMatcher.assignFields(EntityMatcher.matchEntities(t)))
-        }
-      }
-      .toDF(idCol, "fields")
-  }
 }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Version token for dumps that bake in TextStats outputs (the
+    * curation feature dump stores qualityScore values) — bump when any
+    * scoring formula changes. */
+  val Version: String = "textstats-1"
+
   // ---- language identification (stopword + script heuristic) ----------
 
   /** Tiny per-language stopword tables (function words only — public

@@ -1118,7 +1118,7 @@ object GraftQueries {
     * this is a real intermediate table a curation pipeline writes, not
     * a cache trick. */
   def repDumpPath(rows: Int): String =
-    s"/tmp/graft_rep_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Repetition.Version}-rows$rows"
+    s"/tmp/graft_rep_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Repetition.Version}-${graft.ops.TextStats.Version}-rows$rows"
 
   def repCached(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
