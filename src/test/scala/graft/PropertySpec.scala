@@ -121,6 +121,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats == an independent naive implementation on random whitespace-heavy text") {
+    import graft.ops.Repetition
+    // independent reimplementation via collections groupBy (vs the
+    // kernel's single-pass HashMap walk) — exercises the tie-breaks,
+    // empty-line filtering, and \s+ vs '\n' family differences
+    def naive(text: String): (Double, Double, Double, Double) = {
+      if (text == null || text.isEmpty) return (0.0, 0.0, 0.0, 0.0)
+      val lines = text.split('\n').filter(_.nonEmpty).toSeq
+      val lg = lines.groupBy(identity).view.mapValues(_.size).toMap
+      val dlf = if (lines.isEmpty) 0.0 else lg.values.map(_ - 1).sum.toDouble / lines.size
+      val totalCh = lg.map { case (l, c) => l.length.toLong * c }.sum
+      val exCh = lg.map { case (l, c) => l.length.toLong * (c - 1) }.sum
+      val dlcf = if (totalCh == 0) 0.0 else exCh.toDouble / totalCh
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val tokCh = toks.map(_.length.toLong).sum
+      val tbf =
+        if (toks.size < 2 || tokCh == 0) 0.0
+        else {
+          val bg = toks.sliding(2).map(_.mkString(" ")).toSeq.groupBy(identity).view.mapValues(_.size)
+          // max count, ties to lexicographically smallest gram
+          val (g, c) = bg.toSeq.minBy { case (gr, ct) => (-ct, gr) }
+          c.toLong * (g.length - 1) / tokCh.toDouble
+        }
+      val dtf =
+        if (toks.size < 3) 0.0
+        else {
+          val tg = toks.sliding(3).map(_.mkString(" ")).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+          tg.values.map(_ - 1).sum.toDouble / tg.values.sum
+        }
+      (dlf, dlcf, tbf, dtf)
+    }
+    // small alphabet + whitespace variety forces collisions, ties, and
+    // empty-line/empty-token edges
+    val gen = Gen.listOf(Gen.oneOf("ab", "ba", "a", "b", "aa", " ", "\n", "\t", "\n\n", "  ")).map(_.mkString(" "))
+    forAll(gen, minSuccessful(400)) { s =>
+      val k = Repetition.stats(s)
+      val (dlf, dlcf, tbf, dtf) = naive(s)
+      assert(k.dup_line_frac == dlf, s"dup_line_frac on ${s.take(80).replace("\n", "\\n")}")
+      assert(k.dup_line_char_frac == dlcf, s"dup_line_char_frac on ${s.take(80).replace("\n", "\\n")}")
+      assert(k.top_bigram_frac == tbf, s"top_bigram_frac on ${s.take(80).replace("\n", "\\n")}")
+      assert(k.dup_trigram_frac == dtf, s"dup_trigram_frac on ${s.take(80).replace("\n", "\\n")}")
+      Seq(k.dup_line_frac, k.dup_line_char_frac, k.dup_trigram_frac).foreach(v =>
+        assert(v >= 0.0 && v <= 1.0))
+      assert(k.top_bigram_frac >= 0.0)
+    }
+  }
+
   test("golden fixtures: committed byte contract unchanged") {
     val p = java.nio.file.Paths.get(GoldenGen.fixturePath)
     assert(java.nio.file.Files.exists(p),
