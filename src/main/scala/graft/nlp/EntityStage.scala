@@ -40,6 +40,24 @@ object EntityStage {
       .toDF(idCol, "text", "label", "start", "end", "confidence", "normalized", "rule")
   }
 
+  /** Flat NER candidate table (url, label, text, start) — one row per
+    * detected capitalized-run candidate, exploded map-side with the
+    * SAME [[Ner.candidates]] kernel [[Ner.extract]] consumes. Feeds the
+    * q40 candidate dump so the DuckDB oracle can re-derive the dedup +
+    * cue-window party assignment independently (the q43 pattern). */
+  def explodeNerCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          Ner.candidates(t).iterator.map(c => (id, c.label, c.text, c.start))
+        }
+      }
+      .toDF(idCol, "label", "text", "start")
+  }
+
   /** ExtractedMetadata-analog NER columns: persons / organizations /
     * locations plus the cue-word party assignment (vendor, client,
     * signatory, contact) — extractor.py:142-170 + :329-381 semantics

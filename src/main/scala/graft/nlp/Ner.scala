@@ -36,6 +36,12 @@ final case class NerMetadata(
 
 object Ner {
 
+  /** Version token baked into the NER candidate-dump path (the
+    * Dedup.Version pattern, round-3 ADVICE #2): bump on ANY change to
+    * tokenization, classification, or the assignment cue tables so a
+    * stale /tmp dump can never green-light old kernel output. */
+  val Version = "ner1"
+
   val orgSuffixes: Set[String] = Set(
     "inc", "llc", "ltd", "corp", "corporation", "company", "co",
     "gmbh", "ag", "sa", "srl", "bv", "plc", "group", "holdings",
@@ -154,15 +160,24 @@ object Ner {
     None
   }
 
-  /** Cue lists exactly as the reference's (extractor.py:335-380). */
-  private val vendorCues = Seq("from", "seller", "vendor", "bill from")
-  private val clientCues = Seq("to", "bill to", "customer", "client", "ship to")
-  private val signatoryCues = Seq("signature", "signed by", "authorized", "behalf")
-  private val contactCues = Seq("contact", "phone", "email", "attn")
+  /** Cue lists exactly as the reference's (extractor.py:335-380).
+    * Public so [[NerOracle]] renders the SQL mirror from the SAME
+    * tables (the q39/q49 shared-rule-table pattern). */
+  val vendorCues: Seq[String] = Seq("from", "seller", "vendor", "bill from")
+  val clientCues: Seq[String] = Seq("to", "bill to", "customer", "client", "ship to")
+  val signatoryCues: Seq[String] = Seq("signature", "signed by", "authorized", "behalf")
+  val contactCues: Seq[String] = Seq("contact", "phone", "email", "attn")
 
   /** Full NER + contextual assignment over one document. */
-  def extract(text: String): NerMetadata = {
-    val cands = candidates(text)
+  def extract(text: String): NerMetadata =
+    assemble(text, candidates(text))
+
+  /** Dedup + party assignment from a pre-computed candidate list — the
+    * half of [[extract]] the DuckDB oracle re-derives from the NER
+    * candidate dump (q40; the q43 candidate-dump pattern). Split out so
+    * the engine path and the dump path share one kernel by
+    * construction. */
+  def assemble(text: String, cands: Array[Candidate]): NerMetadata = {
     def uniq(label: String): Array[String] = {
       val seen = new java.util.LinkedHashSet[String]()
       cands.foreach(c => if (c.label == label) seen.add(c.text))

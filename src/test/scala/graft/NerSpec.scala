@@ -52,6 +52,27 @@ class NerSpec extends AnyFunSuite {
     assert(m.signatory == "Wei Chen")
   }
 
+  test("candidate order invariant the q40 oracle relies on") {
+    // NerOracle reconstructs LinkedHashSet first-occurrence order as
+    // ORDER BY min(start). Sound iff candidates() emits ascending,
+    // DISTINCT starts (so dedup order == min-start order with no ties).
+    // Check over the generator corpus, not just handcrafted strings.
+    var i = 0L
+    var checked = 0
+    while (i < 400) {
+      val g = PageGen.genRow(PageGen.DefaultSeed, i)
+      if (g.kind == "html" && g.dupOf < 0) {
+        val t = graft.core.Extract(g.page).extracted_text
+        val starts = Ner.candidates(t).map(_.start)
+        assert(starts.sameElements(starts.sorted), s"row $i not ascending")
+        assert(starts.distinct.length == starts.length, s"row $i start tie")
+        checked += 1
+      }
+      i += 1
+    }
+    assert(checked > 100)
+  }
+
   test("end-to-end: planted generator sentences are recovered") {
     // find generated pages containing each nerSentence shape and check
     // extraction -> NER recovers the planted parties
