@@ -57,4 +57,43 @@ object Balance {
     val h = md5(id.cast("string"))
     when(h < lit("cd"), "train").when(h < lit("e6"), "val").otherwise("test")
   }
+
+  /** Deterministic mixture resampling: per-group keep rates (the
+    * domain/language reweighting every LLM data pipeline applies when
+    * composing a training mix — public method, e.g. the per-source
+    * sampling weights of GPT-3 appendix A / The Pile §1). A row is
+    * kept iff the first 6 md5-hex digits of its id fall below the
+    * group's rate threshold — the same engine-portable hex-threshold
+    * trick as [[splitAssign]], so membership is a pure function of
+    * (id, rate): stable under ingestion, reproducible on any engine,
+    * zero shuffle (the decision is map-side; only the caller's
+    * aggregation shuffles).
+    *
+    * Thresholds are precomputed hex literals (floor(rate·16^6) as 6
+    * hex digits), so the comparison is string-lexicographic in both
+    * Spark and DuckDB with no float arithmetic in either engine. */
+  /** rate → 6-hex-digit threshold; rate >= 1 keeps everything ("g"
+    * sorts after every hex digit). Shared by the Column and SQL
+    * renderings so they cannot diverge. */
+  private def hex6(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0, (rate * 0x1000000L).toLong)}%06x"
+
+  def mixtureKeep(id: Column, group: Column,
+                  rates: Seq[(String, Double)], defaultRate: Double): Column = {
+    val h6 = substring(md5(id.cast("string")), 1, 6)
+    val thr = rates.foldLeft(when(lit(false), lit("")): Column) {
+      case (c, (g, r)) => c.when(group === g, lit(hex6(r)))
+    }.otherwise(lit(hex6(defaultRate)))
+    h6 < thr
+  }
+
+  /** DuckDB mirror of [[mixtureKeep]] as a boolean SQL expression,
+    * rendered from the SAME rate table + hex-threshold function. */
+  def mixtureKeepSql(idExpr: String, groupExpr: String,
+                     rates: Seq[(String, Double)], defaultRate: Double): String = {
+    val cases = rates.map { case (g, r) => s"WHEN '$g' THEN '${hex6(r)}'" }
+      .mkString(" ")
+    s"substr(md5($idExpr), 1, 6) < (CASE $groupExpr $cases ELSE '${hex6(defaultRate)}' END)"
+  }
 }

@@ -119,6 +119,11 @@ object GraftQueries {
   /** Media-table rows at the pinned sf (same formula as mediaRowsFor). */
   private def mediaOracleRows: Int = math.max(oracleRows / 20, 50)
 
+  /** q61 training-mix rate table, shared by the Spark query and the
+    * DuckDB oracle rendering (Balance.mixtureKeep / mixtureKeepSql). */
+  private val MixtureRates = Seq("eng" -> 1.0, "deu" -> 0.5, "fra" -> 0.25)
+  private val MixtureDefaultRate = 0.125
+
   /** Write `df` as a parquet dump at `path` atomically: write to a
     * pid-suffixed temp dir, then rename into place. Two JVMs racing on
     * the same key (e.g. Verify and Bench at the same sf) can no longer
@@ -597,6 +602,45 @@ object GraftQueries {
           Seq(col("quality").desc, col("url").asc), k = 10)
         .select(col("url"), col("host"), col("quality"), col("rk"),
           Balance.splitAssign(col("url")).as("split"))
+    }),
+
+    // PII scrubbing over the extraction corpus (the pre-release pass of
+    // C4/Dolma-style pipelines): per-family regex counts + typed-mask
+    // redaction, value-checked via the redacted-text digest. Pure
+    // map-side Catalyst regex — zero shuffle (PlanSpec-gated), the
+    // cheapest possible 100 TB shape.
+    "q58_pii_redact" -> ((s, d) =>
+      graft.ops.Pii.summarize(
+        extractedCached(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "url", "extracted_text")),
+
+    // C4-style corpus-wide line dedup: a long line is kept only at its
+    // first occurrence (lexicographic (url, pos) minimum). Line TEXT
+    // never crosses a shuffle — md5 digests only.
+    "q59_line_dedup" -> ((s, d) =>
+      graft.ops.LineDedup.summarize(
+        extractedCached(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "url", "extracted_text")),
+
+    // RefinedWeb-style host-level curation: per-domain rollup of
+    // duplication + confidence signals with an integer-exact keep rule
+    // (drop hosts >50% exact-dups or below avg confidence 0.65).
+    "q60_domain_curation" -> ((s, d) =>
+      graft.ops.DomainCuration.summarize(
+        extractedCached(s, d).filter(col("error").isNull && col("payload_kind") === "html"),
+        "url", "extracted_text", "lang", "confidence")),
+
+    // deterministic training-mix resampling: per-language keep rates
+    // applied via the md5-hex threshold (stable under ingestion,
+    // engine-portable); reports planned vs achieved per-lang volumes
+    "q61_mixture_sample" -> ((s, d) => {
+      val e = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+      e.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(Balance.mixtureKeep(col("url"), col("lang"),
+            MixtureRates, MixtureDefaultRate), 1L).otherwise(0L)).as("n_kept"))
     }),
 
     // S11 JSON sidecar, parse form: the events table's props column is
@@ -1472,6 +1516,43 @@ object GraftQueries {
          |  CASE WHEN md5(url) < 'cd' THEN 'train'
          |       WHEN md5(url) < 'e6' THEN 'val' ELSE 'test' END AS split
          |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    // PII scrubbing re-derived: identical RE2-safe pattern strings
+    // (rendered from Pii.patterns — shared-rule-table), counts on the
+    // original text, masks composed in table order, digest + length of
+    // the fully redacted text
+    "q58_pii_redact" ->
+      graft.ops.Pii.summarySql(
+        s"""(SELECT url, extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // corpus-wide line dedup re-derived: same split/gate/md5 keying,
+    // keeper = min(url) then min(pos) within it (≡ struct minimum)
+    "q59_line_dedup" ->
+      graft.ops.LineDedup.summarySql(
+        s"""(SELECT url, extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // host-level curation re-derived: split_part host, md5 self-count
+    // dup flag, integer-exact keep rule (conf micros, 2·dup ≤ docs)
+    "q60_domain_curation" ->
+      graft.ops.DomainCuration.summarySql(
+        s"""(SELECT url, extracted_text AS t, lang, confidence
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // mixture resampling re-derived from the SAME rate table: per-lang
+    // md5-hex thresholds (no float arithmetic on either engine)
+    "q61_mixture_sample" ->
+      s"""SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN ${graft.ops.Balance.mixtureKeepSql("url", "lang", MixtureRates, MixtureDefaultRate)}
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |WHERE error IS NULL AND payload_kind = 'html'
+         |GROUP BY lang""".stripMargin,
 
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -351,4 +351,85 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "eval grams must be broadcast")
   }
+
+  test("pii redaction: per-family counts and mask composition on planted text") {
+    import spark.implicits._
+    import graft.ops.Pii
+    val df = Seq(
+      ("a", "Mail bob@example.com or sue@corp.org, call 555-123-4567."),
+      ("b", "Server at 10.0.0.1 leaked SSN 123-45-6789 yesterday."),
+      ("c", "No pii at all in this row.")).toDF("url", "text")
+    val got = Pii.summarize(df, "url", "text").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(got("a") == ((2, 1, 0, 0)))
+    assert(got("b") == ((0, 0, 1, 1)))
+    assert(got("c") == ((0, 0, 0, 0)))
+    // the redacted text itself: every family replaced by its typed mask
+    val red = df.select(col("url"), Pii.redact(col("text")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(red("a") == "Mail <EMAIL> or <EMAIL>, call <PHONE>.")
+    assert(red("b") == "Server at <IP> leaked SSN <SSN> yesterday.")
+    assert(red("c") == "No pii at all in this row.")
+  }
+
+  test("line dedup: first occurrence keeps, later occurrences drop, short lines exempt") {
+    import spark.implicits._
+    import graft.ops.LineDedup
+    val boiler = "this cookie banner line is repeated on every single page verbatim"
+    val df = Seq(
+      ("u1", s"unique first line long enough to participate in dedup\n$boiler"),
+      ("u2", s"$boiler\nanother unique line that is also long enough to participate"),
+      ("u3", s"short\n$boiler")).toDF("url", "text")
+    val got = LineDedup.summarize(df, "url", "text", minChars = 50).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // u1 < u2 < u3 lexicographically: u1 keeps both its lines (owns the
+    // boilerplate's canonical occurrence), u2/u3 drop their copy
+    assert(got("u1") == ((2L, 2L, 0L)), s"u1 ${got("u1")}")
+    assert(got("u2") == ((2L, 1L, 1L)), s"u2 ${got("u2")}")
+    assert(got("u3") == ((1L, 0L, 1L)), s"u3 ${got("u3")}")
+  }
+
+  test("domain curation: dup-heavy and low-confidence hosts are dropped, clean hosts kept") {
+    import spark.implicits._
+    import graft.ops.DomainCuration
+    val df = Seq(
+      // clean host: unique texts, high confidence
+      ("https://good.org/a", "alpha text one", "eng", 0.9),
+      ("https://good.org/b", "alpha text two", "eng", 0.8),
+      // dup farm: same text everywhere (>50% dups)
+      ("https://mirror.net/a", "copied text", "eng", 0.9),
+      ("https://mirror.net/b", "copied text", "eng", 0.9),
+      // low confidence host
+      ("https://junk.io/a", "junk one", "deu", 0.3),
+      ("https://junk.io/b", "junk two", "deu", 0.4)).toDF("url", "text", "lang", "confidence")
+    val got = DomainCuration.summarize(df, "url", "text", "lang", "confidence")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got("good.org") == ((2L, 0L, 1L, 1700000L, true)))
+    assert(got("mirror.net") == ((2L, 2L, 1L, 1800000L, false)))
+    assert(got("junk.io") == ((2L, 0L, 1L, 700000L, false)))
+  }
+
+  test("mixture sampling: rate endpoints exact, mid rates near target, membership deterministic") {
+    import spark.implicits._
+    import graft.ops.Balance
+    val n = 4000
+    val df = (0 until n).map(i => (s"https://h$i/page/$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("url", "grp")
+    val rates = Seq("a" -> 1.0, "b" -> 0.5)
+    val kept = df.filter(Balance.mixtureKeep(col("url"), col("grp"), rates, 0.0))
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == n / 2, "rate 1.0 must keep every row")
+    val frac = kept.getOrElse("b", 0L).toDouble / (n / 2)
+    assert(math.abs(frac - 0.5) < 0.05, s"rate 0.5 kept $frac")
+    // determinism: same decision on re-evaluation and independent of order
+    val again = df.orderBy(col("url").desc)
+      .filter(Balance.mixtureKeep(col("url"), col("grp"), rates, 0.0))
+      .count()
+    assert(again == kept.values.sum)
+    // default rate applies to unlisted groups
+    val none = df.filter(Balance.mixtureKeep(col("url"), lit("zz"), rates, 0.0)).count()
+    assert(none == 0L, "default rate 0 must keep nothing")
+  }
 }

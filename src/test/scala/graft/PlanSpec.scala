@@ -183,4 +183,31 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(finalSection).size >= 2,
       s"expected partial+final HashAggregate:\n${finalSection.take(800)}")
   }
+
+  test("q58 pii redaction is a zero-shuffle map-only plan") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q58_pii_redact")(spark, d))
+    assert(!p.contains("Exchange"),
+      s"pii scrubbing must not shuffle:\n${p.take(600)}")
+  }
+
+  test("q59/q60: shuffles carry digests, never the document/line text") {
+    // the 100 TB property: groupBy keys are md5 digests, so no Exchange
+    // in either plan may reference the raw text attribute (`line#N` /
+    // `extracted_text#N`). `line_h#N` must not false-positive the check.
+    for ((q, raw) <- Seq("q59_line_dedup" -> "line#",
+                         "q60_domain_curation" -> "extracted_text#")) {
+      val p = executedPlan(graft.queries.GraftQueries.queries(q)(spark, d))
+      val bad = p.linesIterator.filter(_.contains("Exchange"))
+        .filter(_.contains(raw)).toSeq
+      assert(bad.isEmpty, s"$q shuffles raw text:\n${bad.mkString("\n")}")
+    }
+  }
+
+  test("q61 mixture sample is one partial+final aggregate, decision map-side") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 1,
+      s"expected exactly one shuffle:\n${finalSection.take(800)}")
+    assert("HashAggregate".r.findAllIn(finalSection).size >= 2)
+  }
 }
