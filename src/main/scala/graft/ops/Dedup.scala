@@ -166,6 +166,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (batch-vs-corpus) candidate pairs: the LSH bands of a
+    * NEW ingest batch equi-joined against the bands of the EXISTING
+    * corpus — the daily-crawl dedup shape, where the corpus index is
+    * built once and each increment only hashes and probes its own docs.
+    * Returns distinct (a_id = batch id, b_id = corpus id).
+    *
+    * Scale: the corpus side is the 10^12-row side, so the bucket cap is
+    * applied to ITS buckets (a batch band key landing in an oversized
+    * corpus bucket would fan out maxBucket× otherwise); the join stays a
+    * plain shuffle equi-join on (band, band_hash) with AQE skew
+    * handling. At production scale the corpus bands are a materialized
+    * table partitioned by band — each increment shuffles only
+    * |batch| × Bands rows, never the corpus. Within-batch duplicates
+    * are [[candidatePairs]]' job, deliberately out of scope here. */
+  def incrementalCandidates(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    val cb = minhashBands(corpus, idCol, textCol, shingleN)
+    val bb = minhashBands(batch, idCol, textCol, shingleN)
+    val sized = cb.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+    val kept = sized.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    bb.select(col("band"), col("band_hash"), col("id").as("a_id"))
+      .join(kept.select(col("band"), col("band_hash"), col("id").as("b_id")),
+        Seq("band", "band_hash"))
+      .select("a_id", "b_id")
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard over candidate pairs: join texts back by id
     * (two hash joins), compute per-pair in a map. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame, idCol: String,

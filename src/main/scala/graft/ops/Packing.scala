@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training batches: place documents into
+  * fixed-token-budget training sequences (no document ever spans two
+  * sequences) with the classic next-fit rule — walk the docs in a
+  * deterministic order, close the current sequence when the next doc
+  * would overflow the budget.
+  *
+  * Scale design: packing is inherently sequential, so the corpus is
+  * first sharded by an engine-portable hash prefix (md5 hex of the doc
+  * id — the same portable-hash choice as [[Balance.splitAssign]]) and
+  * packed independently per shard. One shard never spans a partition
+  * (hash repartition on the shard column) and the scan inside a
+  * partition is a sorted streaming pass, so the result is bit-identical
+  * at ANY parallelism and the per-task state is O(1). At 10^12 docs the
+  * only knob is `shardChars`: 1 hex char = 16 shards (test scale),
+  * 4 chars = 65k shards — pick so one shard's doc-id stream fits a
+  * task's time budget; memory never grows with shard size.
+  *
+  * The whitespace token count mirrors [[TextStats]]' q13 definition, so
+  * a DuckDB oracle can re-derive the full assignment with a recursive
+  * CTE (see GraftQueries q62).
+  */
+object Packing {
+
+  /** Engine-portable shard key: first `chars` hex digits of md5(id). */
+  def shardOf(id: Column, chars: Int = 1): Column =
+    substring(md5(id.cast("string")), 1, chars)
+
+  /** Whitespace token count (the q13 definition — mirrorable in SQL). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
+
+  /** Next-fit packing: returns one row per doc —
+    * (shard, seq_id, doc_id, n_tokens) where seq_id is the 0-based
+    * sequence index within the shard, assigned in ascending doc_id
+    * order. A doc larger than the budget occupies (at least) its own
+    * sequence rather than being dropped or split: packing must be
+    * total — length filtering is a quality-gate decision upstream. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long, shardChars: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        shardOf(col(idCol), shardChars).as("shard"),
+        col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      // a shard lands whole in one partition; within the partition
+      // shards are contiguous sorted runs, so one streaming pass packs
+      // every shard with O(1) state and no group materialization
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var shard: String = null
+        var fill = 0L
+        var seq = 0L
+        it.map { case (sh, id, n) =>
+          if (sh != shard) { shard = sh; seq = 0L; fill = n }
+          else if (fill + n > budget) { seq += 1; fill = n }
+          else fill += n
+          (sh, seq, id, n)
+        }
+      }
+      .toDF("shard", "seq_id", "doc_id", "n_tokens")
+  }
+
+  /** Per-sequence roll-up of [[packSequences]]: how full the packed
+    * sequences are (the padding-waste metric a training pipeline
+    * monitors). */
+  def packStats(assignment: DataFrame, budget: Long): DataFrame =
+    assignment.groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .withColumn("fill_ratio",
+        round(least(col("sum_tokens"), lit(budget)).cast("double") / budget, 6))
+}

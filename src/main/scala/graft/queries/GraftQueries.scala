@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.job.ExtractJob
-import graft.ops.{Balance, Decontam, Dedup, Repetition, Similarity, TextStats}
+import graft.ops.{Balance, Decontam, Dedup, Packing, Repetition, Similarity, TextStats, UrlCanon}
 
 /** The SURVEY.md §2 operator inventory expressed as runnable queries
   * over the driver's parquet tables, each with a DuckDB-equivalent
@@ -643,6 +643,63 @@ object GraftQueries {
             MixtureRates, MixtureDefaultRate), 1L).otherwise(0L)).as("n_kept"))
     }),
 
+    // LLM-batch sequence packing: next-fit doc→sequence assignment,
+    // independent per md5-hex shard (Packing: one shard never spans a
+    // partition, O(1) task state, bit-identical at any parallelism).
+    // The oracle re-derives the FULL assignment with a recursive CTE
+    // walking each shard in doc order — every doc's (shard, seq_id) is
+    // value-checked, not just the roll-up.
+    "q62_seq_pack" -> ((s, d) =>
+      Packing.packSequences(t(s, d, "documents"), "doc_id", "text", budget = 256L)),
+
+    // incremental (batch-vs-corpus) dedup — the daily-crawl shape: the
+    // newest ~10% of pages (doc_id above the 0.9·max cut, computed
+    // relationally and broadcast back) probes the LSH band index of the
+    // existing corpus; exact bigram jaccard verifies the candidates;
+    // every batch doc gets a verdict row (dup_of = smallest matching
+    // corpus id). Candidates are staged once (version-keyed dump) so
+    // DuckDB re-derives the verify + verdict from the same pairs.
+    "q63_incremental_dedup" -> ((s, d) => {
+      val pages = extractedPagesDocs(s, d)
+      val cut = pages.agg(floor(max("doc_id") * 0.9).cast("long").as("cut"))
+      val verified = Dedup.jaccardVerify(incrCandsCached(s, d), pages,
+        "doc_id", "text", shingleN = 2, threshold = 0.6)
+      val best = verified
+        .groupBy(col("a_id").cast("long").as("doc_id"))
+        .agg(min(col("b_id").cast("long")).as("dup_of"),
+          max("jaccard").as("best_jaccard"))
+      pages.select("doc_id").crossJoin(broadcast(cut))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+          col("dup_of"), col("best_jaccard"))
+    }),
+
+    // URL canonicalization: cosmetic crawl variants (scheme/host case,
+    // default port, fragment, tracking params, param order, trailing
+    // slash) decorated deterministically onto the pages urls by
+    // doc_id % 5, then collapsed by UrlCanon.canonicalize — codegen'd
+    // string/array ops only (no parse_url, no UDF), mirrored 1:1 in
+    // the DuckDB oracle.
+    "q64_url_canon" -> ((s, d) => {
+      val five = pmod(col("doc_id"), lit(5))
+      val idStr = col("doc_id").cast("string")
+      s.read.parquet(pagesPath(s, d))
+        .select(col("url"),
+          expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
+          regexp_extract(col("url"), "^https://([^/]+)/", 1).as("host"))
+        .withColumn("url_raw",
+          when(five === 0, concat(lit("HTTPS://"), upper(col("host")),
+            lit(":443/page/"), idStr, lit("/")))
+          .when(five === 1, concat(col("url"), lit("?utm_source=feed&b=2&a=1")))
+          .when(five === 2, concat(col("url"), lit("?a=1&b=2#frag")))
+          .when(five === 3, concat(lit("https://"), col("host"), lit(":443/page/"),
+            idStr, lit("?b=2&utm_campaign=x&a=1&gclid=z")))
+          .otherwise(col("url")))
+        .select(col("doc_id"), col("url_raw"),
+          UrlCanon.canonicalize(col("url_raw")).as("canon_url"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1122,6 +1179,31 @@ object GraftQueries {
     s.read.parquet(path)
   }
 
+  /** q63's batch-vs-corpus candidate dump: the LSH bands of the newest
+    * ~10% of pages probed against the band index of the older 90%
+    * ([[Dedup.incrementalCandidates]]), keyed like [[pageCandsTag]] so a
+    * kernel or generator change invalidates it. Staged untimed (same
+    * rationale as q32). */
+  def incrCandsTag: String =
+    s"incrmh-${Dedup.Version}-g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}"
+
+  def incrCandsCached(s: SparkSession, d: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(d)
+    val path = annDumpPath(incrCandsTag, rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = extractedPagesDocs(s, d)
+        val cut = pages.agg(floor(max("doc_id") * 0.9).cast("long").as("cut"))
+        val withCut = pages.crossJoin(broadcast(cut))
+        atomicDump(Dedup.incrementalCandidates(
+          withCut.filter(col("doc_id") <= col("cut")).drop("cut"),
+          withCut.filter(col("doc_id") > col("cut")).drop("cut"),
+          "doc_id", "text", shingleN = 2), path)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   /** Materialize every shared dump up front (untimed by Bench): the
     * engine's extract-once/detect-once/block-once read-many tables.
     * One-time pipeline work — per-query bench rows then measure the
@@ -1132,6 +1214,7 @@ object GraftQueries {
     candsCached(spark, sfDir)
     simhashCached(spark, sfDir)
     pageCandsCached(spark, sfDir)
+    incrCandsCached(spark, sfDir)
     mediaCached(spark, sfDir)
     entitiesCached(spark, sfDir)
     repCached(spark, sfDir)
@@ -1565,6 +1648,105 @@ object GraftQueries {
          |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
          |WHERE error IS NULL AND payload_kind = 'html'
          |GROUP BY lang""".stripMargin,
+
+    // the FULL next-fit packing assignment re-derived: a recursive CTE
+    // advances every shard one doc per iteration in doc_id order,
+    // carrying (seq_id, fill) exactly like Packing's streaming pass
+    "q62_seq_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM base),
+        |pack AS (
+        |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.doc_id, t.n_tokens, t.rn,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+        |  FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, seq_id, doc_id, n_tokens FROM pack""".stripMargin,
+
+    // incremental dedup re-derived: same cut arithmetic, exact bigram
+    // jaccard over the staged batch×corpus candidates, verdict per
+    // batch doc (jaccardVerifyOracle's shingle convention inlined)
+    "q63_incremental_dedup" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |cut AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS cut FROM docs),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_distinct(list_transform(
+         |        generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM toks),
+         |verified AS (
+         |  SELECT CAST(c.a_id AS BIGINT) AS doc_id, CAST(c.b_id AS BIGINT) AS dup,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |  FROM read_parquet('${annDumpPath(incrCandsTag, oracleRows)}/*.parquet') c
+         |  JOIN sh a ON CAST(a.doc_id AS VARCHAR) = c.a_id
+         |  JOIN sh b ON CAST(b.doc_id AS VARCHAR) = c.b_id),
+         |best AS (
+         |  SELECT doc_id, min(dup) AS dup_of, max(jaccard) AS best_jaccard
+         |  FROM verified WHERE jaccard >= 0.6 GROUP BY doc_id)
+         |SELECT d.doc_id, (b.dup_of IS NOT NULL) AS is_dup, b.dup_of, b.best_jaccard
+         |FROM docs d CROSS JOIN cut LEFT JOIN best b ON b.doc_id = d.doc_id
+         |WHERE d.doc_id > cut.cut""".stripMargin,
+
+    // canonicalization re-derived rule by rule (split_part/list slicing
+    // in place of substring_index; same decoration CASE on doc_id % 5)
+    "q64_url_canon" ->
+      s"""WITH pages AS (
+         |  SELECT url,
+         |    CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |    regexp_extract(url, '^https://([^/]+)/', 1) AS host
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |messy AS (
+         |  SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
+         |    WHEN 0 THEN 'HTTPS://' || upper(host) || ':443/page/' || CAST(doc_id AS VARCHAR) || '/'
+         |    WHEN 1 THEN url || '?utm_source=feed&b=2&a=1'
+         |    WHEN 2 THEN url || '?a=1&b=2#frag'
+         |    WHEN 3 THEN 'https://' || host || ':443/page/' || CAST(doc_id AS VARCHAR) || '?b=2&utm_campaign=x&a=1&gclid=z'
+         |    ELSE url END AS url_raw
+         |  FROM pages),
+         |parts AS (
+         |  SELECT doc_id, url_raw,
+         |    split_part(url_raw, '#', 1) AS no_frag,
+         |    split_part(split_part(url_raw, '#', 1), '?', 1) AS base
+         |  FROM messy),
+         |comp AS (
+         |  SELECT doc_id, url_raw,
+         |    substr(no_frag, len(base) + 2) AS q,
+         |    lower(array_to_string(string_split(base, '/')[1:3], '/')) AS scheme_host,
+         |    substr(base, len(array_to_string(string_split(base, '/')[1:3], '/')) + 1) AS path
+         |  FROM parts),
+         |normed AS (
+         |  SELECT doc_id, url_raw,
+         |    CASE WHEN starts_with(scheme_host, 'https://') THEN regexp_replace(scheme_host, ':443$$', '')
+         |         WHEN starts_with(scheme_host, 'http://') THEN regexp_replace(scheme_host, ':80$$', '')
+         |         ELSE scheme_host END AS host_norm,
+         |    rtrim(path, '/') AS path_norm,
+         |    list_sort(list_filter(string_split(q, '&'),
+         |      p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+         |                            OR starts_with(p, 'fbclid=') OR starts_with(p, 'ref=')))) AS params
+         |  FROM comp)
+         |SELECT doc_id, url_raw,
+         |  host_norm || path_norm ||
+         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+         |FROM normed""".stripMargin,
 
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,

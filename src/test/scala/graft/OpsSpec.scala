@@ -432,4 +432,90 @@ class OpsSpec extends AnyFunSuite {
     val none = df.filter(Balance.mixtureKeep(col("url"), lit("zz"), rates, 0.0)).count()
     assert(none == 0L, "default rate 0 must keep nothing")
   }
+
+  test("sequence packing: matches the driver-side next-fit reference, any parallelism") {
+    import graft.ops.Packing
+    val budget = 256L
+    val got = Packing.packSequences(docs, "doc_id", "text", budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total: every doc packed exactly once
+    assert(got.map(_._3).distinct.length == docs.count())
+    // driver-side reference: same shard key, same order, same rule
+    val ref = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val shard = "%02x".format(md5(0) & 0xff).substring(0, 1)
+        val n = r.getString(1).split("\\s+").count(_.nonEmpty).toLong
+        (shard, id, n)
+      }
+      .groupBy(_._1)
+      .iterator.flatMap { case (shard, rows) =>
+        var fill = 0L; var seq = -1L
+        rows.sortBy(_._2).iterator.map { case (_, id, n) =>
+          if (seq < 0 || fill + n > budget) { seq += 1; fill = n } else fill += n
+          (shard, seq, id, n)
+        }
+      }.toSet
+    assert(got.toSet == ref, "assignment must equal the sequential reference")
+    // multi-doc sequences respect the budget (only a single oversized
+    // doc may exceed it)
+    val bySeq = got.groupBy(g => (g._1, g._2)).values
+    assert(bySeq.forall(s => s.map(_._4).sum <= budget || s.size == 1))
+    // bit-identical under a different input partitioning
+    val again = Packing.packSequences(docs.repartition(7), "doc_id", "text", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == got.toSet)
+  }
+
+  test("incremental candidates: batch mirrors of corpus docs are caught, ids stay one-sided") {
+    import spark.implicits._
+    val corpus = (0L until 200L)
+      .map(i => (i, s"corpus document number $i with shared vocabulary across sentences and " +
+        s"enough repeated tokens token$i alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // batch: 10 near-copies of corpus docs (one token appended) + 10 fresh
+    val batch = ((0 until 10).map { i =>
+      val base = corpus.collect()(i * 7).getString(1)
+      (1000L + i, base + " appended")
+    } ++ (0 until 10).map(i => (2000L + i,
+      s"completely fresh unrelated content item $i quick brown fox jumps lazily")))
+      .toDF("doc_id", "text")
+    val cands = Dedup.incrementalCandidates(corpus, batch, "doc_id", "text", 2)
+    val pairs = cands.collect().map(r => (r.getString(0).toLong, r.getString(1).toLong))
+    assert(pairs.forall { case (a, b) => a >= 1000L && b < 200L },
+      "a_id must be batch-side, b_id corpus-side")
+    val verified = Dedup.jaccardVerify(cands, corpus.union(batch), "doc_id", "text", 2, 0.6)
+      .collect().map(_.getString(0).toLong).toSet
+    assert((1000L until 1010L).forall(verified.contains),
+      s"every planted batch mirror must verify (got $verified)")
+    assert(verified.forall(_ < 2000L), "fresh batch docs must not verify as dups")
+  }
+
+  test("url canonicalization: variants collapse, rules apply, idempotent") {
+    import spark.implicits._
+    import graft.ops.UrlCanon
+    val urls = Seq(
+      "HTTPS://Ex.COM:443/a/b/?b=2&a=1#frag",
+      "https://ex.com/a/b?a=1&b=2",
+      "https://ex.com/a/b/?utm_source=x&a=1&b=2&gclid=z",
+      "http://ex.com:80/a/b?fbclid=1&b=2&ref=tw&a=1",
+      "https://ex.com",            // no path at all
+      "https://ex.com/UPPER/Case", // path case preserved
+      "https://ex.com/x?utm_only=1&utm_source=f" // all params stripped
+    ).toDF("url")
+    val canon = urls.select(UrlCanon.canonicalize(col("url")).as("c")).as[String].collect()
+    assert(canon(0) == "https://ex.com/a/b?a=1&b=2")
+    assert(canon(1) == "https://ex.com/a/b?a=1&b=2")
+    assert(canon(2) == "https://ex.com/a/b?a=1&b=2")
+    assert(canon(3) == "http://ex.com/a/b?a=1&b=2")
+    assert(canon(4) == "https://ex.com")
+    assert(canon(5) == "https://ex.com/UPPER/Case")
+    assert(canon(6) == "https://ex.com/x")
+    // idempotence: canonicalize(canonical) is a fixed point
+    val twice = urls.select(UrlCanon.canonicalize(UrlCanon.canonicalize(col("url"))).as("c"))
+      .as[String].collect()
+    assert(twice.sameElements(canon))
+  }
 }
