@@ -203,6 +203,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 packing's only exchange is the shard hash repartition (pack state never shuffles)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q62_seq_pack")(spark, d))
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected exactly one shuffle:\n${exchanges.mkString("\n")}")
+    assert(exchanges.head.contains("hashpartitioning(shard"),
+      s"the one exchange must partition by shard:\n${exchanges.head}")
+  }
+
+  test("q63 incremental dedup broadcasts the scalar cut (no cartesian, no parse_url)") {
+    val df = graft.queries.GraftQueries.queries("q63_incremental_dedup")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row cut must broadcast, not cartesian:\n${p.take(600)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "expected a broadcast join against the cut/verdict")
+    assert(!hasParseUrl(df), "q63 regressed to parse_url")
+  }
+
+  test("q64 url canonicalization is a zero-shuffle, UDF-free, parse_url-free projection") {
+    val df = graft.queries.GraftQueries.queries("q64_url_canon")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("Exchange"), s"canonicalization must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "canonicalization must stay codegen'd (no UDF)")
+    assert(!hasParseUrl(df), "canonicalization must not use interpreted parse_url")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
