@@ -700,6 +700,44 @@ object GraftQueries {
           UrlCanon.canonicalize(col("url_raw")).as("canon_url"))
     }),
 
+    // backward as-of join: each event picks up the most recent order of
+    // the same customer at-or-before the event time — the "state in
+    // force at event time" join. AsOf.joinBackward is the single-shuffle
+    // union+window encoding (one hash exchange + per-partition sort, the
+    // same bound as a groupBy) instead of a range theta-join; the oracle
+    // is DuckDB's native ASOF LEFT JOIN over the tie-broken right side.
+    "q65_asof_join" -> ((s, d) =>
+      graft.ops.AsOf.joinBackward(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("ts")),
+        t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))),
+
+    // vocabulary coverage against a corpus-derived top-k vocab: the
+    // tokenizer-fit feasibility stat of a training pipeline (what
+    // fraction of corpus tokens does a k-entry vocab cover, per doc).
+    // Two scale-correct stages: (1) vocab = one token-hash shuffle with
+    // map-side partial counts + TakeOrderedAndProject top-1000 (no
+    // global sort materializes); (2) coverage = broadcast hash join of
+    // the exploded tokens against the 1000-row vocab + one groupBy
+    // (doc_id) of (doc_id, flag) pairs — document text never crosses a
+    // shuffle. Ties at the vocab boundary break on (count desc, token
+    // asc) so both engines pick the identical 1000 tokens.
+    "q66_vocab_coverage" -> ((s, d) => {
+      val toks = extractedPagesDocs(s, d).select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1747,6 +1785,41 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // the as-of join re-derived with DuckDB's native ASOF LEFT JOIN;
+    // right-side (key,time) ties resolved the same way joinBackward
+    // does (max struct(o_orderkey, o_totalprice) = greatest o_orderkey,
+    // carrying its price via arg_max)
+    "q65_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t,
+        |    max(o_orderkey) AS o_orderkey,
+        |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.k AND e.ts >= r.t""".stripMargin,
+
+    // vocab + coverage re-derived over the same extraction dump: same
+    // tokenization (lower, \s+ split, drop empties), same (count desc,
+    // token asc) top-1000 boundary
+    "q66_vocab_coverage" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+         |  FROM docs),
+         |vocab AS (
+         |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+         |  ORDER BY cnt DESC, tok ASC LIMIT 1000)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+         |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |GROUP BY t.doc_id""".stripMargin,
 
     "q56_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -518,4 +518,39 @@ class OpsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(twice.sameElements(canon))
   }
+
+  test("as-of join: backward-inclusive match, tie-break, and unmatched-null semantics") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // right: key 1 has versions at 10:00 and 12:00, with a (key,time) tie
+    // at 12:00 (payload ids 20 vs 21 — max struct picks 21); key 2 has
+    // only a row AFTER its left event (no backward match → nulls)
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 10L, 1.0),
+      (1L, ts("2026-01-01 12:00:00"), 20L, 2.0),
+      (1L, ts("2026-01-01 12:00:00"), 21L, 3.0),
+      (2L, ts("2026-01-01 18:00:00"), 30L, 4.0)
+    ).toDF("k", "t", "pid", "price")
+    val left = Seq(
+      (100L, 1L, ts("2026-01-01 11:00:00")), // between versions → pid 10
+      (101L, 1L, ts("2026-01-01 12:00:00")), // AT a version time → inclusive, tie → 21
+      (102L, 1L, ts("2026-01-01 23:00:00")), // after all → latest (21)
+      (103L, 2L, ts("2026-01-01 09:00:00")), // before key 2's only row → null
+      (104L, 3L, ts("2026-01-01 09:00:00"))  // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val out = graft.ops.AsOf.joinBackward(left, right,
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+        payload = Seq("pid", "price"))
+      .select("id", "pid", "price").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (100L, 10L, 1.0), (101L, 21L, 3.0), (102L, 21L, 3.0),
+      (103L, -1L, -1.0), (104L, -1L, -1.0)))
+    // row count is exactly the left count (left join, no fan-out on ties)
+    assert(out.length == 5)
+  }
 }

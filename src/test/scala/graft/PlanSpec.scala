@@ -230,6 +230,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "canonicalization must not use interpreted parse_url")
   }
 
+  test("q65 as-of join is the single-shuffle union+window form (no range theta-join)") {
+    val df = graft.queries.GraftQueries.queries("q65_asof_join")(spark, d)
+    val p = executedPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    // the scale property: no nested-loop/cartesian range join anywhere,
+    // and the only key shuffle is the __asof_k window partitioning (each
+    // input side exchanges once into the union — same bound as a groupBy)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan as a range theta-join:\n${p.take(600)}")
+    val keyExchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // allowed shuffles: the ONE __asof_k window exchange, plus the
+    // right-side (key,time) tie-break pre-aggregation on o_custkey
+    val windowEx = keyExchanges.filter(_.contains("__asof_k"))
+    val preAggEx = keyExchanges.filter(_.contains("o_custkey"))
+    assert(windowEx.size == 1,
+      s"expected exactly one __asof_k window exchange:\n${keyExchanges.mkString("\n")}")
+    assert(keyExchanges.size == windowEx.size + preAggEx.size,
+      s"unexpected extra shuffle:\n${keyExchanges.mkString("\n")}")
+  }
+
+  test("q66 vocab coverage broadcasts the vocab (no sort-merge join on tokens)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q66_vocab_coverage")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1000-row vocab must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      "token×vocab must never sort-merge (full token shuffle at 100 TB)")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
