@@ -44,6 +44,9 @@ final case class ExtractedDoc(
     warc_ts: Timestamp,
     extracted_text: String,
     spans: Array[Span],
+    out_links: Array[String], // absolute http(s) hrefs in document order
+                            // (the WAT-style out-link surface; empty for
+                            // pdf/quarantine rows)
     payload_kind: String,   // "html" | "pdf" | "unknown"
     page_count: Int,        // PDF branch; 1 for html, 0 for junk
     n_blocks: Int,
@@ -84,6 +87,7 @@ object ExtractionVersion {
   /** Version tag carried in lineage; bump when the byte contract changes
     * (the analog of the reference's monotonic DocumentVersion.number,
     * /root/reference/ocrworker/db/api.py:128-137).
-    * v2: density->relaxed confidence cascade (threshold 0.7). */
-  val current: String = "graft-extract-2"
+    * v2: density->relaxed confidence cascade (threshold 0.7).
+    * v3: out_links column (absolute hrefs captured by the tokenizer). */
+  val current: String = "graft-extract-3"
 }

@@ -120,6 +120,17 @@ object ByteHtmlTokenizer {
     true
   }
 
+  /** Byte mirror of HtmlTokenizer.isAbsoluteHttp. */
+  @inline private def isAbsoluteHttp(b: Array[Byte], start: Int, end: Int): Boolean = {
+    var i = start
+    if (end - i < 7) return false
+    if (lower(b(i)) != 'h' || lower(b(i + 1)) != 't' ||
+        lower(b(i + 2)) != 't' || lower(b(i + 3)) != 'p') return false
+    i += 4
+    if (i < end && lower(b(i)) == 's') i += 1
+    i + 3 <= end && b(i) == ':' && b(i + 1) == '/' && b(i + 2) == '/'
+  }
+
   private def indexOf(b: Array[Byte], p: String, from: Int): Int = {
     val n = b.length; val m = p.length
     var i = math.max(0, from)
@@ -176,9 +187,40 @@ object ByteHtmlTokenizer {
 
     var selfClosing = false
     var done = false
+    // href capture on <a> tags, mirroring HtmlTokenizer.parseTag byte-
+    // for-byte (whitespace-preceded name, quoted or bare value, absolute
+    // http/https only — checked on bytes before any String materializes)
+    val wantHref = !closing && name == "a"
+    var hrefSeen = false
     while (i < n && !done) {
       val c = b(i)
       if (c == '>') { done = true; i += 1 }
+      else if (wantHref && !hrefSeen && (c == 'h' || c == 'H') &&
+               isWs(b(i - 1)) && regionMatchesIgnoreCase(b, i, "href")) {
+        var j = i + 4
+        while (j < n && isWs(b(j))) j += 1
+        if (j < n && b(j) == '=') {
+          j += 1
+          while (j < n && isWs(b(j))) j += 1
+          if (j < n && (b(j) == '"' || b(j) == '\'')) {
+            val q = b(j).toChar
+            val e = indexOfByte(b, q, j + 1)
+            val end = if (e < 0) n else e
+            hrefSeen = true
+            if (isAbsoluteHttp(b, j + 1, end))
+              h.anchorHref(new String(b, j + 1, end - (j + 1), UTF_8))
+            i = if (e < 0) n else e + 1
+          } else {
+            val vs = j
+            while (j < n && !isWs(b(j)) && b(j) != '>' &&
+                   !(b(j) == '/' && j + 1 < n && b(j + 1) == '>')) j += 1
+            hrefSeen = true
+            if (isAbsoluteHttp(b, vs, j))
+              h.anchorHref(new String(b, vs, j - vs, UTF_8))
+            i = j
+          }
+        } else i += 4 // bare `href` boolean attr — skip the name
+      }
       else if (c == '"' || c == '\'') {
         val e = indexOfByte(b, c.toChar, i + 1)
         i = if (e < 0) n else e + 1

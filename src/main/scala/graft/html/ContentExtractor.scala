@@ -34,6 +34,10 @@ final class BlockBuilder extends HtmlHandler {
   private var titleText: String = null
   private var inTitle = false
   private val titleBuf = new java.lang.StringBuilder(64)
+  // absolute out-links in document order (WAT-style surface); the
+  // tokenizer fires anchorHref only for http(s) values, so this stays
+  // empty for the overwhelmingly-relative navigation links
+  private val outLinks = new ArrayBuffer[String](4)
 
   import BlockBuilder._
 
@@ -41,6 +45,9 @@ final class BlockBuilder extends HtmlHandler {
   // per event instead of 4-5 Set probes (flag semantics and branch order
   // are value-identical to the original per-Set pattern match; the flag
   // categories a/title/boiler/skip/h1-h6 are mutually disjoint).
+  override def anchorHref(href: String): Unit =
+    if (outLinks.length < BlockBuilder.MaxOutLinks) outLinks += href
+
   def startTag(name: String, selfClosing: Boolean): Unit = {
     val f = TagCatalog.flags(name)
     // a <title> cannot contain elements: any tag while inTitle means the
@@ -113,6 +120,10 @@ final class BlockBuilder extends HtmlHandler {
     (blocks.toArray, titleText)
   }
 
+  /** Absolute out-links in document order (no dedup — consumers and the
+    * raw-bytes oracle both see every occurrence). */
+  def links: Array[String] = outLinks.toArray
+
   /** The doc-level char store the blocks' [start, end) spans index —
     * valid until [[reset]]; consumers must slice before reuse. */
   def chars: CharSequence = buf
@@ -143,6 +154,7 @@ final class BlockBuilder extends HtmlHandler {
     headingLevel = 0
     titleText = null; inTitle = false
     titleBuf.setLength(0)
+    if (outLinks.length > 64) outLinks.clearAndShrink(4) else outLinks.clear()
   }
 
   /** First <title> wins (the document title); later ones (e.g. inline
@@ -158,6 +170,12 @@ final class BlockBuilder extends HtmlHandler {
 }
 
 object BlockBuilder {
+  /** Out-link cap per document — a backstop against pathological link
+    * farms retaining unbounded Strings per row, NOT a tuning knob: the
+    * generated corpus peaks at 3 absolute links/page, and q67's
+    * raw-bytes oracle would fail loudly if a page ever crossed it. */
+  val MaxOutLinks = 256
+
   /** Per-thread scratch retention ceilings (chars / blocks). */
   val MaxKeepChars: Int = 1 << 20
   val MaxKeepBlocks: Int = 1 << 16
@@ -281,7 +299,8 @@ object MainContentExtractor {
   final case class HtmlResult(
       text: String, spans: Array[Span], title: String,
       nBlocks: Int, nContentBlocks: Int, confidence: Double,
-      engine: String = "density", fallbackUsed: Boolean = false)
+      engine: String = "density", fallbackUsed: Boolean = false,
+      outLinks: Array[String] = Array.empty)
 
   /** Early-exit threshold of the engine cascade — the reference's
     * ocr_confidence_threshold (/root/reference/ocrworker/config.py:38,
@@ -331,24 +350,25 @@ object MainContentExtractor {
       ByteHtmlTokenizer.tokenize(html, builder, textBuf)
       val (blocks, title) = builder.result()
       val chars = builder.chars
+      val links = builder.links
       // same no-losing-assemble discipline as cascade(): confidences
       // are pure functions of the block flags, so decide the winner on
       // flag passes alone and build text+spans exactly once
       DensityClassifier.classifyRelaxed(blocks)
       val relaxedConf = confidenceOf(blocks)
       if (relaxedConf >= ConfidenceThreshold)
-        assemble(blocks, title, chars).copy(engine = "density_relaxed")
+        assemble(blocks, title, chars, links).copy(engine = "density_relaxed")
       else {
         // strict assigns isContent directly, so re-classification is a
         // clean second engine pass over the same block array
         DensityClassifier.classify(blocks)
         val strictConf = confidenceOf(blocks)
         if (strictConf > relaxedConf)
-          assemble(blocks, title, chars).copy(fallbackUsed = true)
+          assemble(blocks, title, chars, links).copy(fallbackUsed = true)
         else {
           // relaxed won: re-derive its flags (cheap) for the one assemble
           DensityClassifier.classifyRelaxed(blocks)
-          assemble(blocks, title, chars).copy(engine = "density_relaxed")
+          assemble(blocks, title, chars, links).copy(engine = "density_relaxed")
         }
       }
     }
@@ -376,8 +396,9 @@ object MainContentExtractor {
   private def cascade(builder: BlockBuilder): HtmlResult = {
     val (blocks, title) = builder.result()
     val chars = builder.chars
+    val links = builder.links
     DensityClassifier.classify(blocks)
-    val strict = assemble(blocks, title, chars)
+    val strict = assemble(blocks, title, chars, links)
     if (strict.confidence >= ConfidenceThreshold) strict
     else {
       DensityClassifier.classifyRelaxed(blocks)
@@ -391,13 +412,14 @@ object MainContentExtractor {
       // best.confidence` — ties keep the selected (first) engine.
       // fallbackUsed marks that the fallback's OUTPUT was used.
       if (relaxedConf > strict.confidence)
-        assemble(blocks, title, chars).copy(engine = "density_relaxed", fallbackUsed = true)
+        assemble(blocks, title, chars, links).copy(engine = "density_relaxed", fallbackUsed = true)
       else strict
     }
   }
 
   private def assemble(blocks: Array[Block], title: String,
-                       chars: CharSequence): HtmlResult = {
+                       chars: CharSequence,
+                       links: Array[String]): HtmlResult = {
     // presize exactly: growth-doubling on the output builder was pure
     // garbage at ~2x the text size per document
     var cap = 0
@@ -429,6 +451,7 @@ object MainContentExtractor {
     HtmlResult(
       sb.toString, spans, title,
       blocks.length, nContent,
-      if (nContent == 0) 0.0 else scoreSum / nContent)
+      if (nContent == 0) 0.0 else scoreSum / nContent,
+      outLinks = links)
   }
 }

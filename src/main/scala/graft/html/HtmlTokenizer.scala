@@ -8,6 +8,14 @@ trait HtmlHandler {
     * The CharSequence is the tokenizer's REUSED buffer — consume it
     * before returning, never retain a reference. */
   def text(s: CharSequence): Unit
+  /** href of an `<a>` start tag — fired BEFORE the corresponding
+    * startTag("a"), only for ABSOLUTE http/https values (the out-link
+    * surface, Common-Crawl-WAT-style; relative links are navigation
+    * noise and are never materialized). Value is the raw attribute
+    * text (no entity decode). First href attribute wins. Recognized
+    * when the attribute name is whitespace-preceded (the forgiving
+    *-tokenizer contract both tokenizers pin byte-identically). */
+  def anchorHref(href: String): Unit = ()
 }
 
 /** A single-pass, forgiving, allocation-light streaming HTML tokenizer.
@@ -110,9 +118,42 @@ object HtmlTokenizer {
     // scan attributes honoring quotes (values may contain '>')
     var selfClosing = false
     var done = false
+    // <a> tags additionally watch for a whitespace-preceded href
+    // attribute (the out-link surface); all other attribute machinery
+    // (and all other tags) keep the plain quote-skipping scan. Position
+    // semantics are identical either way — the href branch consumes
+    // exactly the chars the generic branches would.
+    val wantHref = !closing && name == "a"
+    var hrefSeen = false
     while (i < n && !done) {
       val c = s.charAt(i)
       if (c == '>') { done = true; i += 1 }
+      else if (wantHref && !hrefSeen && (c == 'h' || c == 'H') &&
+               asciiWs(s.charAt(i - 1)) &&
+               s.regionMatches(true, i, "href", 0, 4)) {
+        var j = i + 4
+        while (j < n && asciiWs(s.charAt(j))) j += 1
+        if (j < n && s.charAt(j) == '=') {
+          j += 1
+          while (j < n && asciiWs(s.charAt(j))) j += 1
+          if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+            val q = s.charAt(j)
+            val e = s.indexOf(q, j + 1)
+            val end = if (e < 0) n else e
+            hrefSeen = true
+            if (isAbsoluteHttp(s, j + 1, end))
+              h.anchorHref(s.substring(j + 1, end))
+            i = if (e < 0) n else e + 1
+          } else {
+            val vs = j
+            while (j < n && !asciiWs(s.charAt(j)) && s.charAt(j) != '>' &&
+                   !(s.charAt(j) == '/' && j + 1 < n && s.charAt(j + 1) == '>')) j += 1
+            hrefSeen = true
+            if (isAbsoluteHttp(s, vs, j)) h.anchorHref(s.substring(vs, j))
+            i = j
+          }
+        } else i += 4 // bare `href` boolean attr — skip the name
+      }
       else if (c == '"' || c == '\'') {
         val e = s.indexOf(c, i + 1)
         i = if (e < 0) n else e + 1
@@ -145,6 +186,28 @@ object HtmlTokenizer {
       }
     }
     i
+  }
+
+  /** Exactly ByteHtmlTokenizer.isWs lifted to chars — the href branch
+    * must make identical decisions in both tokenizers, so it never uses
+    * Character.isWhitespace (which also matches U+2028 etc. that the
+    * byte scan cannot see as single bytes). */
+  @inline private def asciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+      c == 0x0b || (c >= 0x1c && c <= 0x1f)
+
+  /** `http://` or `https://` prefix, ASCII-case-insensitive — checked
+    * BEFORE materializing the value String, so the (overwhelmingly
+    * common) relative hrefs cost zero allocation. */
+  private[html] def isAbsoluteHttp(s: CharSequence, start: Int, end: Int): Boolean = {
+    var i = start
+    if (end - i < 7) return false
+    @inline def lc(c: Char): Char = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    if (lc(s.charAt(i)) != 'h' || lc(s.charAt(i + 1)) != 't' ||
+        lc(s.charAt(i + 2)) != 't' || lc(s.charAt(i + 3)) != 'p') return false
+    i += 4
+    if (i < end && lc(s.charAt(i)) == 's') i += 1
+    i + 3 <= end && s.charAt(i) == ':' && s.charAt(i + 1) == '/' && s.charAt(i + 2) == '/'
   }
 
   private def indexOfIgnoreCase(s: String, sub: String, from: Int): Int = {

@@ -738,6 +738,27 @@ object GraftQueries {
           sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
     }),
 
+    // host link graph off the extractor's out_links surface (the
+    // WAT-style out-link column, v3): explode + two codegen'd host
+    // projections + ONE partial+final count aggregate. The oracle does
+    // NOT read out_links — it re-derives every link from the RAW page
+    // bytes (regexp over the decoded payload), so the tokenizer's href
+    // capture is value-checked end-to-end against the crawl bytes.
+    "q67_host_links" -> ((s, d) =>
+      hostEdgesAll(s, d)
+        .groupBy(col("src").as("src_host"), col("dst").as("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+        .select(col("src_host"), col("dst_host"), col("n_links"))),
+
+    // host-graph PageRank in fixed-point integer arithmetic (see
+    // HostRank): damping 85/100, base 0.15, 10 iterations, all state
+    // BIGINT micros — bit-identical at any parallelism because Long
+    // sums are order-independent (float PageRank isn't). The oracle
+    // unrolls the same recurrence from the same constants over edges
+    // re-derived from the raw page bytes.
+    "q68_pagerank" -> ((s, d) =>
+      graft.ops.HostRank.ranks(hostEdgesAll(s, d))),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1184,6 +1205,39 @@ object GraftQueries {
         "doc_id", "text", shingleN = 2, threshold = 0.6)
     })
   )
+
+  /** The host edge multiset (src, dst) from the extractor's out_links
+    * column — one row per absolute href occurrence (q67 counts them;
+    * HostRank distincts them). Map-side only: explode + codegen'd
+    * substring_index host projections, no UDF, no parse_url. */
+  private def hostEdgesAll(s: SparkSession, d: String): DataFrame =
+    extractedCached(s, d)
+      .filter(col("error").isNull && col("payload_kind") === "html")
+      .select(graft.ops.Hosts.hostOf(col("url")).as("src"),
+        explode(col("out_links")).as("link"))
+      .select(col("src"), graft.ops.Hosts.hostOf(col("link")).as("dst"))
+
+  /** The raw-bytes edge derivation the q67/q68 oracles share: every
+    * double-quoted absolute href in the DECODED html payload of pages
+    * that sniff as html. Equivalence with the tokenizer's out_links on
+    * this corpus: generated absolute hrefs are always double-quoted
+    * attribute values of real `<a>` tags (never inside scripts or
+    * comments), html payloads always start with '<' (hex 3C — junk rows
+    * are pinned to 0x7f, PDFs to '%'), and all generated html is valid
+    * UTF-8, so decode() is total over the filtered rows. */
+  private def linksFromRawSql: String =
+    s"""html_pages AS (
+       |  SELECT url, decode(html) AS doc
+       |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+       |  WHERE substr(hex(html), 1, 2) = '3C'),
+       |links0 AS (
+       |  SELECT url,
+       |    unnest(regexp_extract_all(doc, 'href="(https?://[^"]+)"', 1)) AS link
+       |  FROM html_pages),
+       |links AS (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src,
+       |    regexp_extract(link, '^https?://([^/]+)', 1) AS dst
+       |  FROM links0)""".stripMargin
 
   /** The extraction corpus as (doc_id, text) — q32's dedup input. */
   private def extractedPagesDocs(s: SparkSession, d: String): DataFrame =
@@ -1785,6 +1839,21 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // link graph re-derived from the RAW page bytes (not the out_links
+    // column) — the tokenizer's href capture is the thing under test
+    "q67_host_links" ->
+      s"""WITH $linksFromRawSql
+         |SELECT src AS src_host, dst AS dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links
+         |FROM links GROUP BY 1, 2""".stripMargin,
+
+    // fixed-point PageRank unrolled from HostRank's own constants over
+    // the raw-bytes edge set; integer div (//) mirrors Spark's `div`
+    "q68_pagerank" ->
+      s"""WITH $linksFromRawSql,
+         |edges AS (SELECT DISTINCT src, dst FROM links),
+         |${graft.ops.HostRank.oracleSql("edges")}""".stripMargin,
 
     // the as-of join re-derived with DuckDB's native ASOF LEFT JOIN;
     // right-side (key,time) ties resolved the same way joinBackward

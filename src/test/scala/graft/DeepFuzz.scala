@@ -38,7 +38,8 @@ object DeepFuzz {
           maxLen = math.max(maxLen, s.length)
           val a = MainContentExtractor.extract(s)
           val b = MainContentExtractor.extractBytes(s.getBytes(UTF_8))
-          if (a.text != b.text || a.title != b.title || a.nBlocks != b.nBlocks) {
+          if (a.text != b.text || a.title != b.title || a.nBlocks != b.nBlocks ||
+              !a.outLinks.sameElements(b.outLinks)) {
             System.err.println(s"DIVERGED on (${s.length} chars): ${s.take(300)}")
             sys.exit(1)
           }

@@ -28,6 +28,41 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(r.spans(0).start == 0 && r.spans(0).end == r.text.length)
   }
 
+  test("tokenizer: out-link capture — absolute only, quote styles, first wins, both tokenizers") {
+    val html =
+      """<html><body>
+        |<a href="https://a.example/p">one</a>
+        |<a href='https://b.example'>two</a>
+        |<a href=https://c.example/q>three</a>
+        |<a href="/relative">skip</a>
+        |<a HREF="HTTPS://D.EXAMPLE/X">case</a>
+        |<a href="https://first.example" href="https://second.example">dup attr</a>
+        |<a title="href=https://fake.example" href="https://real.example">decoy</a>
+        |<script>var s = '<a href="https://in-script.example">';</script>
+        |<!-- <a href="https://in-comment.example">x</a> -->
+        |<a data-href="https://not-href.example" href="https://kept.example">e</a>
+        |</body></html>""".stripMargin
+    val expected = Seq(
+      "https://a.example/p", "https://b.example", "https://c.example/q",
+      "HTTPS://D.EXAMPLE/X", "https://first.example", "https://real.example",
+      "https://kept.example")
+    val a = MainContentExtractor.extract(html)
+    val b = MainContentExtractor.extractBytes(html.getBytes(UTF_8))
+    assert(a.outLinks.toSeq == expected)
+    assert(b.outLinks.toSeq == expected)
+  }
+
+  test("generator: every html page carries its host's 3 partner links; extraction captures them") {
+    val gp = PageGen.genRow(42L, 0L) // idx 0 is an html page (sf tables rely on it)
+    assert(gp.kind == "html")
+    val doc = Extract(gp.page)
+    val host = gp.page.url.stripPrefix("https://").takeWhile(_ != '/')
+    val expected = PageGen.partnerHosts(host).map(h => s"https://$h/")
+    assert(doc.out_links.toSeq == expected)
+    // pdf + junk rows have no out-links
+    assert(doc.error == null)
+  }
+
   test("tokenizer: unclosed tags and stray '<' never throw") {
     val html = "<body><p>one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen\n<p>a < b still text of the second paragraph with plenty of words to be considered as content here too</body>"
     val r = MainContentExtractor.extract(html)

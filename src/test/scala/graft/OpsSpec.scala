@@ -519,6 +519,32 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.sameElements(canon))
   }
 
+  test("host-rank: fixed-point PageRank ≡ driver-side exact reference, bit-identical at any parallelism") {
+    import spark.implicits._
+    // planted graph: a hub everyone links to, a 2-cycle, duplicate
+    // edges (must collapse), and dangling sink nodes (no out-links —
+    // they receive rank but emit none)
+    val edges = Seq(
+      ("h1", "h0"), ("h2", "h0"), ("h3", "h0"), ("h4", "h0"),
+      ("h0", "h1"), ("h1", "h2"), ("h2", "h1"),
+      ("h3", "h5"), ("h3", "h5"),
+      ("h4", "h6"))
+    val df = edges.toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.HostRank.ranks(d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = run(df)
+    val want = graft.ops.HostRank.referenceRanks(edges)
+    assert(got == want)
+    // the hub and its sole beneficiary accumulate real mass; leaf
+    // sources (h3, h4) bleed down toward base; sinks got base + inflow
+    assert(got("h0") > graft.ops.HostRank.InitMicros)
+    assert(got("h3") < got("h0") && got("h4") < got("h0"))
+    assert(got("h5") > graft.ops.HostRank.BaseMicros)
+    // Long sums are order-independent: any repartitioning → same bits
+    assert(run(df.repartition(7)) == got)
+  }
+
   test("as-of join: backward-inclusive match, tie-break, and unmatched-null semantics") {
     import spark.implicits._
     import java.sql.Timestamp

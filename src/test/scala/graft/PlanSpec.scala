@@ -259,6 +259,16 @@ class PlanSpec extends AnyFunSuite {
       "token×vocab must never sort-merge (full token shuffle at 100 TB)")
   }
 
+  test("q67 link graph is explode + codegen host projection + one aggregate (no UDF, no parse_url)") {
+    val df = graft.queries.GraftQueries.queries("q67_host_links")(spark, d)
+    val p = executedPlan(df)
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!p.contains("ScalaUDF"), "link-graph projection must stay codegen'd")
+    assert(!hasParseUrl(df), "host keys must use the substring_index form")
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 1,
+      s"expected exactly the count-aggregate shuffle:\n${finalSection.take(800)}")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head

@@ -112,12 +112,20 @@ class PropertySpec extends AnyFunSuite {
       Gen.const("&bogus;"), Gen.const("é漢字ü"), Gen.const("<!--x-->"),
       Gen.const("<script>a<b</script>"), Gen.const("<p>"), Gen.const("</p>"),
       Gen.const(" "), Gen.const("<![CDATA[x]]>"), Gen.const("&#"),
-      Gen.const("<TITLE>t</TITLE>"))).map(_.mkString)
+      Gen.const("<TITLE>t</TITLE>"),
+      Gen.const("<a href=\"https://x.example/p\">l</a>"),
+      Gen.const("<a href='https://y.example'>l</a>"),
+      Gen.const("<a href=https://z.example/q>l</a>"),
+      Gen.const("<a href=\"/rel\">l</a>"), Gen.const("<a HREF=\"HTTPS://UP.example\">"),
+      Gen.const("<a href"), Gen.const("href=\"https://stray.example\""),
+      Gen.const("<a title=\"href=https://fake\" href=\"https://real.example\">"))).map(_.mkString)
     forAll(soup, minSuccessful(300)) { s =>
       val a = MainContentExtractor.extract(s)
       val b = MainContentExtractor.extractBytes(s.getBytes(UTF_8))
       assert(a.text == b.text, s"text diverged on: ${s.take(200)}")
       assert(a.nBlocks == b.nBlocks && a.title == b.title)
+      assert(a.outLinks.toSeq == b.outLinks.toSeq,
+        s"out-links diverged on: ${s.take(200)}")
     }
   }
 
