@@ -759,6 +759,56 @@ object GraftQueries {
     "q68_pagerank" -> ((s, d) =>
       graft.ops.HostRank.ranks(hostEdgesAll(s, d))),
 
+    // per-doc characteristic terms — the integer-exact core of TF-IDF:
+    // rank a doc's terms by (tf desc, df asc, term asc) and keep 5. No
+    // floats, no logs — the idf ORDER is the df order, so the ranking
+    // is engine-portable and hash-exact. tf = one token shuffle with
+    // map-side partial agg; df derives from the tf table (count of docs
+    // per term — no second pass over text); tf⋈df is a bounded
+    // equi-join on term; the per-doc top-k reuses the salted two-phase
+    // topKPerGroup (no giant-doc straggler window).
+    "q69_doc_keyterms" -> ((s, d) => {
+      val toks = extractedPagesDocs(s, d).select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      Balance.topKPerGroup(tf.join(df, "term"), col("doc_id"), col("term"),
+          Seq(col("tf").desc, col("df").asc, col("term").asc), k = 5)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+    }),
+
+    // PMI collocations in exact integer arithmetic: bigrams are built
+    // MAP-SIDE from each doc's token array (no positional self-join),
+    // counted, then joined to unigram counts; the PMI ratio
+    // n_ab·N_uni / (n_a·n_b) is emitted as (num, den) BIGINTs — the
+    // log is monotone, so ordering/thresholding on the exact ratio ≡
+    // ordering on PMI with zero float divergence across engines. Keep
+    // rule: n_ab ≥ 5 and ratio ≥ 2 (num ≥ 2·den). The scalar N_uni
+    // broadcasts (PlanSpec-gated, no cartesian).
+    "q70_pmi_collocations" -> ((s, d) => {
+      val docs = extractedPagesDocs(s, d)
+        .select(filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("toks"))
+      val uni = docs.select(explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+      val bi = docs
+        // sequence(0, size-2) DESCENDS when size < 2 — guard it out
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as a, toks[i+1] as b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val nUni = uni.agg(sum("n_t").as("n_total"))
+      bi.join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+        .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+        .crossJoin(broadcast(nUni))
+        .withColumn("pmi_num", col("n_ab") * col("n_total"))
+        .withColumn("pmi_den", col("n_a") * col("n_b"))
+        .filter(col("pmi_num") >= lit(2) * col("pmi_den"))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          col("pmi_num"), col("pmi_den"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1839,6 +1889,59 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // key-terms re-derived over the same extraction dump: identical
+    // tokenization, identical (tf desc, df asc, term asc) rank — the
+    // oracle runs the naive single-window form, so a hash match also
+    // proves the salted two-phase top-k exact (the q52 pattern)
+    "q69_doc_keyterms" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM docs),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |j AS (
+         |  SELECT t.doc_id, t.term, t.tf, d.df,
+         |    CAST(row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INTEGER) AS rk
+         |  FROM tf t JOIN df d USING (term))
+         |SELECT doc_id, term, tf, df, rk FROM j WHERE rk <= 5""".stripMargin,
+
+    // PMI re-derived with the same exact-integer ratio over the same
+    // dump; bigrams via list_transform over each doc's token list
+    "q70_pmi_collocations" ->
+      s"""WITH docs AS (
+         |  SELECT extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |tl AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |uni AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS n_t
+         |  FROM (SELECT unnest(toks) AS t FROM tl) GROUP BY 1),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+         |  FROM tl WHERE len(toks) >= 2),
+         |bi AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_total FROM uni)
+         |SELECT bi.a, bi.b, bi.n_ab, ua.n_t AS n_a, ub.n_t AS n_b,
+         |  CAST(bi.n_ab * tot.n_total AS BIGINT) AS pmi_num,
+         |  CAST(ua.n_t * ub.n_t AS BIGINT) AS pmi_den
+         |FROM bi
+         |JOIN uni ua ON ua.t = bi.a
+         |JOIN uni ub ON ub.t = bi.b
+         |CROSS JOIN tot
+         |WHERE bi.n_ab * tot.n_total >= 2 * ua.n_t * ub.n_t""".stripMargin,
 
     // link graph re-derived from the RAW page bytes (not the out_links
     // column) — the tokenizer's href capture is the thing under test

@@ -269,6 +269,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the count-aggregate shuffle:\n${finalSection.take(800)}")
   }
 
+  test("q69 key-terms keeps the two-phase salted top-k (no giant-doc straggler window)") {
+    val df = graft.queries.GraftQueries.queries("q69_doc_keyterms")(spark, d)
+    val p = executedPlan(df).split("== Initial Plan ==").head
+    val windows = p.split("Window \\[", -1).length - 1
+    assert(windows >= 2, s"expected the two-phase window plan; got $windows:\n${p.take(1200)}")
+    assert(p.contains("pmod(hash("), "expected the salted shard partitioning")
+    assert(!hasParseUrl(df))
+  }
+
+  test("q70 PMI builds bigrams map-side and broadcasts the scalar total (no cartesian)") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q70_pmi_collocations")(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, not cartesian:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected the scalar total as a broadcast join")
+    assert(!p.contains("ScalaUDF"), "bigram construction must stay codegen'd")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
