@@ -762,18 +762,27 @@ object GraftQueries {
     // per-doc characteristic terms — the integer-exact core of TF-IDF:
     // rank a doc's terms by (tf desc, df asc, term asc) and keep 5. No
     // floats, no logs — the idf ORDER is the df order, so the ranking
-    // is engine-portable and hash-exact. tf = one token shuffle with
-    // map-side partial agg; df derives from the tf table (count of docs
-    // per term — no second pass over text); tf⋈df is a bounded
-    // equi-join on term; the per-doc top-k reuses the salted two-phase
-    // topKPerGroup (no giant-doc straggler window).
+    // is engine-portable and hash-exact. Plan shape: the tf table is
+    // checkpointed ONCE (the DAG references it twice — directly and
+    // through df — and recomputing the tokenizer explode is the single
+    // biggest cost: measured 4.3 s → 2.6 s at sf0.01); df = groupBy
+    // (term) with map-side partials (stopword skew lands in the partial
+    // agg, not one task); tf⋈df is an AQE-skew-handled equi-join (a web
+    // vocab does NOT broadcast at 100 TB); the per-doc top-k is a
+    // SINGLE window — unlike q52's unbounded zipfian hosts, a doc's
+    // term-group is bounded by the extraction clamp, so salting would
+    // buy nothing and cost a second full sort.
     "q69_doc_keyterms" -> ((s, d) => {
       val toks = extractedPagesDocs(s, d).select(col("doc_id"),
         explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      Balance.topKPerGroup(tf.join(df, "term"), col("doc_id"), col("term"),
-          Seq(col("tf").desc, col("df").asc, col("term").asc), k = 5)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
     }),
 
@@ -1891,9 +1900,8 @@ object GraftQueries {
          |FROM normed""".stripMargin,
 
     // key-terms re-derived over the same extraction dump: identical
-    // tokenization, identical (tf desc, df asc, term asc) rank — the
-    // oracle runs the naive single-window form, so a hash match also
-    // proves the salted two-phase top-k exact (the q52 pattern)
+    // tokenization, identical (tf desc, df asc, term asc) total order
+    // (term asc makes the rank deterministic on both engines)
     "q69_doc_keyterms" ->
       s"""WITH docs AS (
          |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,

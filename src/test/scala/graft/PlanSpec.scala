@@ -269,12 +269,21 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the count-aggregate shuffle:\n${finalSection.take(800)}")
   }
 
-  test("q69 key-terms keeps the two-phase salted top-k (no giant-doc straggler window)") {
+  test("q69 key-terms computes tf once (checkpoint scan, no tokenizer re-explode) + one window") {
     val df = graft.queries.GraftQueries.queries("q69_doc_keyterms")(spark, d)
     val p = executedPlan(df).split("== Initial Plan ==").head
+    // the tf table must enter the plan as a checkpointed scan — the DAG
+    // references it twice, and without the checkpoint the token explode
+    // + first aggregate run twice (measured 1.7x the whole query)
+    assert(p.contains("Scan ExistingRDD") || p.contains("RDDScanExec"),
+      s"expected the checkpointed tf scan:\n${p.take(1200)}")
+    assert(!p.contains("Generate explode"),
+      "the tokenizer explode must happen before the checkpoint, not in this plan")
+    // a doc's term group is bounded by the extraction clamp — ONE
+    // ranking window, no salted shard pass (that's for unbounded groups
+    // like q52's zipfian hosts)
     val windows = p.split("Window \\[", -1).length - 1
-    assert(windows >= 2, s"expected the two-phase window plan; got $windows:\n${p.take(1200)}")
-    assert(p.contains("pmod(hash("), "expected the salted shard partitioning")
+    assert(windows == 1, s"expected exactly one ranking window; got $windows")
     assert(!hasParseUrl(df))
   }
 
