@@ -818,6 +818,45 @@ object GraftQueries {
           col("pmi_num"), col("pmi_den"))
     }),
 
+    // stratified sampling with EXACT largest-remainder allocation
+    // (Hamilton method): a 1000-doc eval set allocated across langs
+    // proportionally to corpus counts, every step in integer
+    // arithmetic — base_i = (B·n_i) div N, leftover seats to the
+    // largest remainders (B·n_i mod N, ties on lang asc) — so the
+    // allocation is engine-portable with zero float quotas. Member
+    // selection is the smallest-md5 rule (stable under ingestion,
+    // q51's trick); the per-lang top-k runs through the salted
+    // two-phase topKPerGroup because lang groups ARE unbounded at
+    // corpus scale (exactly q52's shape). The strata table (4 rows)
+    // broadcasts.
+    "q71_stratified_sample" -> ((s, d) => {
+      val budget = 1000L
+      val docs = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(col("url"), col("lang"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // the global seat window runs over the STRATA table (#langs rows),
+      // not the corpus — a single-partition window there is free
+      val quotas = counts
+        .crossJoin(broadcast(counts.agg(sum("n").as("n_total"))))
+        .withColumn("base", expr(s"($budget * n) div n_total"))
+        .withColumn("rem", expr(s"($budget * n) % n_total"))
+      val seats = quotas
+        .withColumn("seat_rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)))
+        .crossJoin(broadcast(quotas.agg(sum("base").as("base_sum"))))
+        .withColumn("alloc",
+          col("base") + when(col("seat_rk") <= lit(budget) - col("base_sum"), 1L).otherwise(0L))
+        .select(col("lang"), col("alloc"))
+      val ranked = Balance.topKPerGroup(
+        docs.withColumn("h", md5(col("url"))), col("lang"), col("url"),
+        Seq(col("h").asc, col("url").asc), k = budget.toInt)
+      ranked.join(broadcast(seats), "lang")
+        .filter(col("rk") <= col("alloc"))
+        .select(col("lang"), col("url"), col("rk").cast("long").as("rk"),
+          col("alloc"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1898,6 +1937,35 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // the Hamilton allocation + smallest-md5 member rule re-derived in
+    // pure integer SQL; the oracle ranks with the naive single window,
+    // so the hash match again proves the salted two-phase top-k exact
+    "q71_stratified_sample" ->
+      s"""WITH docs AS (
+         |  SELECT url, lang
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+         |quotas AS (
+         |  SELECT lang, n,
+         |    (1000 * n) // n_total AS base,
+         |    (1000 * n) % n_total AS rem
+         |  FROM counts CROSS JOIN tot),
+         |seats AS (
+         |  SELECT lang,
+         |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+         |      <= 1000 - (SELECT sum(base) FROM quotas) THEN 1 ELSE 0 END AS alloc
+         |  FROM quotas),
+         |ranked AS (
+         |  SELECT lang, url,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(url) ASC, url ASC) AS BIGINT) AS rk
+         |  FROM docs)
+         |SELECT r.lang, r.url, r.rk, CAST(s.alloc AS BIGINT) AS alloc
+         |FROM ranked r JOIN seats s USING (lang)
+         |WHERE r.rk <= s.alloc""".stripMargin,
 
     // key-terms re-derived over the same extraction dump: identical
     // tokenization, identical (tf desc, df asc, term asc) total order

@@ -287,6 +287,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df))
   }
 
+  test("q71 stratified sample: salted per-lang top-k + broadcast strata (no corpus-wide sort)") {
+    val df = graft.queries.GraftQueries.queries("q71_stratified_sample")(spark, d)
+    val p = executedPlan(df).split("== Initial Plan ==").head
+    // lang groups are unbounded at corpus scale — the member rank MUST
+    // keep the q52 two-phase salted shape
+    val windows = p.split("Window \\[", -1).length - 1
+    assert(windows >= 2, s"expected the two-phase salted windows; got $windows")
+    assert(p.contains("pmod(hash("), "expected the salted shard partitioning")
+    // the allocation table joins as a broadcast (4 rows), never a shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the strata allocation must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q70 PMI builds bigrams map-side and broadcasts the scalar total (no cartesian)") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q70_pmi_collocations")(spark, d))
     assert(!p.contains("CartesianProduct"),
