@@ -857,6 +857,31 @@ object GraftQueries {
           col("alloc"))
     }),
 
+    // guaranteed heavy hitters via the two-pass sketch pattern: a
+    // mergeable Misra–Gries Aggregator (fixed O(k) memory per partial,
+    // map-side combined — the 100 TB alternative to shuffling the FULL
+    // token key space) surfaces ≤k candidates, which PROVABLY include
+    // every token with true count > N/(k+1); an exact second pass
+    // counts ONLY the candidates (broadcast semi-join, bounded) and
+    // thresholds on the true count — so the sketch's approximation
+    // never reaches the output and the result is deterministic +
+    // oracle-exact. Threshold in integers: n·(k+1) > N.
+    "q72_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 200
+      val toks = extractedPagesDocs(s, d)
+        .select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("term"))
+      val sketch = toks.as[String]
+        .select(new graft.functions.HeavyHitters(k).toColumn)
+        .head() // ONE row of ≤k entries — bounded driver data by construction
+      val candidates = sketch.keys.toSeq.toDF("term")
+      toks.join(broadcast(candidates), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+        .filter(col("n") * (k + 1) > col("n_total"))
+        .select(col("term"), col("n"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1937,6 +1962,20 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // the heavy-hitter SET is exact (sketch only prunes candidates):
+    // DuckDB just counts everything and applies the integer threshold
+    "q72_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(lower(extracted_text), '\\s+'),
+         |    x -> x <> '')) AS term
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+         |SELECT term, CAST(count(*) AS BIGINT) AS n
+         |FROM toks CROSS JOIN tot
+         |GROUP BY term, n_total
+         |HAVING count(*) * 201 > n_total""".stripMargin,
 
     // the Hamilton allocation + smallest-md5 member rule re-derived in
     // pure integer SQL; the oracle ranks with the naive single window,

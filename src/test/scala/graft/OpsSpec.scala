@@ -519,6 +519,35 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.sameElements(canon))
   }
 
+  test("misra-gries sketch: error bound and the heavy-hitter guarantee hold at any parallelism") {
+    import spark.implicits._
+    val k = 20
+    // zipfian-ish stream: token i appears ~2000/i times
+    val stream = (1 to 60).flatMap(i => Seq.fill(2000 / i)(s"tok$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    val bound = n / (k + 1)
+    for (parts <- Seq(1, 4, 13)) {
+      val sketch = stream.toDF("t").repartition(parts).as[String]
+        .select(new graft.functions.HeavyHitters(k).toColumn).head()
+      assert(sketch.size <= k)
+      // ê ≤ true and ê ≥ true − N/(k+1), across arbitrary merges
+      sketch.foreach { case (key, est) =>
+        assert(est <= exact(key), s"$key overestimated at parts=$parts")
+        assert(est >= exact(key) - bound, s"$key below bound at parts=$parts")
+      }
+      // every TRUE heavy hitter (> N/(k+1)) must be present
+      exact.filter(_._2 > bound).keys.foreach { key =>
+        assert(sketch.contains(key), s"true heavy hitter $key missing at parts=$parts")
+      }
+    }
+    // weighted merge path ≡ unit-add path
+    val agg = new graft.functions.HeavyHitters(3)
+    val viaMerge = agg.merge(Map("a" -> 5L, "b" -> 2L, "c" -> 1L), Map("d" -> 4L))
+    val viaAdds = (1 to 4).foldLeft(Map("a" -> 5L, "b" -> 2L, "c" -> 1L))((b, _) => agg.reduce(b, "d"))
+    assert(viaMerge == viaAdds)
+  }
+
   test("host-rank: fixed-point PageRank ≡ driver-side exact reference, bit-identical at any parallelism") {
     import spark.implicits._
     // planted graph: a hub everyone links to, a 2-cycle, duplicate
