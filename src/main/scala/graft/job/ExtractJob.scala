@@ -90,6 +90,18 @@ object ExtractJob {
           s"routing=$routingMode would mix extraction outputs — use a new outRoot " +
           "or re-extract from scratch")
     }
+    // ---- extraction-version guard (same contract as the routing
+    // guard): a chain committed by an older kernel must not be extended
+    // by a newer one — the skipped files' rows would carry different
+    // bytes/schema than the new files' rows. Re-extract to a new
+    // outRoot on kernel upgrades (the reference's analog: a new
+    // DocumentVersion per OCR run, never an in-place mix).
+    SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
+      require(committed == ExtractionVersion.current,
+        s"outRoot $outRoot was extracted with $committed; this build is " +
+          s"${ExtractionVersion.current} — resuming would mix extraction kernels; " +
+          "use a new outRoot")
+    }
 
     // ---- file-level resume (S7): scan only uncommitted input files ----
     // O(#files) driver-side set arithmetic; at 10^12 rows this replaces
@@ -160,6 +172,11 @@ object ExtractJob {
           s"outRoot $outRoot was extracted with routing=$committed; WARC ingestion " +
             "extracts strict-first — use a matching outRoot")
       }
+      SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
+        require(committed == ExtractionVersion.current,
+          s"outRoot $outRoot was extracted with $committed; this build is " +
+            s"${ExtractionVersion.current} — resuming would mix extraction kernels")
+      }
       val allFiles = graft.sources.Warc.listSegments(spark, warcDir)
       val committedInputs = SnapshotStore.committedInputFiles(outRoot)
       val pendingFiles = allFiles.filterNot(committedInputs.contains)
@@ -204,6 +221,11 @@ object ExtractJob {
         require(committed == routingMode,
           s"outRoot $outRoot was extracted with routing=$committed; appending " +
             s"routing=$routingMode output would mix extraction modes")
+      }
+      SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
+        require(committed == ExtractionVersion.current,
+          s"outRoot $outRoot holds $committed output; this build is " +
+            s"${ExtractionVersion.current} — appending would mix extraction kernels")
       }
       val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
       val committedDirs = SnapshotStore.dataDirs(outRoot)

@@ -135,6 +135,25 @@ object SnapshotStore {
     * as "strict", the historical default). Mixed modes in one table
     * are a corruption of the byte-identity contract and are reported
     * as such. */
+  /** The extraction_version every committed snapshot was produced
+    * under — None for an empty chain. A chain mixing versions is
+    * corrupt by definition (same reasoning as [[committedRouting]]):
+    * the kernel that produced the bytes is part of the table's
+    * identity. */
+  def committedExtractionVersion(root: String): Option[String] = {
+    val seq = currentSequence(root)
+    val versions = (1 to seq)
+      .map(i => parseStringField(readManifest(root, i), "extraction_version"))
+      .filter(_.nonEmpty).distinct
+    versions match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"snapshot chain at $root mixes extraction versions ${many.mkString(",")} — " +
+          "the table violates the byte-identity contract; rebuild from a clean outRoot")
+    }
+  }
+
   def committedRouting(root: String): Option[String] = {
     val seq = currentSequence(root)
     val modes = (1 to seq).map { i =>

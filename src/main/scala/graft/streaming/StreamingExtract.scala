@@ -105,4 +105,87 @@ object StreamingExtract {
     pages.withColumn("content_hash", md5(col("html")))
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** One in-flight session per user: [start, end] in epoch MICROS plus
+    * its event count. Micros (not ms) because TimestampType carries
+    * microsecond precision and the emitted session bounds must round-trip
+    * bit-exactly against the batch min/max(ts). */
+  final case class OpenSession(startUs: Long, endUs: Long, n: Int)
+
+  /** Streaming gap-sessionization (the q16 batch rule as a stream):
+    * flatMapGroupsWithState with an EVENT-TIME timeout — a session
+    * CLOSES and is emitted exactly once, either because a same-user
+    * event arrives > gap after it, or because the watermark passes
+    * the last instant a mergeable event could exist (the timeout
+    * path). The gap rule is EXACTLY q16's: truncated-to-second epoch
+    * difference strictly greater than gap seconds — so streaming and
+    * batch sessionization agree row-for-row, including on
+    * microsecond-precision timestamps. State per user is ONE
+    * OpenSession row — bounded regardless of stream length, unlike
+    * collecting events per user. Within a trigger, a user's events are
+    * sorted by event time, so multi-session batches close intermediate
+    * sessions immediately. Timeout timestamps are clamped above the
+    * current watermark (a session that was already expired when its
+    * user's first post-gap batch arrives still closes on the NEXT
+    * trigger rather than throwing). Contract: event-time-ordered
+    * delivery per user within the watermark; data later than the
+    * watermark is the caller's loss, same as every watermarked
+    * operator here. */
+  def sessionsStream(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "1 hour"):
+      org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapSec = gapMinutes * 60L
+    // local defs only: the state closure must not capture this object
+    // (Task not serializable otherwise)
+    def secOf(us: Long): Long = Math.floorDiv(us, 1000000L)
+    // full-precision epoch micros (getTime alone drops the
+    // sub-millisecond fraction; nanos carries it)
+    def microsOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    def emit(user: Long, s: OpenSession) = (user, tsOf(s.startUs), tsOf(s.endUs), s.n)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(user, s))
+          } else {
+            val times = rows.map(r => microsOf(r._2)).toArray.sorted
+            var closed = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Int)]
+            var cur = state.getOption.orNull
+            var i = 0
+            while (i < times.length) {
+              val t = times(i)
+              if (cur == null) cur = OpenSession(t, t, 1)
+              else if (secOf(t) - secOf(cur.endUs) > gapSec) {
+                closed = emit(user, cur) :: closed
+                cur = OpenSession(t, t, 1)
+              } else cur = OpenSession(math.min(cur.startUs, t),
+                math.max(cur.endUs, t), cur.n + 1)
+              i += 1
+            }
+            state.update(cur)
+            // latest mergeable instant: any t with sec(t) <= sec(end)+gap,
+            // i.e. strictly below (sec(end)+gap+1) seconds. Timeout at that
+            // boundary (ms) — and above the current watermark, or Spark throws.
+            state.setTimeoutTimestamp(math.max(
+              (secOf(cur.endUs) + gapSec + 1) * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            closed.reverseIterator
+          }
+        })
+  }
 }

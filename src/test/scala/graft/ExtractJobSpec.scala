@@ -88,6 +88,28 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("extraction-version guard: a chain committed by an older kernel refuses resume/append") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 60, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // simulate an older-kernel chain: rewrite v1's manifest version tag
+    val mPath = java.nio.file.Paths.get(s"$dir/out/snapshots/v1.json")
+    val rewritten = new String(java.nio.file.Files.readAllBytes(mPath), UTF_8)
+      .replace(graft.core.ExtractionVersion.current, "graft-extract-0")
+    java.nio.file.Files.write(mPath, rewritten.getBytes(UTF_8))
+    ExtractJob.generatePages(spark, 120, s"$dir/pages", partitions = 2,
+      start = 60, append = true)
+    val e = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    }
+    assert(e.getMessage.contains("graft-extract-0"))
+    assert(SnapshotStore.currentSequence(s"$dir/out") == 1) // nothing committed
+    val extra = ExtractJob.extractDS(ExtractJob.readPages(spark, s"$dir/pages"))
+    intercept[IllegalArgumentException] {
+      ExtractJob.appendSnapshot(extra, s"$dir/out")
+    }
+  }
+
   test("resume: partial run + resume == clean full run (idempotent)") {
     val dir = tmp()
     // a growing crawl: first half arrives, is committed, then the rest

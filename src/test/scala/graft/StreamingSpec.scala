@@ -149,4 +149,68 @@ class StreamingSpec extends AnyFunSuite {
     // and the generator really planted duplicates (the test isn't vacuous)
     assert(spark.read.parquet(s"$dir/pages").count() > batchHashes.count())
   }
+
+  test("flatMapGroupsWithState sessionization == batch 30-min-gap sessions, exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmp()
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"),
+        // the driver table stores TIMESTAMP_NTZ; the streaming/session
+        // surface uses classic TIMESTAMP (UTC session, same instants)
+        to_timestamp(col("ts")).as("ts"))
+    // one data file + two far-future sentinel users: sentinel 1 pushes
+    // the watermark past every real session's end+gap (closing them via
+    // the event-time timeout on the NEXT trigger), sentinel 2 provides
+    // that next trigger. File order pinned via modification times.
+    val maxTsMs = events.agg(max(col("ts")).cast("long")).head().getLong(0) * 1000L
+    events.coalesce(1).write.parquet(s"$dir/in/a")
+    Seq((-1L, new java.sql.Timestamp(maxTsMs + 10L * 86400000)))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/in/b")
+    Seq((-2L, new java.sql.Timestamp(maxTsMs + 20L * 86400000)))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/in/c")
+    var t0 = System.currentTimeMillis() - 60000
+    for (sub <- Seq("a", "b", "c")) {
+      new java.io.File(s"$dir/in/$sub").listFiles().foreach { f =>
+        f.setLastModified(t0)
+      }
+      t0 += 10000
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in")
+    val q = StreamingExtract.sessionsStream(stream)
+      .toDF("user_id", "session_start", "session_end", "n_events")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sessions_out").filter(col("user_id") >= 0)
+      .select("user_id", "session_start", "session_end", "n_events")
+    // batch reference: the q16 gap rule, aggregated to (start, end, n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc)
+    val expected = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(got.count() == expected.count(),
+      s"session count ${got.count()} vs batch ${expected.count()}")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "streaming sessions != batch sessions")
+    // exactly-once: no session emitted twice
+    assert(got.distinct().count() == got.count())
+  }
 }
