@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document substring-level exact dedup — the token-span form of
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et
+  * al., ACL 2022, public method): a k-token span that recurs VERBATIM
+  * in two or more documents is train-set redundancy that line- and
+  * document-level dedup both miss (a license paragraph pasted mid-page,
+  * a syndicated lede under different boilerplate). The reference
+  * pipeline has no analog; this is part of the LLM-curation surface.
+  *
+  * Lee et al. build a suffix array over the concatenated corpus — a
+  * single-machine design. The Spark-native shape is rolling-hash
+  * blocking: every doc emits md5 digests of its rolling k-token
+  * windows, a digest appearing under ≥2 distinct doc ids marks a
+  * cross-document duplicated span. Span TEXT never crosses a shuffle —
+  * the explode emits (doc_id, md5) pairs (~40 bytes/token at any
+  * corpus size), and both aggregates are plain map-side-combinable
+  * groupBys. No windows, no sort, no skew pocket: the hottest digest
+  * (a corpus-wide boilerplate span) concentrates one shuffle key of at
+  * most #docs rows, the same bound as exact doc-level dedup.
+  *
+  * Summary granularity (per doc: how many spans, how many duplicated)
+  * mirrors [[LineDedup.summarize]]; the removal variant is a trivial
+  * anti-join on the same span table. Tokenization is the text-family
+  * rule (lowercase, split `\s+`, drop empties) so the DuckDB oracle
+  * re-derives spans verbatim.
+  */
+object SpanDedup {
+
+  /** Rolling k-token span digests: (idCol, h) — one row per window
+    * position, md5 of the space-joined span. Docs with < k tokens
+    * contribute nothing. Pure Catalyst (split/transform/slice/md5
+    * inside one codegen'd projection); the span string exists only
+    * inside the expression, never as a column. */
+  def spans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+          s"i -> md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)))")).as("h"))
+
+  /** Per-doc span-dedup summary: total rolling spans and how many of
+    * them also occur in at least one OTHER document.
+    *
+    * Shape: spans → (1) per-doc span count; (2) digest→distinct-doc
+    * count via the two-level groupBy (h, id) → (h) — no expensive
+    * countDistinct expand; (3) left-semi join of span rows to the
+    * cross-doc digest set (the small side — only digests that repeat
+    * across docs) and a final per-doc count. */
+  def summarize(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    val sp = spans(df, idCol, textCol, k)
+    val perDoc = sp.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val crossDoc = sp.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    val dupPerDoc = sp.join(crossDoc, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  /** DuckDB mirror of [[summarize]]: same tokenizer, same 1-based
+    * window enumeration, same md5-of-space-joined-span keying, same
+    * ≥2-distinct-docs rule. `docsRel` must expose (doc_id, t). */
+  def summarySql(docsRel: String, k: Int = 10): String =
+    s"""WITH tl AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS toks
+       |  FROM $docsRel),
+       |sp AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> md5(array_to_string(toks[i:i + ${k - 1}], ' ')))) AS h
+       |  FROM tl WHERE len(toks) >= $k),
+       |dup AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+       |  WHERE nd >= 2)
+       |SELECT sp.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |FROM sp LEFT JOIN dup ON sp.h = dup.h
+       |GROUP BY sp.doc_id""".stripMargin
+}

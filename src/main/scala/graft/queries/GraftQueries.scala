@@ -882,6 +882,20 @@ object GraftQueries {
         .select(col("term"), col("n"))
     }),
 
+    // substring-level cross-document dedup (Lee et al. 2022 as
+    // rolling-hash blocking): per doc, how many 10-token spans exist
+    // and how many recur verbatim in another document. Span text never
+    // crosses a shuffle — md5 digests only.
+    "q73_span_dedup" -> ((s, d) =>
+      graft.ops.SpanDedup.summarize(extractedPagesDocs(s, d), "doc_id", "text")),
+
+    // corpus-self-trained bigram LM score (CCNet-style quality signal)
+    // in exact integer micros: add-one-smoothed conditional
+    // probabilities summed per doc; integer div keeps both engines
+    // bit-identical (the q70 rule applied to an LM).
+    "q74_lm_score" -> ((s, d) =>
+      graft.ops.LmScore.score(extractedPagesDocs(s, d), "doc_id", "text")),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -1976,6 +1990,24 @@ object GraftQueries {
          |FROM toks CROSS JOIN tot
          |GROUP BY term, n_total
          |HAVING count(*) * 201 > n_total""".stripMargin,
+
+    // rolling 10-token spans re-derived: same tokenizer, same 1-based
+    // window enumeration, same md5 keying, same >=2-distinct-docs rule
+    "q73_span_dedup" ->
+      graft.ops.SpanDedup.summarySql(
+        s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+           |        extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // the bigram LM re-trained and re-scored in pure integer SQL:
+    // identical smoothing, identical integer division
+    "q74_lm_score" ->
+      graft.ops.LmScore.scoreSql(
+        s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+           |        extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
 
     // the Hamilton allocation + smallest-md5 member rule re-derived in
     // pure integer SQL; the oracle ranks with the naive single window,

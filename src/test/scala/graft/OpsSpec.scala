@@ -608,4 +608,38 @@ class OpsSpec extends AnyFunSuite {
     // row count is exactly the left count (left join, no fan-out on ties)
     assert(out.length == 5)
   }
+
+  test("span dedup: cross-doc 10-token spans counted, within-doc-only spans exempt") {
+    import spark.implicits._
+    import graft.ops.SpanDedup
+    val span = "a b c d e f g h i j" // exactly 10 tokens
+    val df = Seq(
+      (1L, s"x1 x2 $span y1"),          // 13 toks → 4 spans; window 3 == span
+      (2L, s"z1 ${span.toUpperCase}"),  // 11 toks → 2 spans; lowercased == span
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"), // 10 unique toks → 1 span, no dup
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")      // 9 toks → below k, absent
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.summarize(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((4L, 1L)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((2L, 1L)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((1L, 0L)), s"doc3 ${got(3L)}")
+    assert(!got.contains(4L))
+  }
+
+  test("lm score: add-one-smoothed bigram micros match hand computation") {
+    import spark.implicits._
+    import graft.ops.LmScore
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; margins n_a(a)=3, n_a(b)=2;
+    // V=4 (vocab counts ALL tokens incl. the bigram-less doc's "solo")
+    // p(a→b) = 4_000_000 div 7 = 571_428; p(b→a) = p(b→c) = 2_000_000 div 6 = 333_333
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = LmScore.score(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 2L * 571428L + 333333L, (2L * 571428L + 333333L) / 3L)),
+      s"doc1 ${got(1L)}")
+    assert(got(2L) == ((2L, 571428L + 333333L, (571428L + 333333L) / 2L)),
+      s"doc2 ${got(2L)}")
+    assert(!got.contains(3L)) // single-token doc has no bigrams
+  }
 }
