@@ -310,6 +310,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "bigram construction must stay codegen'd")
   }
 
+  test("q73 span dedup: codegen'd span digests, no cartesian, no UDF") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q73_span_dedup")(spark, d))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("ScalaUDF"), "span digest construction must stay codegen'd")
+    // the span table never carries span TEXT across a shuffle: the only
+    // exploded column is the md5 digest
+    assert(p.contains("md5("), "expected the digest projection inside the plan")
+  }
+
+  test("q74 lm score broadcasts the vocab scalar (no cartesian), all integer arithmetic") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q74_lm_score")(spark, d))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row vocab must broadcast, not cartesian:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected the vocab scalar as a broadcast join")
+    assert(!p.contains("ScalaUDF"), "bigram construction must stay codegen'd")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
