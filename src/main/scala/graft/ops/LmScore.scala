@@ -10,93 +10,104 @@ import org.apache.spark.sql.functions._
   * transitions are IMPROBABLE under the corpus's own bigram statistics
   * is gibberish, boilerplate soup, or wrong-language residue. Training
   * the model ON the corpus itself keeps the operator self-contained —
-  * no external model file — and is exactly a two-pass aggregate, which
-  * is the part that matters at 100 TB.
+  * no external model file.
+  *
+  * Scale shape — the two halves have DIFFERENT shapes, like a real LM
+  * pipeline:
+  *
+  *  - TRAIN: one map-side-combinable groupBy builds the bigram count
+  *    table (the only corpus-sized exchange), a vocabulary-sized
+  *    groupBy folds it to LHS margins, and counts below `minCount`
+  *    are PRUNED — KenLM-style pruning is what makes n-gram models
+  *    fit in memory at any corpus size, and it is what makes the next
+  *    step honest.
+  *  - SCORE: the pruned model + margins BROADCAST (exactly as the
+  *    KenLM binary ships to every worker node); each doc's bigrams
+  *    stream map-side through two broadcast-hash lookups, and the only
+  *    exchange is the skinny per-doc aggregate. The scoring corpus
+  *    never shuffles — at 100 TB that is the whole ballgame.
   *
   * All arithmetic is INTEGER fixed-point (micros), the house rule for
-  * oracle-exact scores (same as q70's exact-integer PMI): per distinct
-  * doc-bigram, the add-one-smoothed conditional probability
+  * oracle-exact scores (same as q70's exact-integer PMI): per bigram
+  * occurrence, the add-one-smoothed conditional probability
   *
-  *   p_micros(a→b) = (c(a,b) + 1) · 1_000_000 div (c(a,·) + V)
+  *   p_micros(a→b) = (c'(a,b) + 1) · 1_000_000 div (c(a,·) + V)
   *
-  * where c(a,b) is the corpus bigram count, c(a,·) = Σ_b c(a,b) the
-  * LHS margin (derived from the bigram table itself — no second corpus
-  * scan), and V the corpus vocabulary size (the Laplace denominator).
-  * Integer div is order-independent and bit-identical in every engine,
-  * so the DuckDB oracle re-derives the score exactly; a float
-  * cross-entropy would hash-diverge on libm's ln. Downstream ranking
-  * is monotone in the score either way.
-  *
-  * Scale shape: pass 1 is a map-side-combinable groupBy building the
-  * bigram count table (keys are token pairs, ~tens of bytes; the count
-  * table is vocabulary-sized, NOT corpus-sized). Pass 2 aggregates each
-  * doc's bigram multiplicities (groupBy, map-side combine), equi-joins
-  * them to the count table on (a, b), and sums per doc. The margin and
-  * vocab scalars broadcast. Stopword-headed bigrams are the hottest
-  * keys, but the count-table side holds ONE row per key, so AQE's
-  * broadcast/skew handling applies; nothing sorts, nothing windows.
+  * where c'(a,b) is the PRUNED corpus bigram count (0 when pruned or
+  * unseen — add-one smoothing is what gives pruned mass a floor),
+  * c(a,·) = Σ_b c(a,b) the unpruned LHS margin, and V the number of
+  * distinct LHS contexts (the Laplace event-space constant; using the
+  * margin table's cardinality keeps the train pass to exactly one
+  * corpus-sized exchange). Integer div is order-independent and
+  * bit-identical in every engine, so the DuckDB oracle re-trains and
+  * re-scores exactly; a float cross-entropy would hash-diverge on
+  * libm's ln. Downstream ranking is monotone in the score either way.
   */
 object LmScore {
 
   private def toks(textCol: String) =
     filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
 
-  /** Doc-level bigram multiplicities: (idCol, a, b, k). */
-  def docBigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Exploded bigram occurrences: (idCol, a, b) — map-side only. */
+  def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), toks(textCol).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] as a, toks[i+1] as b))")).as("p"))
       .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col(idCol), col("a"), col("b"))
-      .agg(count(lit(1)).as("k"))
 
   /** Per-doc LM score: (idCol, n_bigrams, sum_p_micros, avg_p_micros).
     * High avg = fluent under the corpus model; low = surprising. Docs
     * with < 2 tokens are absent (no bigrams, both engines agree). */
-  def score(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docBigrams(df, idCol, textCol)
-    val bi = bg.groupBy(col("a"), col("b")).agg(sum(col("k")).as("n_ab"))
+  def score(df: DataFrame, idCol: String, textCol: String,
+            minCount: Int = 5): DataFrame = {
+    val occ = bigramOccurrences(df, idCol, textCol)
+    // TRAIN: the one corpus-sized exchange, then vocabulary-sized tables
+    val bi = occ.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
     val margin = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
-    val vocab = df.select(explode(toks(textCol)).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
-    bg.join(bi, Seq("a", "b"))
-      .join(margin, Seq("a"))
+    val pruned = bi.filter(col("n_ab") >= minCount)
+    val vocab = margin.agg(count(lit(1)).as("v"))
+    // SCORE: model broadcasts, corpus streams map-side, one skinny agg
+    occ
+      .join(broadcast(pruned), Seq("a", "b"), "left")
+      .join(broadcast(margin), Seq("a"))
       .crossJoin(broadcast(vocab))
-      .withColumn("p_micros", expr("((n_ab + 1) * 1000000) div (n_a + v)"))
+      .withColumn("p_micros",
+        expr("((coalesce(n_ab, 0) + 1) * 1000000) div (n_a + v)"))
       .groupBy(col(idCol))
-      .agg(sum(col("k")).as("n_bigrams"),
-        sum(col("k") * col("p_micros")).as("sum_p_micros"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_micros")).as("sum_p_micros"))
       .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
   }
 
   /** DuckDB mirror of [[score]]: same tokenizer, same bigram
-    * enumeration, same integer div (`//`). `docsRel` must expose
-    * (doc_id, t). */
-  def scoreSql(docsRel: String): String =
+    * enumeration, same pruning threshold, same integer div (`//`).
+    * `docsRel` must expose (doc_id, t). */
+  def scoreSql(docsRel: String, minCount: Int = 5): String =
     s"""WITH tl AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(t), '\\s+'), x -> x <> '') AS toks
        |  FROM $docsRel),
-       |bg AS (
-       |  SELECT doc_id, p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS k
+       |occ AS (
+       |  SELECT doc_id, p.a AS a, p.b AS b
        |  FROM (
        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
        |      i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
-       |    FROM tl WHERE len(toks) >= 2)
-       |  GROUP BY 1, 2, 3),
-       |bi AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+       |    FROM tl WHERE len(toks) >= 2)),
+       |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM occ GROUP BY 1, 2),
        |margin AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bi GROUP BY 1),
-       |vocab AS (
-       |  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-       |  FROM (SELECT unnest(toks) AS t FROM tl)),
+       |pruned AS (SELECT a, b, n_ab FROM bi WHERE n_ab >= $minCount),
+       |vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM margin),
        |scored AS (
-       |  SELECT bg.doc_id, bg.k,
-       |    ((bi.n_ab + 1) * 1000000) // (margin.n_a + vocab.v) AS p_micros
-       |  FROM bg JOIN bi USING (a, b) JOIN margin USING (a) CROSS JOIN vocab)
+       |  SELECT occ.doc_id,
+       |    ((coalesce(pruned.n_ab, 0) + 1) * 1000000) // (margin.n_a + vocab.v) AS p_micros
+       |  FROM occ
+       |  LEFT JOIN pruned USING (a, b)
+       |  JOIN margin USING (a)
+       |  CROSS JOIN vocab)
        |SELECT doc_id,
-       |  CAST(sum(k) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(k * p_micros) AS BIGINT) AS sum_p_micros,
-       |  CAST(sum(k * p_micros) // sum(k) AS BIGINT) AS avg_p_micros
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(p_micros) AS BIGINT) AS sum_p_micros,
+       |  CAST(sum(p_micros) // count(*) AS BIGINT) AS avg_p_micros
        |FROM scored GROUP BY doc_id""".stripMargin
 }

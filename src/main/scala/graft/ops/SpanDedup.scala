@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document substring-level exact dedup — the token-span form of
@@ -46,24 +47,24 @@ object SpanDedup {
   /** Per-doc span-dedup summary: total rolling spans and how many of
     * them also occur in at least one OTHER document.
     *
-    * Shape: spans → (1) per-doc span count; (2) digest→distinct-doc
-    * count via the two-level groupBy (h, id) → (h) — no expensive
-    * countDistinct expand; (3) left-semi join of span rows to the
-    * cross-doc digest set (the small side — only digests that repeat
-    * across docs) and a final per-doc count. */
+    * Shape: ONE pass over the span table, ZERO joins — the first cut
+    * (two joins back onto the span table) recomputed the explode three
+    * times and ran 11-20 s at sf0.1. Here: (1) groupBy (h, id) folds
+    * within-doc repeats into a multiplicity `k` (map-side combine does
+    * the folding); (2) an unordered window over `h` counts distinct
+    * docs per digest (the table is already one row per (h, id), so
+    * count(*) IS the distinct-doc count — no countDistinct expand, no
+    * sort); (3) groupBy(id) sums k and the flagged k. Three exchanges
+    * of digest-sized rows total, each skinnier than the last. */
   def summarize(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 10): DataFrame = {
-    val sp = spans(df, idCol, textCol, k)
-    val perDoc = sp.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
-    val crossDoc = sp.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select(col("h"))
-    val dupPerDoc = sp.join(crossDoc, Seq("h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
-    perDoc.join(dupPerDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+    val hd = spans(df, idCol, textCol, k)
+      .groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("k"))
+    val nDocs = Window.partitionBy(col("h"))
+    hd.withColumn("n_docs", count(lit(1)).over(nDocs))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_spans"),
+        sum(when(col("n_docs") >= 2, col("k")).otherwise(lit(0L))).as("n_dup_spans"))
   }
 
   /** DuckDB mirror of [[summarize]]: same tokenizer, same 1-based

@@ -631,15 +631,23 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.ops.LmScore
     // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; margins n_a(a)=3, n_a(b)=2;
-    // V=4 (vocab counts ALL tokens incl. the bigram-less doc's "solo")
-    // p(a→b) = 4_000_000 div 7 = 571_428; p(b→a) = p(b→c) = 2_000_000 div 6 = 333_333
+    // V=2 (distinct LHS contexts {a,b})
+    // unpruned (minCount=1): p(a→b) = 4_000_000 div 5 = 800_000;
+    //                        p(b→a) = p(b→c) = 2_000_000 div 4 = 500_000
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
-    val got = LmScore.score(df, "doc_id", "text").collect()
+    val got = LmScore.score(df, "doc_id", "text", minCount = 1).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got(1L) == ((3L, 2L * 571428L + 333333L, (2L * 571428L + 333333L) / 3L)),
+    assert(got(1L) == ((3L, 2L * 800000L + 500000L, (2L * 800000L + 500000L) / 3L)),
       s"doc1 ${got(1L)}")
-    assert(got(2L) == ((2L, 571428L + 333333L, (571428L + 333333L) / 2L)),
+    assert(got(2L) == ((2L, 800000L + 500000L, (800000L + 500000L) / 2L)),
       s"doc2 ${got(2L)}")
     assert(!got.contains(3L)) // single-token doc has no bigrams
+    // default pruning (minCount=5) drops every bigram here: add-one
+    // smoothing floors each occurrence at 1_000_000 div (n_a + V)
+    // p(a→·) = 1_000_000 div 5 = 200_000; p(b→·) = 1_000_000 div 4 = 250_000
+    val gotP = LmScore.score(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotP(1L) == ((3L, 650000L, 216666L)), s"doc1 pruned ${gotP(1L)}")
+    assert(gotP(2L) == ((2L, 450000L, 225000L)), s"doc2 pruned ${gotP(2L)}")
   }
 }
