@@ -239,6 +239,44 @@ object ExtractJob {
     } finally SnapshotStore.releaseLock(outRoot)
   }
 
+  /** Compaction — the Iceberg rewrite_data_files analog. A long-running
+    * ingestion chain accumulates one data dir per commit; at 10^12 rows
+    * with frequent (streaming / per-crawl-batch) commits that is the
+    * classic small-files problem: every downstream scan pays one
+    * footer-read + task per file. compact() rewrites the CURRENT table
+    * (union of live data dirs) into one freshly salted-host-clustered
+    * dir and commits it as a snapshot with `replaces = <current seq>`:
+    *
+    *  - rows are carried verbatim (same multiset of all columns except
+    *    partition_id, which is lineage metadata re-derived from the new
+    *    clustering) — the byte-identity contract is untouched;
+    *  - reads stop descending at the compaction boundary, so the table
+    *    afterwards scans ONE dir until new appends arrive;
+    *  - `input_files` records the union of every consumed input, making
+    *    the compacted manifest self-contained for file-level resume;
+    *  - replaced dirs stay on disk for time travel below the boundary
+    *    until [[SnapshotStore.expireReplaced]] reclaims them;
+    *  - the routing/extraction-version guards apply as on any commit —
+    *    compaction never changes what was extracted, only its layout. */
+  def compact(spark: SparkSession, outRoot: String,
+              numPartitions: Int = 0, saltBuckets: Int = 8): Snapshot = {
+    import spark.implicits._
+    SnapshotStore.acquireLock(outRoot)
+    try {
+      val current = SnapshotStore.currentSequence(outRoot)
+      require(current >= 1, s"nothing to compact at $outRoot")
+      val dirs = SnapshotStore.dataDirs(outRoot)
+      require(dirs.nonEmpty, s"no live data dirs at $outRoot")
+      val routingMode = SnapshotStore.committedRouting(outRoot).getOrElse("strict")
+      val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
+      val table = spark.read.parquet(dirs: _*)
+        .drop("partition_id").as[ExtractedDoc]
+      commitSnapshot(table, outRoot, seq, dataDir,
+        SnapshotStore.committedInputFiles(outRoot).toSeq.sorted,
+        numPartitions, saltBuckets, routingMode, replaces = current)
+    } finally SnapshotStore.releaseLock(outRoot)
+  }
+
   /** The output clustering key — codegen'd salted host (never the
     * interpreted ParseUrl; see [[graft.ops.Hosts]]). Public so PlanSpec
     * can gate the expression the production commit actually uses. */
@@ -251,7 +289,7 @@ object ExtractJob {
       extracted: Dataset[ExtractedDoc], outRoot: String, seq: Int,
       dataDir: String, inputFiles: Seq[String],
       numPartitions: Int, saltBuckets: Int,
-      routingMode: String = "strict"): Snapshot = {
+      routingMode: String = "strict", replaces: Int = 0): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -310,7 +348,8 @@ object ExtractJob {
       partitions = lineageRows.sortBy(_.partitionId),
       rowCount = lineageRows.map(_.rowCount).sum,
       inputFiles = inputFiles,
-      routing = routingMode)
+      routing = routingMode,
+      replaces = replaces)
     SnapshotStore.commit(outRoot, snap)
     emitEvents(spark, outRoot, snap)
     snap
@@ -411,6 +450,26 @@ object ExtractCli {
     println(s"committed snapshot seq=${snap.sequence} rows=${snap.rowCount} " +
       s"errors=${snap.partitions.map(_.errorCount).sum} partitions=${snap.partitions.size}")
     println(SnapshotStore.readManifest(args(1), snap.sequence))
+    spark.stop()
+  }
+}
+
+/** Maintenance entry point — compact the snapshot chain's live data
+  * dirs into one freshly clustered dir (Iceberg rewrite_data_files
+  * analog), optionally reclaiming the replaced dirs:
+  *   runMain graft.job.CompactCli <outRoot> [--expire]
+  */
+object CompactCli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: CompactCli <outRoot> [--expire]")
+    val spark = GraftSession.local()
+    val snap = ExtractJob.compact(spark, args(0))
+    println(s"compacted ${snap.replaces} snapshots into seq=${snap.sequence} " +
+      s"rows=${snap.rowCount} partitions=${snap.partitions.size}")
+    if (args.contains("--expire")) {
+      val dirs = SnapshotStore.expireReplaced(args(0))
+      println(s"expired ${dirs.size} replaced data dirs")
+    }
     spark.stop()
   }
 }

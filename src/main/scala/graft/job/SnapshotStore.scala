@@ -36,7 +36,9 @@ final case class Snapshot(
     partitions: Seq[PartitionLineage],
     rowCount: Long,
     inputFiles: Seq[String] = Nil,  // input files consumed by THIS snapshot
-    routing: String = "strict")     // engine-selection mode: strict | routed
+    routing: String = "strict",     // engine-selection mode: strict | routed
+    replaces: Int = 0)              // >0: this data dir REWRITES snapshots 1..replaces
+                                    // (compaction — Iceberg rewrite_data_files analog)
 
 object SnapshotStore {
 
@@ -48,15 +50,35 @@ object SnapshotStore {
   /** Data dirs of committed snapshots with rows — read from MANIFESTS
     * (authoritative, Iceberg-style), never from directory listings: a
     * crashed writer may leave stray uncommitted dirs on disk.
-    * `upTo` caps the sequence for time travel. */
+    * `upTo` caps the sequence for time travel.
+    *
+    * The walk runs TOP-DOWN and stops at the first compaction snapshot
+    * (`replaces` > 0): its data dir is the verbatim rewrite of every
+    * snapshot at or below its boundary, so the replaced dirs are not
+    * read again (they stay on disk for time travel below the boundary
+    * until [[expireReplaced]] reclaims them). A committed snapshot
+    * whose data dir is MISSING is an integrity error, never a silent
+    * skip — a partial union would silently drop rows. */
   def dataDirs(root: String, upTo: Int = Int.MaxValue): Seq[String] = {
     val seq = math.min(currentSequence(root), upTo)
-    (1 to seq).flatMap { i =>
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = seq
+    var stop = false
+    while (i >= 1 && !stop) {
       val m = readManifest(root, i)
       val dir = parseStringField(m, "data_dir")
       val rows = parseLongField(m, "row_count")
-      if (rows > 0 && dir.nonEmpty && Files.exists(Paths.get(dir))) Some(dir) else None
+      if (rows > 0 && dir.nonEmpty) {
+        if (!Files.exists(Paths.get(dir)))
+          throw new IllegalStateException(
+            s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
+              "expired or externally deleted; reads below a compaction boundary require " +
+              "the replaced dirs to still exist")
+        out += dir
+      }
+      if (parseLongField(m, "replaces") > 0) stop = true else i -= 1
     }
+    out.reverse.toSeq
   }
 
   private def parseStringField(json: String, key: String): String = {
@@ -127,7 +149,7 @@ object SnapshotStore {
       s"""{"partition_id":${p.partitionId},"row_count":${p.rowCount},"error_count":${p.errorCount},"warc_ts_min":${p.warcTsMin},"warc_ts_max":${p.warcTsMax}}"""
     }.mkString("[", ",", "]")
     val inputs = s.inputFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
-    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","routing":"${esc(s.routing)}","data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
+    s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","routing":"${esc(s.routing)}","replaces":${s.replaces},"data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
   }
 
   /** Routing mode of the committed table: the mode every committed
@@ -236,6 +258,35 @@ object SnapshotStore {
 
   def releaseLock(root: String): Unit =
     Files.deleteIfExists(Paths.get(root, "commit.lock"))
+
+  /** Sequence of the latest compaction snapshot (replaces > 0), 0 if
+    * the chain has never been compacted. */
+  def latestCompaction(root: String): Int =
+    (currentSequence(root) to 1 by -1)
+      .find(i => parseLongField(readManifest(root, i), "replaces") > 0)
+      .getOrElse(0)
+
+  /** Reclaim the space of snapshots rewritten by the LATEST compaction:
+    * deletes their data dirs. Manifests are KEPT — file-level resume
+    * bookkeeping (input_files unions) and lineage history stay intact,
+    * exactly like Iceberg's expire_snapshots dropping data files while
+    * metadata history survives. After expiry, time travel BELOW the
+    * compaction boundary fails the [[dataDirs]] integrity check
+    * explicitly instead of returning partial data; reads at or above
+    * the boundary are untouched (they never descend past it).
+    * Returns the deleted dirs. */
+  def expireReplaced(root: String): Seq[String] = {
+    val c = latestCompaction(root)
+    if (c == 0) return Nil
+    val r = parseLongField(readManifest(root, c), "replaces").toInt
+    val dirs = (1 to r).flatMap { i =>
+      val m = readManifest(root, i)
+      val dir = parseStringField(m, "data_dir")
+      if (dir.nonEmpty && parseLongField(m, "row_count") > 0) Some(dir) else None
+    }.distinct
+    dirs.foreach(deleteRecursively)
+    dirs
+  }
 
   def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)

@@ -110,6 +110,56 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: verbatim rewrite, resume intact, time travel until expiry") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    // a growing crawl committed as three snapshots
+    ExtractJob.generatePages(spark, 50, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.generatePages(spark, 100, s"$dir/pages", partitions = 2, start = 50, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.generatePages(spark, 150, s"$dir/pages", partitions = 2, start = 100, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val before = ExtractJob.readExtracted(spark, s"$dir/out")
+      .drop("partition_id") // lineage metadata, re-derived by the rewrite
+    val beforeRows = before.collect().toSet
+    val dirsBefore = SnapshotStore.dataDirs(s"$dir/out")
+    assert(dirsBefore.size == 3)
+
+    val snap = ExtractJob.compact(spark, s"$dir/out")
+    assert(snap.replaces == 3 && snap.rowCount == 150)
+    // reads now scan exactly ONE dir, rows verbatim
+    assert(SnapshotStore.dataDirs(s"$dir/out") == Seq(snap.dataDir))
+    val after = ExtractJob.readExtracted(spark, s"$dir/out").drop("partition_id")
+    assert(after.collect().toSet == beforeRows, "compaction changed the row multiset")
+    // file-level resume still no-ops (the compacted manifest carries the union)
+    val resumed = ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(resumed.rowCount == 0L)
+    // time travel below the boundary reads the retained original dirs
+    assert(ExtractJob.readExtractedAsOf(spark, s"$dir/out", 2).count() == 100)
+    // appends after compaction compose: new pages land in a new dir
+    ExtractJob.generatePages(spark, 180, s"$dir/pages", partitions = 2, start = 150, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 180)
+    assert(SnapshotStore.dataDirs(s"$dir/out").size == 2) // compacted + new
+    // expiry reclaims the replaced dirs; pre-boundary time travel now an
+    // explicit integrity error, reads at/above the boundary unaffected
+    val expired = SnapshotStore.expireReplaced(s"$dir/out")
+    assert(expired.size == 3)
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 180)
+    val e = intercept[IllegalStateException] {
+      ExtractJob.readExtractedAsOf(spark, s"$dir/out", 2).count()
+    }
+    assert(e.getMessage.contains("missing"))
+    // compacting a compacted chain composes too (new boundary at seq 6)
+    val snap2 = ExtractJob.compact(spark, s"$dir/out")
+    assert(snap2.rowCount == 180 && SnapshotStore.dataDirs(s"$dir/out") == Seq(snap2.dataDir))
+    assert(ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter(col("error").isNull).count() ==
+      ExtractJob.readExtractedAsOf(spark, s"$dir/out", snap2.sequence)
+        .filter(col("error").isNull).count())
+  }
+
   test("resume: partial run + resume == clean full run (idempotent)") {
     val dir = tmp()
     // a growing crawl: first half arrives, is committed, then the rest
