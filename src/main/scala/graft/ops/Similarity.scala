@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -528,5 +528,143 @@ object Similarity {
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  // ---- PQ (product quantization, Jégou et al. TPAMI 2011) -------------
+  //
+  // The fourth ANN mode, and the one that matters when the VECTORS
+  // themselves no longer fit: each d-dim vector is split into m
+  // subvectors, each quantized to one of ksub per-subspace centroids —
+  // the corpus is then m bytes/vector instead of 4d, and search scans
+  // the COMPRESSED codes with per-query distance lookup tables (ADC).
+  // The embeddings here are unit-normalized, so the L2 ranking ADC
+  // approximates is the cosine ranking the rest of the ANN family uses.
+
+  /** Per-subspace codebooks [m][ksub][dsub], trained like [[quantizer]]:
+    * a driver-side Lloyd on a deterministic ordered sample seeds each
+    * subspace, then distributed fixed-point refinement sees the FULL
+    * corpus — ONE scan per iteration refines ALL m codebooks together
+    * (assignment keys are (sub, cell); Long sums keep the centroids
+    * bit-identical at any parallelism, same contract as
+    * [[refineCentroids]]). Driver traffic per round: m·ksub rows of
+    * dsub Longs — independent of corpus size. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, sampleSize: Int = 2000,
+                  refineIters: Int = 2): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleSize).collect().map(_.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var cbs = Array.tabulate(m) { j =>
+      kmeansCentroids(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), ksub)
+    }
+    val Fixed = 1L << 20
+    val sc = spark.sparkContext
+    val vecs = corpus.select(col(vecCol)).as[Array[Float]]
+    var it = 0
+    while (it < refineIters) {
+      val bc = sc.broadcast(cbs)
+      val agg = vecs.rdd
+        .flatMap { v =>
+          val cs = bc.value
+          Iterator.tabulate(cs.length) { j =>
+            val sv = java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+            val c = nearestCentroid(sv, cs(j))
+            val s = new Array[Long](dsub)
+            var i = 0
+            while (i < dsub) { s(i) = math.round(sv(i).toDouble * Fixed); i += 1 }
+            ((j, c), (s, 1L))
+          }
+        }
+        .reduceByKey { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
+          val s1 = a._1; val s2 = b._1
+          var i = 0
+          while (i < s1.length) { s1(i) += s2(i); i += 1 }
+          (s1, a._2 + b._2)
+        }
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      agg.foreach { case ((j, c), (s, n)) =>
+        val t = next(j)(c)
+        var i = 0
+        while (i < s.length) { t(i) = s(i).toDouble / Fixed / n; i += 1 }
+      }
+      cbs = next
+      it += 1
+    }
+    cbs
+  }
+
+  /** PQ codes: (neighbor_id, sub, cell) — one row per (vector,
+    * subspace), assignment map-side under the (tiny) codebooks. The
+    * exploded layout is chosen so BOTH engines score straight off the
+    * dumped parquet with plain equi-joins, no list-of-codes unnesting. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
+      .as[(String, Array[Float])]
+      .flatMap { case (id, v) =>
+        Iterator.tabulate(m) { j =>
+          val sv = java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+          (id, j, nearestCentroid(sv, cbs(j)))
+        }
+      }
+      .toDF("neighbor_id", "sub", "cell")
+  }
+
+  /** Codebook table: (sub, cell, cm) with centroid components FLOORED
+    * to integer micros — the exact-arithmetic form both engines score
+    * with (floor, not round: round-half ties diverge between engines). */
+  def pqCodebookTable(spark: SparkSession,
+                      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      j <- cbs.indices
+      c <- cbs(j).indices
+    } yield (j, c, cbs(j)(c).map(x => math.floor(x * 1e6).toLong).toSeq)
+    rows.toDF("sub", "cell", "cm")
+  }
+
+  /** ADC top-k over dumped codes + codebooks: per query, each subspace's
+    * floored-micros subvector joins the (broadcast) codebook rows its
+    * codes point at; the distance is the exact BIGINT sum of squared
+    * micro differences, so DuckDB re-derives the ranking bit-for-bit.
+    * Scale shape: codes scan → two broadcast joins (codebooks m·ksub
+    * rows; query slices q·m rows) → one skinny (query, neighbor)
+    * aggregate → per-query window over ≤ corpus rows. The corpus-sized
+    * side never sorts globally and carries only ids + one BIGINT. */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+             k: Int, dsub: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = expr(s"size($vecCol) div $dsub")
+    val qsub = queries
+      .select(col(idCol).cast("string").as("query_id"),
+        explode(sequence(lit(0), m - lit(1))).as("sub"), col(vecCol))
+      .select(col("query_id"), col("sub"),
+        // CAST to DOUBLE before scaling: FLOAT * INT promotes differently
+        // across engines (single-precision multiply shifts the floor)
+        expr(s"transform(slice($vecCol, sub * $dsub + 1, $dsub), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qm"))
+    val scored = codes
+      .join(broadcast(codebooks), Seq("sub", "cell"))
+      .join(broadcast(qsub), Seq("sub"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qm, cm, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("int").as("rank"))
   }
 }

@@ -627,6 +627,42 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("pq ann: direct + shortlist recall floors, codebooks partition-invariant") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 16, ksub = 256)
+    // bit-identical training at any parallelism (the refineCentroids
+    // contract extended to all m subspace codebooks)
+    val cbs2 = Similarity.pqCodebooks(e.repartition(7), "vec_id", "embedding", m = 16, ksub = 256)
+    assert(cbs.flatten.flatten.toSeq == cbs2.flatten.flatten.toSeq,
+      "PQ codebooks must not depend on partitioning")
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+    val books = Similarity.pqCodebookTable(spark, cbs)
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    // pqTopK includes the self match (the oracle re-derives it);
+    // bruteForceTopK excludes it — ask PQ for 6, drop self, keep 5
+    def pqSet(k: Int): Set[(String, String)] =
+      Similarity.pqTopK(codes, books, queries, k = k, dsub = 4)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+        .filter(t => t._1 != t._2)
+        .groupBy(_._1).iterator
+        .flatMap { case (_, rows) => rows.sortBy(_._3).take(k - 1) }
+        .map(t => (t._1, t._2)).toSet
+    val direct = pqSet(6)
+    val recall5 = brute.count(direct.contains).toDouble / brute.size
+    info(f"pq direct recall@5 = $recall5%.2f (16 bytes/vector vs 256 raw)")
+    assert(recall5 >= 0.6, f"direct ADC recall $recall5%.2f below floor") // measured 0.70
+    // the production contract (Jégou et al. §V): ADC builds a SHORTLIST,
+    // exact re-rank recovers the true neighbors — the true top-5 must
+    // live inside the top-20 ADC shortlist
+    val short = pqSet(21)
+    val recallShort = brute.count(short.contains).toDouble / brute.size
+    info(f"pq shortlist-20 recall of true top-5 = $recallShort%.2f")
+    assert(recallShort >= 0.9, f"shortlist recall $recallShort%.2f below floor") // measured 1.00
+  }
+
   test("lm score: add-one-smoothed bigram micros match hand computation") {
     import spark.implicits._
     import graft.ops.LmScore

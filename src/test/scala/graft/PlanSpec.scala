@@ -328,6 +328,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "bigram construction must stay codegen'd")
   }
 
+  test("q75 pq ann: codebooks + query slices broadcast, codes scan map-side") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q75_ann_pq")(spark, d))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-code scan must join its (tiny) model tables broadcast-hash:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "expected broadcast joins against codebooks and query slices")
+    assert(!p.contains("ScalaUDF"), "ADC arithmetic must stay in Catalyst expressions")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
