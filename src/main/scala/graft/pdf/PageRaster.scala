@@ -1,0 +1,103 @@
+package graft.pdf
+
+import graft.multimodal.MediaOps
+
+/** G2: pdf page → page image. The reference rasterizes every PDF page
+  * to an image before OCR (/root/reference/ocrworker/engines/paddle.py:149-154,
+  * pdf2image at fixed DPI). No rasterizer library exists in-sandbox, so
+  * this is a REAL — if spartan — one assembled from two codecs the repo
+  * already owns: the closed-grammar PDF parser supplies each page's
+  * line structure (PdfParser preserves the Td/TD/T-star/Tm line
+  * semantics), and a fixed-pitch glyph renderer paints one filled
+  * CellW×CellH box per non-space character onto an 8-bit canvas encoded
+  * with the hand-rolled BMP writer.
+  *
+  * Every pixel is a pure function of the page text: the canvas holds
+  * exactly two byte values (Paper 0xFF / Ink 0x00), Width is divisible
+  * by 4 so BMP rows have no stride padding, and [[inkCells]] restates
+  * the paint rule arithmetically — so a DuckDB oracle can re-derive the
+  * ink-pixel count of every emitted image from its raw blob bytes and
+  * any rasterizer drift fails the value compare (the q30 codec
+  * pattern applied to G2). */
+object PageRaster {
+
+  /** Version token for dump keying (same role as FormDetector.Version). */
+  val Version = "raster-1"
+
+  val Width = 120  // divisible by 4: no BMP row padding bytes
+  val Height = 160
+  val Margin = 4
+  val CellW = 3
+  val CellH = 5
+  val AdvX = 4  // fixed pitch: glyph box + 1px gap
+  val AdvY = 7  // line height: glyph box + 2px leading
+  val Ink: Byte = 0x00
+  val Paper: Byte = 0xFF.toByte
+
+  val MaxCols: Int = (Width - 2 * Margin) / AdvX
+  val MaxRows: Int = (Height - 2 * Margin) / AdvY
+
+  /** The paint rule as arithmetic: painted cells = non-whitespace chars
+    * at (row < MaxRows, col < MaxCols) — ink pixels = cells · CellW·CellH
+    * (cells never overlap at the fixed pitch). Shared by tests and the
+    * oracle derivation. */
+  def inkCells(pageText: String): Int = {
+    val lines = pageText.split("\n", -1)
+    var cells = 0
+    var r = 0
+    while (r < lines.length && r < MaxRows) {
+      val line = lines(r)
+      var c = 0
+      val n = math.min(line.length, MaxCols)
+      while (c < n) {
+        if (!line.charAt(c).isWhitespace) cells += 1
+        c += 1
+      }
+      r += 1
+    }
+    cells
+  }
+
+  /** Render one page text to BMP bytes (8-bit, bottom-up rows as the
+    * format specifies). */
+  def rasterize(pageText: String): Array[Byte] = {
+    val px = Array.fill[Byte](Width * Height)(Paper)
+    val lines = pageText.split("\n", -1)
+    var r = 0
+    while (r < lines.length && r < MaxRows) {
+      val line = lines(r)
+      var c = 0
+      val n = math.min(line.length, MaxCols)
+      while (c < n) {
+        if (!line.charAt(c).isWhitespace) {
+          val x0 = Margin + c * AdvX
+          val y0 = Margin + r * AdvY
+          var dy = 0
+          while (dy < CellH) {
+            var dx = 0
+            while (dx < CellW) {
+              px((y0 + dy) * Width + (x0 + dx)) = Ink
+              dx += 1
+            }
+            dy += 1
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    // bottom-up row order per the BMP spec (the encoder writes raw rows)
+    val flipped = new Array[Byte](px.length)
+    var y = 0
+    while (y < Height) {
+      System.arraycopy(px, y * Width, flipped, (Height - 1 - y) * Width, Width)
+      y += 1
+    }
+    MediaOps.encodeBmp(Width, Height, 1, flipped)
+  }
+
+  /** Rasterize every page of a PDF payload: Right(page images) or
+    * Left(parse error) — the same totality contract as the parser. */
+  def rasterizePages(pdfBytes: Array[Byte]): Either[String, Array[Array[Byte]]] =
+    PdfParser.extract(pdfBytes).map(_.pageTexts.map(rasterize))
+}

@@ -280,6 +280,41 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** The page-raster dump (q76 / SURVEY G2): every PDF payload's pages
+    * rasterized to 8-bit BMPs, with Spark's ink-pixel CLAIM stored
+    * beside each blob — the oracle re-derives the count from the raw
+    * bytes, so a rasterizer that paints the wrong pixels (or the wrong
+    * number of them) fails the value compare even though it produced
+    * valid BMPs. Keyed by generator + raster versions. */
+  def rasterDumpPath(rows: Int): String =
+    s"/tmp/graft_raster_cache/g${graft.gen.PageGen.GenVersion}-${graft.pdf.PageRaster.Version}-rows$rows"
+
+  def rasterCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = rasterDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+        val rastered = pages.flatMap { case (url, payload) =>
+          if (payload.length < 4 || payload(0) != '%' || payload(1) != 'P') Iterator.empty
+          else graft.pdf.PdfParser.extract(payload) match {
+            case Left(_) => Iterator.empty
+            case Right(res) => res.pageTexts.iterator.zipWithIndex.map { case (t, i) =>
+              (url, i,
+                graft.pdf.PageRaster.rasterize(t),
+                graft.pdf.PageRaster.inkCells(t) *
+                  graft.pdf.PageRaster.CellW * graft.pdf.PageRaster.CellH)
+            }
+          }
+        }.toDF("url", "page_no", "img", "ink_px")
+        atomicDump(rastered, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** PQ parameters (q75): m subspaces of dsub dims over the 64-dim
     * embeddings, ksub centroids per subspace. Shared by the Spark query
     * and the oracle SQL rendering. */
@@ -1317,6 +1352,16 @@ object GraftQueries {
           sum(col("sample_rate").cast("long")).as("rate_sum"),
           sum(col("n_samples").cast("long")).as("samples_sum"))
     }),
+
+    // G2 pdf → page images: per-doc rollup of the rasterized pages —
+    // page counts, blob bytes, and the ink-pixel claim the oracle
+    // re-derives from the raw BMP bytes (the q30 pattern for G2)
+    "q76_page_raster" -> ((s, d) =>
+      rasterCached(s, d)
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("ink_px").cast("long")).as("ink_px"),
+          sum(expr("octet_length(img)").cast("long")).as("img_bytes"))),
 
     // form detection over raw pages (sibling pipeline to extraction) —
     // scans the materialized detection table, not the raw corpus
@@ -2429,6 +2474,28 @@ object GraftQueries {
     "q24_ann_srp" -> annTopKOracle("srp-b8r2t4", k = 5),
 
     "q35_ann_ivf" -> annTopKOracle("ivf-c32p8a2", k = 5),
+
+    // G2 rasterization value-checked from the raw BMP bytes: pixel
+    // offset re-derived from the LE32 header field, ink re-counted as
+    // '00' byte pairs in the pixel region (the canvas alphabet is
+    // exactly {0x00 ink, 0xFF paper} and Width % 4 == 0 means no stride
+    // padding, so the hex pair count IS the ink pixel count; a
+    // rasterizer painting anything else diverges and fails the compare)
+    "q76_page_raster" -> {
+      val pixOff = "CAST('0x' || substr(h,27,2) || substr(h,25,2) || substr(h,23,2) || substr(h,21,2) AS BIGINT)"
+      s"""WITH r AS (
+         |  SELECT url, hex(img) AS h, octet_length(img) AS n
+         |  FROM read_parquet('${rasterDumpPath(oracleRows)}/*.parquet')),
+         |ink AS (
+         |  SELECT url, n,
+         |    (length(substr(h, $pixOff * 2 + 1))
+         |      - length(replace(substr(h, $pixOff * 2 + 1), '00', ''))) // 2 AS ink_px
+         |  FROM r)
+         |SELECT url, CAST(count(*) AS BIGINT) AS n_pages,
+         |  CAST(sum(ink_px) AS BIGINT) AS ink_px,
+         |  CAST(sum(n) AS BIGINT) AS img_bytes
+         |FROM ink GROUP BY url""".stripMargin
+    },
 
     // the FULL PQ-ADC ranking re-derived from the dumped codes +
     // quantized codebooks: same floored-micros query slices, same exact

@@ -94,6 +94,41 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(r.toOption.get.stitched == intended)
   }
 
+  test("pdf rasterizer (G2): real BMP pages, ink pixels exactly the paint rule") {
+    import graft.pdf.PageRaster
+    import graft.multimodal.MediaOps
+    val rng = new PageGen.Rng(7)
+    val (bytes, _) = PageGen.genPdf(rng, compress = true)
+    val pages = PageRaster.rasterizePages(bytes)
+    assert(pages.isRight)
+    val imgs = pages.toOption.get
+    val texts = PdfParser.extract(bytes).toOption.get.pageTexts
+    assert(imgs.length == texts.length && imgs.nonEmpty)
+    imgs.zip(texts).foreach { case (img, text) =>
+      // the image is a valid BMP by the repo's own decoder
+      val meta = MediaOps.decodeBmp(img)
+      assert(meta.ok && meta.width == PageRaster.Width && meta.height == PageRaster.Height)
+      // ink pixels == painted cells × cell area, counted from raw bytes
+      val pixOff = 54
+      val ink = img.drop(pixOff).count(_ == PageRaster.Ink)
+      assert(ink == PageRaster.inkCells(text) * PageRaster.CellW * PageRaster.CellH,
+        s"ink $ink vs rule for ${text.take(40)}")
+      // and only the two canvas values exist (the oracle's counting rule
+      // relies on the {0x00, 0xFF} alphabet)
+      assert(img.drop(pixOff).forall(b => b == PageRaster.Ink || b == PageRaster.Paper))
+    }
+    // blank page → zero ink; text on it → more ink than a shorter text
+    assert(PageRaster.rasterize("").drop(54).count(_ == PageRaster.Ink) == 0)
+    val a = PageRaster.rasterize("hi").drop(54).count(_ == PageRaster.Ink)
+    val b = PageRaster.rasterize("hello there").drop(54).count(_ == PageRaster.Ink)
+    assert(a == 2 * 15 && b > a)
+    // clipping: an over-wide line stops at MaxCols; over-tall at MaxRows
+    val wide = PageRaster.rasterize("x" * 1000)
+    assert(wide.drop(54).count(_ == PageRaster.Ink) == PageRaster.MaxCols * 15)
+    val tall = PageRaster.rasterize(Array.fill(500)("y").mkString("\n"))
+    assert(tall.drop(54).count(_ == PageRaster.Ink) == PageRaster.MaxRows * 15)
+  }
+
   test("pdf: uncompressed and escaped parens") {
     val rng = new PageGen.Rng(9)
     val (bytes, intended) = PageGen.genPdf(rng, compress = false)
