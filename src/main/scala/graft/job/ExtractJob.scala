@@ -256,8 +256,12 @@ object ExtractJob {
     *    the compacted manifest self-contained for file-level resume;
     *  - replaced dirs stay on disk for time travel below the boundary
     *    until [[SnapshotStore.expireReplaced]] reclaims them;
-    *  - the routing/extraction-version guards apply as on any commit —
-    *    compaction never changes what was extracted, only its layout. */
+    *  - the compacted manifest carries the CHAIN's committed routing
+    *    mode and extraction version, NOT this build's — compaction
+    *    never changes what was extracted, only its layout, so stamping
+    *    the current kernel on rows an older kernel produced would
+    *    corrupt the chain under its own mixed-version check (a newer
+    *    binary may legitimately compact an old table). */
   def compact(spark: SparkSession, outRoot: String,
               numPartitions: Int = 0, saltBuckets: Int = 8): Snapshot = {
     import spark.implicits._
@@ -268,12 +272,15 @@ object ExtractJob {
       val dirs = SnapshotStore.dataDirs(outRoot)
       require(dirs.nonEmpty, s"no live data dirs at $outRoot")
       val routingMode = SnapshotStore.committedRouting(outRoot).getOrElse("strict")
+      val chainVersion = SnapshotStore.committedExtractionVersion(outRoot)
+        .getOrElse(ExtractionVersion.current)
       val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
       val table = spark.read.parquet(dirs: _*)
         .drop("partition_id").as[ExtractedDoc]
       commitSnapshot(table, outRoot, seq, dataDir,
         SnapshotStore.committedInputFiles(outRoot).toSeq.sorted,
-        numPartitions, saltBuckets, routingMode, replaces = current)
+        numPartitions, saltBuckets, routingMode, replaces = current,
+        extractionVersion = chainVersion)
     } finally SnapshotStore.releaseLock(outRoot)
   }
 
@@ -289,7 +296,8 @@ object ExtractJob {
       extracted: Dataset[ExtractedDoc], outRoot: String, seq: Int,
       dataDir: String, inputFiles: Seq[String],
       numPartitions: Int, saltBuckets: Int,
-      routingMode: String = "strict", replaces: Int = 0): Snapshot = {
+      routingMode: String = "strict", replaces: Int = 0,
+      extractionVersion: String = ExtractionVersion.current): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -343,7 +351,7 @@ object ExtractJob {
     val snap = Snapshot(
       sequence = seq,
       parent = seq - 1,
-      extractionVersion = ExtractionVersion.current,
+      extractionVersion = extractionVersion,
       dataDir = dataDir,
       partitions = lineageRows.sortBy(_.partitionId),
       rowCount = lineageRows.map(_.rowCount).sum,

@@ -1535,6 +1535,7 @@ object GraftQueries {
     repCached(spark, sfDir)
     nerCached(spark, sfDir)
     pqCached(spark, sfDir)
+    rasterCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run

@@ -108,6 +108,14 @@ class ExtractJobSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ExtractJob.appendSnapshot(extra, s"$dir/out")
     }
+    // compaction is LAYOUT-only, so a newer binary may compact the old
+    // chain — and must carry the chain's kernel version forward, not
+    // stamp its own (which would trip the mixed-version check)
+    val rowsBefore = ExtractJob.readExtracted(spark, s"$dir/out").count()
+    val snap = ExtractJob.compact(spark, s"$dir/out")
+    assert(snap.extractionVersion == "graft-extract-0")
+    assert(SnapshotStore.committedExtractionVersion(s"$dir/out") == Some("graft-extract-0"))
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == rowsBefore)
   }
 
   test("compaction: verbatim rewrite, resume intact, time travel until expiry") {
