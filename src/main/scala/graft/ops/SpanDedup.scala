@@ -32,17 +32,20 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Rolling k-token span digests: (idCol, h) — one row per window
-    * position, md5 of the space-joined span. Docs with < k tokens
-    * contribute nothing. Pure Catalyst (split/transform/slice/md5
-    * inside one codegen'd projection); the span string exists only
-    * inside the expression, never as a column. */
+    * position, md5 of the space-joined span as 16 RAW bytes (half the
+    * shuffle key of the hex string; the 128-bit space keeps grouping
+    * collision-free, and the oracle never compares digests — it
+    * re-derives counts from the text). Docs with < k tokens contribute
+    * nothing. The digest array comes from ONE native expression
+    * ([[graft.functions.SpanDigests]]) instead of a
+    * transform/slice/concat_ws/md5 lambda pipeline — the span string
+    * never exists, and token bytes are fetched once per document. */
   def spans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol),
         filter(split(lower(col(textCol)), "\\s+"), x => x =!= "").as("toks"))
       .filter(size(col("toks")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(toks) - ${k - 1}), " +
-          s"i -> md5(cast(concat_ws(' ', slice(toks, i, $k)) as binary)))")).as("h"))
+      .select(col(idCol),
+        explode(graft.functions.SpanDigests(col("toks"), k)).as("h"))
 
   /** Per-doc span-dedup summary: total rolling spans and how many of
     * them also occur in at least one OTHER document.

@@ -1547,6 +1547,11 @@ object GraftQueries {
       Dedup.jaccardVerify(pageCandsCached(spark, warmSf),
         extractedPagesDocs(spark, warmSf),
         "doc_id", "text", shingleN = 2, threshold = 0.6).count(): Unit
+      // same treatment for the token-explode kernels: q73/q74 measured
+      // ~2x slower on their first-in-JVM execution purely from C2
+      // compilation of the span-digest / bigram-scoring pipelines
+      queries("q73_span_dedup")(spark, warmSf).count(): Unit
+      queries("q74_lm_score")(spark, warmSf).count(): Unit
     }
   }
 

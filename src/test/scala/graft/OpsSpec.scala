@@ -663,6 +663,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recallShort >= 0.9, f"shortlist recall $recallShort%.2f below floor") // measured 1.00
   }
 
+  test("SpanDigests expression == the transform/concat_ws/md5 lambda form, bit for bit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "Gamma", "d", "épsilon", "ζeta", "x1", "--", "longer_token")
+    val texts = (0 until 50).map { i =>
+      (i.toLong, (0 until (5 + rng.nextInt(40))).map(_ => words(rng.nextInt(words.length)))
+        .mkString(" ") + (if (i % 3 == 0) "\n tab\tsplit  extra " else ""))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val base = df.select(col("doc_id"), toks.as("toks")).filter(size(col("toks")) >= 10)
+    val native = base.select(col("doc_id"),
+      explode(graft.functions.SpanDigests(col("toks"), 10)).as("h"))
+    val lambda = base.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 9), " +
+        "i -> unhex(md5(cast(concat_ws(' ', slice(toks, i, 10)) as binary))))")).as("h"))
+    assert(native.count() == lambda.count())
+    assert(native.exceptAll(lambda).isEmpty && lambda.exceptAll(native).isEmpty,
+      "native span digests diverge from the Catalyst form")
+    // sub-k documents produce an EMPTY array, not null
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(graft.functions.SpanDigests(
+        filter(split(lower(col("text")), "\\s+"), x => x =!= ""), 10).as("hs"))
+    assert(tiny.head().getSeq[Array[Byte]](0).isEmpty)
+  }
+
   test("lm score: add-one-smoothed bigram micros match hand computation") {
     import spark.implicits._
     import graft.ops.LmScore

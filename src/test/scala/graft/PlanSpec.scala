@@ -313,10 +313,11 @@ class PlanSpec extends AnyFunSuite {
   test("q73 span dedup: codegen'd span digests, no cartesian, no UDF") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q73_span_dedup")(spark, d))
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("ScalaUDF"), "span digest construction must stay codegen'd")
+    assert(!p.contains("ScalaUDF"), "span digest construction must stay a native expression")
     // the span table never carries span TEXT across a shuffle: the only
-    // exploded column is the md5 digest
-    assert(p.contains("md5("), "expected the digest projection inside the plan")
+    // exploded column is the native 16-byte digest array
+    assert(p.toLowerCase.contains("spandigests"),
+      s"expected the SpanDigests expression inside the plan:\n${p.take(600)}")
   }
 
   test("q74 lm score broadcasts the vocab scalar (no cartesian), all integer arithmetic") {
