@@ -46,16 +46,26 @@ case class SpanDigests(child: Expression, k: Int)
     if (n < k) return SpanDigests.Empty
     val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      // null elements are SKIPPED with their separator, exactly like
+      // concat_ws — the lambda form this expression must mirror
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val md = SpanDigests.Md5.get()
     val out = new Array[Any](n - k + 1)
     var s = 0
     while (s <= n - k) {
       md.reset()
       var j = 0
+      var first = true
       while (j < k) {
-        if (j > 0) md.update(SpanDigests.Space)
-        md.update(toks(s + j))
+        val t = toks(s + j)
+        if (t != null) {
+          if (!first) md.update(SpanDigests.Space)
+          md.update(t)
+          first = false
+        }
         j += 1
       }
       out(s) = md.digest()

@@ -78,30 +78,10 @@ object ExtractJob {
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
 
-    // ---- routing-mode guard: resuming a table extracted under the other
-    // engine-selection mode would silently commit a MIXED snapshot chain
-    // (strict-first and routed outputs differ per row), violating the
-    // byte-identity contract the goldens pin. The mode is part of the
-    // table's identity — recorded in every manifest, refused on mismatch.
+    // ---- chain-identity guard: routing mode + extraction version are
+    // part of the table's identity (see requireCompatibleChain)
     val routingMode = if (routedSelection) "routed" else "strict"
-    SnapshotStore.committedRouting(outRoot).foreach { committed =>
-      require(committed == routingMode,
-        s"outRoot $outRoot was extracted with routing=$committed; resuming with " +
-          s"routing=$routingMode would mix extraction outputs — use a new outRoot " +
-          "or re-extract from scratch")
-    }
-    // ---- extraction-version guard (same contract as the routing
-    // guard): a chain committed by an older kernel must not be extended
-    // by a newer one — the skipped files' rows would carry different
-    // bytes/schema than the new files' rows. Re-extract to a new
-    // outRoot on kernel upgrades (the reference's analog: a new
-    // DocumentVersion per OCR run, never an in-place mix).
-    SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
-      require(committed == ExtractionVersion.current,
-        s"outRoot $outRoot was extracted with $committed; this build is " +
-          s"${ExtractionVersion.current} — resuming would mix extraction kernels; " +
-          "use a new outRoot")
-    }
+    requireCompatibleChain(outRoot, routingMode)
 
     // ---- file-level resume (S7): scan only uncommitted input files ----
     // O(#files) driver-side set arithmetic; at 10^12 rows this replaces
@@ -167,16 +147,7 @@ object ExtractJob {
     import spark.implicits._
     SnapshotStore.acquireLock(outRoot)
     try {
-      SnapshotStore.committedRouting(outRoot).foreach { committed =>
-        require(committed == "strict",
-          s"outRoot $outRoot was extracted with routing=$committed; WARC ingestion " +
-            "extracts strict-first — use a matching outRoot")
-      }
-      SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
-        require(committed == ExtractionVersion.current,
-          s"outRoot $outRoot was extracted with $committed; this build is " +
-            s"${ExtractionVersion.current} — resuming would mix extraction kernels")
-      }
+      requireCompatibleChain(outRoot, "strict") // WARC ingestion extracts strict-first
       val allFiles = graft.sources.Warc.listSegments(spark, warcDir)
       val committedInputs = SnapshotStore.committedInputFiles(outRoot)
       val pendingFiles = allFiles.filterNot(committedInputs.contains)
@@ -215,18 +186,7 @@ object ExtractJob {
     import spark.implicits._
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
-      // same routing-mode guard as run(): never mix extraction modes
-      // in one snapshot chain
-      SnapshotStore.committedRouting(outRoot).foreach { committed =>
-        require(committed == routingMode,
-          s"outRoot $outRoot was extracted with routing=$committed; appending " +
-            s"routing=$routingMode output would mix extraction modes")
-      }
-      SnapshotStore.committedExtractionVersion(outRoot).foreach { committed =>
-        require(committed == ExtractionVersion.current,
-          s"outRoot $outRoot holds $committed output; this build is " +
-            s"${ExtractionVersion.current} — appending would mix extraction kernels")
-      }
+      requireCompatibleChain(outRoot, routingMode)
       val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
       val committedDirs = SnapshotStore.dataDirs(outRoot)
       val deduped =
@@ -237,6 +197,38 @@ object ExtractJob {
         }
       commitSnapshot(deduped, outRoot, seq, dataDir, Nil, numPartitions, saltBuckets, routingMode)
     } finally SnapshotStore.releaseLock(outRoot)
+  }
+
+  /** The one chain-identity guard every writing entry point shares
+    * (run / runWarc / appendSnapshot — compaction intentionally not:
+    * it rewrites committed bytes, so it carries the chain's identity
+    * instead of requiring this build's).
+    *
+    * Routing: resuming a table extracted under the other
+    * engine-selection mode would silently commit a MIXED snapshot chain
+    * (strict-first and routed outputs differ per row), violating the
+    * byte-identity contract the goldens pin.
+    * Extraction version: a chain committed by an older kernel must not
+    * be extended by a newer one — the skipped files' rows would carry
+    * different bytes/schema than the new files' rows. Re-extract to a
+    * new outRoot on kernel upgrades (the reference's analog: a new
+    * DocumentVersion per OCR run, never an in-place mix).
+    * Both fields come from ONE manifest pass; 0-row snapshots carry no
+    * bytes and pin nothing. */
+  private def requireCompatibleChain(outRoot: String, routingMode: String): Unit = {
+    val (committedRouting, committedVersion) = SnapshotStore.chainIdentity(outRoot)
+    committedRouting.foreach { committed =>
+      require(committed == routingMode,
+        s"outRoot $outRoot was extracted with routing=$committed; continuing with " +
+          s"routing=$routingMode would mix extraction outputs — use a new outRoot " +
+          "or re-extract from scratch")
+    }
+    committedVersion.foreach { committed =>
+      require(committed == ExtractionVersion.current,
+        s"outRoot $outRoot was extracted with $committed; this build is " +
+          s"${ExtractionVersion.current} — continuing would mix extraction kernels; " +
+          "use a new outRoot")
+    }
   }
 
   /** Compaction — the Iceberg rewrite_data_files analog. A long-running

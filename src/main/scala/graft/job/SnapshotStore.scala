@@ -152,44 +152,48 @@ object SnapshotStore {
     s"""{"sequence":${s.sequence},"parent":${s.parent},"extraction_version":"${esc(s.extractionVersion)}","routing":"${esc(s.routing)}","replaces":${s.replaces},"data_dir":"${esc(s.dataDir)}","row_count":${s.rowCount},"partitions":$parts,"input_files":$inputs}"""
   }
 
-  /** Routing mode of the committed table: the mode every committed
-    * snapshot was extracted with (manifests older than the field read
-    * as "strict", the historical default). Mixed modes in one table
-    * are a corruption of the byte-identity contract and are reported
-    * as such. */
-  /** The extraction_version every committed snapshot was produced
-    * under — None for an empty chain. A chain mixing versions is
-    * corrupt by definition (same reasoning as [[committedRouting]]):
-    * the kernel that produced the bytes is part of the table's
-    * identity. */
-  def committedExtractionVersion(root: String): Option[String] = {
+  /** The chain's identity — (routing mode, extraction version) — read
+    * in ONE manifest pass (each commit guard needs both; two separate
+    * walks doubled per-commit manifest I/O on long streaming chains).
+    * Only snapshots that COMMITTED ROWS count: a 0-row bootstrap/no-op
+    * snapshot carries no bytes whose provenance could be mixed, so it
+    * must not pin an empty outRoot to the kernel that happened to
+    * touch it first (upgrading then resuming an empty chain is fine).
+    * Manifests older than the routing field read as "strict", the
+    * historical default. A chain mixing either field across row-bearing
+    * snapshots is a corruption of the byte-identity contract and is
+    * reported as such. */
+  def chainIdentity(root: String): (Option[String], Option[String]) = {
     val seq = currentSequence(root)
-    val versions = (1 to seq)
-      .map(i => parseStringField(readManifest(root, i), "extraction_version"))
-      .filter(_.nonEmpty).distinct
-    versions match {
-      case Seq() => None
-      case Seq(one) => Some(one)
-      case many => throw new IllegalStateException(
-        s"snapshot chain at $root mixes extraction versions ${many.mkString(",")} — " +
-          "the table violates the byte-identity contract; rebuild from a clean outRoot")
-    }
+    val rowBearing = (1 to seq).map(readManifest(root, _))
+      .filter(parseLongField(_, "row_count") > 0)
+    def distinctOrThrow(vals: Seq[String], what: String): Option[String] =
+      vals.distinct match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => throw new IllegalStateException(
+          s"snapshot chain at $root mixes $what ${many.mkString(",")} — " +
+            "the table violates the byte-identity contract; rebuild from a clean outRoot")
+      }
+    val routing = distinctOrThrow(rowBearing.map { m =>
+      val r = parseStringField(m, "routing")
+      if (r.isEmpty) "strict" else r
+    }, "extraction routing modes")
+    val version = distinctOrThrow(
+      rowBearing.map(parseStringField(_, "extraction_version")).filter(_.nonEmpty),
+      "extraction versions")
+    (routing, version)
   }
 
-  def committedRouting(root: String): Option[String] = {
-    val seq = currentSequence(root)
-    val modes = (1 to seq).map { i =>
-      val m = parseStringField(readManifest(root, i), "routing")
-      if (m.isEmpty) "strict" else m
-    }.distinct
-    modes match {
-      case Seq() => None
-      case Seq(one) => Some(one)
-      case many => throw new IllegalStateException(
-        s"snapshot chain at $root mixes extraction routing modes ${many.mkString(",")} — " +
-          "the table violates the byte-identity contract; rebuild from a clean outRoot")
-    }
-  }
+  /** The extraction_version every row-bearing committed snapshot was
+    * produced under — None for an empty chain. The kernel that produced
+    * the bytes is part of the table's identity. */
+  def committedExtractionVersion(root: String): Option[String] =
+    chainIdentity(root)._2
+
+  /** Routing mode of the committed table (see [[chainIdentity]]). */
+  def committedRouting(root: String): Option[String] =
+    chainIdentity(root)._1
 
   /** Union of input files consumed by all committed snapshots. */
   def committedInputFiles(root: String): Set[String] = {

@@ -45,8 +45,7 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  private def toks(textCol: String) =
-    filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
+  private def toks(textCol: String) = TextStats.lowerToks(col(textCol))
 
   /** Exploded bigram occurrences: (idCol, a, b) — map-side only. */
   def bigramOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -196,21 +196,43 @@ object Similarity {
     * unit vectors → |fixed| ≤ 2^20, so a cell absorbs 2^43 vectors
     * before a 64-bit sum can wrap (10^12-row safe). */
   def refineCentroids(vecs: org.apache.spark.sql.Dataset[Array[Float]],
-                      init: Array[Array[Double]], iters: Int = 2): Array[Array[Double]] = {
+                      init: Array[Array[Double]], iters: Int = 2): Array[Array[Double]] =
+    refineSubspaceCentroids(vecs, Array(init), iters).head
+
+  /** The keyed generalization shared by the IVF quantizer (one
+    * "subspace" spanning the whole vector) and the PQ codebooks (m
+    * subspaces refined together): per iteration, ONE corpus scan
+    * assigns every (vector, subspace) slice to its nearest centroid
+    * and reduces FIXED-POINT Long sums by (subspace, cell) — the
+    * bit-identical-at-any-parallelism contract lives in exactly one
+    * place. Ragged vectors are an ERROR, never silently zero-padded:
+    * a truncated embedding would otherwise encode as zero subvectors
+    * and poison neighborhoods with no signal. */
+  def refineSubspaceCentroids(vecs: org.apache.spark.sql.Dataset[Array[Float]],
+                              init: Array[Array[Array[Double]]],
+                              iters: Int = 2): Array[Array[Array[Double]]] = {
     val Fixed = 1L << 20
+    val m = init.length
+    val dsub = init(0)(0).length
+    val dim = m * dsub
     val sc = vecs.sparkSession.sparkContext
-    var centroids = init
+    var cbs = init
     var it = 0
     while (it < iters) {
-      val bc = sc.broadcast(centroids)
+      val bc = sc.broadcast(cbs)
       val agg = vecs.rdd
-        .map { v =>
+        .flatMap { v =>
+          require(v.length == dim,
+            s"ragged vector: length ${v.length}, expected $dim")
           val cs = bc.value
-          val c = nearestCentroid(v, cs)
-          val s = new Array[Long](v.length)
-          var i = 0
-          while (i < v.length) { s(i) = math.round(v(i).toDouble * Fixed); i += 1 }
-          (c, (s, 1L))
+          Iterator.tabulate(m) { j =>
+            val sv = if (m == 1) v else java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
+            val c = nearestCentroid(sv, cs(j))
+            val s = new Array[Long](dsub)
+            var i = 0
+            while (i < dsub) { s(i) = math.round(sv(i).toDouble * Fixed); i += 1 }
+            ((j, c), (s, 1L))
+          }
         }
         .reduceByKey { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
           val s1 = a._1; val s2 = b._1
@@ -221,18 +243,18 @@ object Similarity {
         .collect()
       // empty cells keep their previous centroid (same rule as the
       // driver-side Lloyd above)
-      val next = centroids.map(_.clone())
-      agg.foreach { case (c, (s, n)) =>
-        val t = next(c)
+      val next = cbs.map(_.map(_.clone()))
+      agg.foreach { case ((j, c), (s, n)) =>
+        val t = next(j)(c)
         var i = 0
         while (i < s.length && i < t.length) {
           t(i) = s(i).toDouble / Fixed / n; i += 1
         }
       }
-      centroids = next
+      cbs = next
       it += 1
     }
-    centroids
+    cbs
   }
 
   /** The IVF coarse quantizer: seed with driver-side Lloyd on a
@@ -559,44 +581,11 @@ object Similarity {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    var cbs = Array.tabulate(m) { j =>
+    val seeds = Array.tabulate(m) { j =>
       kmeansCentroids(sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)), ksub)
     }
-    val Fixed = 1L << 20
-    val sc = spark.sparkContext
-    val vecs = corpus.select(col(vecCol)).as[Array[Float]]
-    var it = 0
-    while (it < refineIters) {
-      val bc = sc.broadcast(cbs)
-      val agg = vecs.rdd
-        .flatMap { v =>
-          val cs = bc.value
-          Iterator.tabulate(cs.length) { j =>
-            val sv = java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
-            val c = nearestCentroid(sv, cs(j))
-            val s = new Array[Long](dsub)
-            var i = 0
-            while (i < dsub) { s(i) = math.round(sv(i).toDouble * Fixed); i += 1 }
-            ((j, c), (s, 1L))
-          }
-        }
-        .reduceByKey { (a: (Array[Long], Long), b: (Array[Long], Long)) =>
-          val s1 = a._1; val s2 = b._1
-          var i = 0
-          while (i < s1.length) { s1(i) += s2(i); i += 1 }
-          (s1, a._2 + b._2)
-        }
-        .collect()
-      val next = cbs.map(_.map(_.clone()))
-      agg.foreach { case ((j, c), (s, n)) =>
-        val t = next(j)(c)
-        var i = 0
-        while (i < s.length) { t(i) = s(i).toDouble / Fixed / n; i += 1 }
-      }
-      cbs = next
-      it += 1
-    }
-    cbs
+    refineSubspaceCentroids(corpus.select(col(vecCol)).as[Array[Float]],
+      seeds, refineIters)
   }
 
   /** PQ codes: (neighbor_id, sub, cell) — one row per (vector,
@@ -609,9 +598,14 @@ object Similarity {
     import spark.implicits._
     val m = cbs.length
     val dsub = cbs(0)(0).length
+    val dim = m * dsub
     corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
       .as[(String, Array[Float])]
       .flatMap { case (id, v) =>
+        // ragged vectors error loudly: copyOfRange would zero-pad them
+        // into silently-wrong codes
+        require(v.length == dim,
+          s"ragged vector at id=$id: length ${v.length}, expected $dim")
         Iterator.tabulate(m) { j =>
           val sv = java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)
           (id, j, nearestCentroid(sv, cbs(j)))

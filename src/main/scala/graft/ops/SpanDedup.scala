@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * blocking: every doc emits md5 digests of its rolling k-token
   * windows, a digest appearing under ≥2 distinct doc ids marks a
   * cross-document duplicated span. Span TEXT never crosses a shuffle —
-  * the explode emits (doc_id, md5) pairs (~40 bytes/token at any
-  * corpus size), and both aggregates are plain map-side-combinable
-  * groupBys. No windows, no sort, no skew pocket: the hottest digest
-  * (a corpus-wide boilerplate span) concentrates one shuffle key of at
-  * most #docs rows, the same bound as exact doc-level dedup.
+  * the explode emits (doc_id, digest) pairs (~30 bytes/token at any
+  * corpus size), aggregated per (digest, doc) map-side-combinably and
+  * counted per digest with one unordered window. Skew is bounded: the
+  * hottest digest (a corpus-wide boilerplate span) concentrates one
+  * shuffle key of at most #docs rows, the same bound as exact
+  * doc-level dedup.
   *
   * Summary granularity (per doc: how many spans, how many duplicated)
   * mirrors [[LineDedup.summarize]]; the removal variant is a trivial
@@ -42,7 +43,7 @@ object SpanDedup {
     * never exists, and token bytes are fetched once per document. */
   def spans(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol),
-        filter(split(lower(col(textCol)), "\\s+"), x => x =!= "").as("toks"))
+        TextStats.lowerToks(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col(idCol),
         explode(graft.functions.SpanDigests(col("toks"), k)).as("h"))

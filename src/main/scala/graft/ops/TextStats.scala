@@ -123,6 +123,15 @@ object TextStats {
        |FROM pred""".stripMargin
   }
 
+  /** THE text-family tokenizer (lowercase, split `\s+`, drop empties) —
+    * the one Spark rendering of the rule every token-level oracle
+    * mirrors as `list_filter(string_split_regex(lower(t), '\s+'),
+    * x -> x <> '')`. q8/q69/q70/q72/SpanDedup/LmScore all build on it;
+    * a drift between any Spark site and its SQL mirror breaks the
+    * hash compare, so the rule lives in exactly one place per engine. */
+  def lowerToks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= "")
+
   // ---- quality scoring (pure SQL expressions — codegen'd) -------------
 
   /** Shallow quality features, Gopher/C4-style: length, token stats,

@@ -793,7 +793,7 @@ object GraftQueries {
     // asc) so both engines pick the identical 1000 tokens.
     "q66_vocab_coverage" -> ((s, d) => {
       val toks = extractedPagesDocs(s, d).select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+        explode(graft.ops.TextStats.lowerToks(col("text"))).as("tok"))
       val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
         .select(col("tok"), lit(1L).as("in_vocab"))
@@ -839,7 +839,7 @@ object GraftQueries {
     // buy nothing and cost a second full sort.
     "q69_doc_keyterms" -> ((s, d) => {
       val toks = extractedPagesDocs(s, d).select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("term"))
+        explode(graft.ops.TextStats.lowerToks(col("text"))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -861,7 +861,7 @@ object GraftQueries {
     // broadcasts (PlanSpec-gated, no cartesian).
     "q70_pmi_collocations" -> ((s, d) => {
       val docs = extractedPagesDocs(s, d)
-        .select(filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("toks"))
+        .select(graft.ops.TextStats.lowerToks(col("text")).as("toks"))
       val uni = docs.select(explode(col("toks")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
       val bi = docs
@@ -935,7 +935,7 @@ object GraftQueries {
       import s.implicits._
       val k = 200
       val toks = extractedPagesDocs(s, d)
-        .select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("term"))
+        .select(explode(graft.ops.TextStats.lowerToks(col("text"))).as("term"))
       val sketch = toks.as[String]
         .select(new graft.functions.HeavyHitters(k).toColumn)
         .head() // ONE row of ≤k entries — bounded driver data by construction

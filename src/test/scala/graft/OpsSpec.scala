@@ -687,6 +687,18 @@ class OpsSpec extends AnyFunSuite {
       .select(graft.functions.SpanDigests(
         filter(split(lower(col("text")), "\\s+"), x => x =!= ""), 10).as("hs"))
     assert(tiny.head().getSeq[Array[Byte]](0).isEmpty)
+    // null tokens are skipped with their separator, exactly like the
+    // concat_ws form (split() declares containsNull=true, so a caller
+    // not pre-filtering must not NPE)
+    val withNull = Seq(1).toDF("one").select(
+      expr("array('a', CAST(NULL AS STRING), 'b')").as("toks"))
+    val nat = withNull.select(graft.functions.SpanDigests(col("toks"), 3).as("hs"))
+      .head().getSeq[Array[Byte]](0).map(_.toSeq)
+    val lam = withNull.select(expr(
+      "transform(sequence(1, size(toks) - 2), " +
+        "i -> unhex(md5(cast(concat_ws(' ', slice(toks, i, 3)) as binary))))").as("hs"))
+      .head().getSeq[Array[Byte]](0).map(_.toSeq)
+    assert(nat == lam, "null-token handling diverges from concat_ws")
   }
 
   test("lm score: add-one-smoothed bigram micros match hand computation") {
