@@ -57,12 +57,17 @@ object LmScore {
 
   /** Per-doc LM score: (idCol, n_bigrams, sum_p_micros, avg_p_micros).
     * High avg = fluent under the corpus model; low = surprising. Docs
-    * with < 2 tokens are absent (no bigrams, both engines agree). */
+    * with < 2 tokens are absent (no bigrams, both engines agree).
+    * `precomputedBi` skips the training pass when the (a, b, n_ab)
+    * count table is already materialized (the shared token-family
+    * dump) — the standard train-once / score-many split. */
   def score(df: DataFrame, idCol: String, textCol: String,
-            minCount: Int = 5): DataFrame = {
+            minCount: Int = 5,
+            precomputedBi: Option[DataFrame] = None): DataFrame = {
     val occ = bigramOccurrences(df, idCol, textCol)
     // TRAIN: the one corpus-sized exchange, then vocabulary-sized tables
-    val bi = occ.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val bi = precomputedBi.getOrElse(
+      occ.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
     val margin = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
     val pruned = bi.filter(col("n_ab") >= minCount)
     val vocab = margin.agg(count(lit(1)).as("v"))
