@@ -1,0 +1,102 @@
+package graft.job
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Balance, Hosts, Repetition, TextStats}
+
+/** End-to-end corpus curation as a RUNNABLE JOB — the stage a training
+  * pipeline schedules after extraction, composing operators that are
+  * each oracle-backed on the query surface into one dataset build:
+  *
+  *   extraction snapshots (ExtractJob/SnapshotStore output)
+  *     → exact content dedup           q12 rule: min-url keeper per md5
+  *     → Gopher/C4 repetition gate     q54 thresholds (Repetition.keep)
+  *     → corpus-median quality gate    q50 shape: percentile aggregate
+  *                                     broadcast back, never a global sort
+  *     → per-host cap                  q52 shape: salted two-phase exact
+  *                                     top-k (zipfian head hosts spread)
+  *     → train/val/test assignment     q51 rule: md5-hex buckets, stable
+  *                                     under incremental ingestion
+  *     → curated parquet, partitioned by split, + a funnel manifest
+  *
+  * Scale notes: document text crosses the wire exactly twice — once
+  * into the dedup keeper semi-join (keyed by digest, the text rides
+  * only until the projection) and once into the host-cap exchange —
+  * and the quality threshold is a broadcast scalar. The funnel counts
+  * are per-stage aggregates over a persisted feature table (at
+  * 10^12 rows you would swap the persist for accumulators riding the
+  * write; counted explicitly here because the funnel IS the lineage
+  * record a curation run must publish). */
+object CurateJob {
+
+  final case class Funnel(
+      extracted: Long,  // rows in the extraction table
+      html: Long,       // clean html docs entering curation
+      deduped: Long,    // after exact content dedup
+      gated: Long,      // after repetition + quality gates
+      kept: Long)       // after the per-host cap == curated rows
+
+  def run(spark: SparkSession, extractRoot: String, outRoot: String,
+          perHostCap: Int = 1000): Funnel = {
+    val table = ExtractJob.readExtracted(spark, extractRoot)
+    val base = table
+      .filter(col("error").isNull && col("payload_kind") === "html" &&
+        length(col("extracted_text")) > 0)
+      .select(col("url"), col("extracted_text"))
+
+    // exact dedup (q12 rule): one keeper per content digest, the
+    // lexicographic-min url — deterministic and stable under resume
+    val hashed = base.withColumn("h", md5(col("extracted_text").cast("binary")))
+    val keeper = hashed.groupBy(col("h")).agg(min(col("url")).as("url"))
+    val deduped = hashed.join(keeper, Seq("h", "url"), "left_semi").drop("h")
+
+    // per-doc features once; both gates and the funnel read this table
+    val feats = Repetition.withStats(deduped, textCol = "extracted_text")
+      .withColumn("quality", TextStats.qualityScore(col("extracted_text")))
+      .persist()
+    try {
+      val kept = feats.filter(col("keep"))
+      val thr = kept.agg(expr("percentile(quality, 0.5)").as("q50"))
+      val gated = kept.join(broadcast(thr))
+        .filter(col("quality") >= col("q50"))
+        .withColumn("host", Hosts.hostOf(col("url")))
+      val capped = Balance.topKPerGroup(gated, col("host"), col("url"),
+        Seq(col("quality").desc, col("url").asc), k = perHostCap)
+      val curated = capped
+        .select(col("url"), col("host"), col("quality"),
+          Balance.splitAssign(col("url")).as("split"), col("extracted_text"))
+      curated.write.mode(SaveMode.Overwrite).partitionBy("split")
+        .parquet(s"$outRoot/data")
+
+      val written = spark.read.parquet(s"$outRoot/data")
+      val funnel = Funnel(
+        extracted = table.count(),
+        html = base.count(),
+        deduped = feats.count(),
+        gated = gated.count(),
+        kept = written.count())
+      val json =
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")
+      funnel
+    } finally feats.unpersist(blocking = false): Unit
+  }
+}
+
+/** Curation entry point:
+  *   runMain graft.job.CurateCli <extractRoot> <curatedRoot> [perHostCap]
+  */
+object CurateCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateCli <extractRoot> <curatedRoot> [perHostCap]")
+    val spark = GraftSession.local()
+    val cap = if (args.length > 2) args(2).toInt else 1000
+    val f = CurateJob.run(spark, args(0), args(1), cap)
+    println(s"curated ${f.kept} docs (extracted=${f.extracted} html=${f.html} " +
+      s"deduped=${f.deduped} gated=${f.gated}) at ${args(1)}")
+    spark.stop()
+  }
+}
