@@ -97,6 +97,22 @@ object Dedup {
     sig
   }
 
+  /** Band b's bucket hash over a signature — the ONE banding kernel,
+    * shared by batch LSH ([[minhashBands]]) and the streaming bucket
+    * keys ([[bandKeys]]). */
+  @inline def bandHash(sig: Array[Long], b: Int): Long = {
+    var h = 1125899906842597L
+    var r = 0
+    while (r < RowsPerBand) { h = h * 31 + sig(b * RowsPerBand + r); r += 1 }
+    mix64(h)
+  }
+
+  /** The `Bands` bucket keys of a signature as single Longs (band index
+    * folded in, so band b and band b' never share a key space) — the
+    * streaming near-dup state is keyed by these. */
+  def bandKeys(sig: Array[Long]): IndexedSeq[Long] =
+    (0 until Bands).map(b => bandHash(sig, b) ^ mix64(0x9e3779b97f4a7c15L * (b + 1)))
+
   /** LSH banding: each doc emits exactly `Bands` (band, hash) keys. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 2): DataFrame = {
     val spark = docs.sparkSession
@@ -108,12 +124,7 @@ object Dedup {
       .mapPartitions { it =>
         it.flatMap { case (id, text) =>
           val sig = minhashSignature(shingleHashes(text, shingleN))
-          (0 until Bands).iterator.map { b =>
-            var h = 1125899906842597L
-            var r = 0
-            while (r < RowsPerBand) { h = h * 31 + sig(b * RowsPerBand + r); r += 1 }
-            (id, b, mix64(h))
-          }
+          (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
         }
       }
       .toDF("id", "band", "band_hash")

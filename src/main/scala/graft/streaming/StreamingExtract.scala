@@ -106,6 +106,98 @@ object StreamingExtract {
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** One LSH bucket's in-window members (bounded: watermark eviction +
+    * the same size cap the batch candidatePairs applies). */
+  final case class BucketMember(url: String, tsMs: Long, sig: Array[Long])
+  final case class BucketState(members: List[BucketMember])
+
+  /** Streaming MinHash near-duplicate detection — the q20/q63 LSH
+    * family as a stream, closing the last batch-vs-streaming asymmetry
+    * (exact dedup and sessionization already stream). Each page maps to
+    * its 64-hash MinHash signature and `Dedup.Bands` LSH bucket keys
+    * (the SAME kernels as batch — signatures are bit-identical); state
+    * per (band, bucket) holds the in-window member list, and a new page
+    * emits a pair against every member whose signature agrees on
+    * ≥ minAgree of the 64 positions (the standard signature-level
+    * jaccard estimate, E[agreement/64] = jaccard — the full shingle
+    * sets never enter state). Output: (url, warc_ts, dup_of, n_agree)
+    * pairs, emitted EXACTLY ONCE per pair even when the two docs share
+    * several buckets: both bucket-key sets are pure functions of the
+    * signatures in hand, so only the group whose key is the MINIMUM
+    * shared key emits — pair dedup without a second stateful operator
+    * (a chained dropDuplicates would trip the global-watermark
+    * correctness check).
+    *
+    * Bounds: members older than the watermark are evicted on every
+    * bucket visit and by event-time timeout, so state is the in-window
+    * tail only; a bucket at `maxBucket` members stops ACCUMULATING
+    * (new pages still compare — recall within the window degrades
+    * gracefully on pathological all-identical streams, the same
+    * explicit cap the batch path audits). Within a trigger a bucket's
+    * pages process in (ts, url) order, so "earlier" is deterministic. */
+  def nearDupStream(pages: DataFrame, shingleN: Int = 2, minAgree: Int = 52,
+                    watermark: String = "10 minutes",
+                    maxBucket: Int = 64): DataFrame = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import graft.ops.Dedup
+    val banded = pages
+      .select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (url, ts, text) =>
+          val sig = Dedup.minhashSignature(Dedup.shingleHashes(text, shingleN))
+          Dedup.bandKeys(sig).map(bk => (bk, url, ts, sig))
+        }
+      }
+      .toDF("bkey", "url", "warc_ts", "sig")
+      // the typed map erases the event-time tag, so the watermark is
+      // attached HERE, on the banded frame the stateful op consumes
+      .withWatermark("warc_ts", watermark)
+      .as[(Long, String, java.sql.Timestamp, Array[Long])]
+    val pairs = banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (bkey: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Array[Long])],
+         state: GroupState[BucketState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          def live(ms: List[BucketMember]) = ms.filter(_.tsMs >= wm)
+          if (state.hasTimedOut) {
+            val ms = live(state.getOption.map(_.members).getOrElse(Nil))
+            if (ms.isEmpty) state.remove()
+            else {
+              state.update(BucketState(ms))
+              state.setTimeoutTimestamp(math.max(ms.map(_.tsMs).min + 1, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            var members = live(state.getOption.map(_.members).getOrElse(Nil))
+            val out = List.newBuilder[(String, java.sql.Timestamp, String, Int)]
+            rows.toArray.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, url, ts, sig) =>
+              val keys = Dedup.bandKeys(sig)
+              members.foreach { m =>
+                var agree = 0
+                var i = 0
+                while (i < sig.length) { if (sig(i) == m.sig(i)) agree += 1; i += 1 }
+                if (agree >= minAgree) {
+                  // emit from the MINIMUM shared bucket only: every
+                  // shared bucket sees this pair, exactly one speaks
+                  val shared = keys.toSet.intersect(Dedup.bandKeys(m.sig).toSet)
+                  if (shared.min == bkey) out += ((url, ts, m.url, agree))
+                }
+              }
+              if (members.length < maxBucket)
+                members = BucketMember(url, ts.getTime, sig) :: members
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(math.max(
+              members.map(_.tsMs).min + 1, wm + 1))
+            out.result().iterator
+          }
+        })
+    pairs.toDF("url", "warc_ts", "dup_of", "n_agree")
+  }
+
   /** One in-flight session per user: [start, end] in epoch MICROS plus
     * its event count. Micros (not ms) because TimestampType carries
     * microsecond precision and the emitted session bounds must round-trip

@@ -150,6 +150,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/pages").count() > batchHashes.count())
   }
 
+  test("streaming minhash near-dup pairs == the batch LSH rule (same kernels)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = tmp()
+    // planted corpus: unique docs, one exact re-crawl, two near-dup
+    // mutations, all within the watermark window
+    val base = (0 until 12).map(i =>
+      s"document $i body " + (0 until 40).map(w => s"tok${i}_$w").mkString(" "))
+    val t0 = 1700000000000L
+    val rows =
+      base.zipWithIndex.map { case (t, i) => (f"u$i%02d", t0 + i * 1000L, t) } ++ Seq(
+        ("u90", t0 + 60000L, base(3)),                                  // exact dup of u03
+        ("u91", t0 + 61000L, base(5).replace("tok5_7", "mutated")),     // near dup of u05
+        ("u92", t0 + 62000L, base(5).replace("tok5_9", "other")))       // near dup of u05 (and of u91)
+    rows.map { case (u, ms, t) => (u, new java.sql.Timestamp(ms), t) }
+      .toDF("url", "warc_ts", "text").coalesce(1).write.parquet(s"$dir/in/a")
+    Seq(("zz", new java.sql.Timestamp(t0 + 10L * 86400000), "sentinel far future"))
+      .toDF("url", "warc_ts", "text").coalesce(1).write.parquet(s"$dir/in/b")
+    var mt = System.currentTimeMillis() - 60000
+    for (sub <- Seq("a", "b")) {
+      new java.io.File(s"$dir/in/$sub").listFiles().foreach(_.setLastModified(mt)); mt += 10000
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("warc_ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in")
+    val q = StreamingExtract.nearDupStream(stream)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("neardup_out")
+      .select("url", "dup_of", "n_agree")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // the batch rule with the SAME kernels: pairs (later, earlier) that
+    // share >= 1 band bucket and agree on >= 52/64 signature positions
+    val sigs = rows.map { case (u, ms, t) =>
+      (u, ms, Dedup.minhashSignature(Dedup.shingleHashes(t, 2)),
+        Dedup.bandKeys(Dedup.minhashSignature(Dedup.shingleHashes(t, 2))).toSet)
+    }.sortBy(r => (r._2, r._1))
+    val expected = (for {
+      j <- sigs.indices; i <- 0 until j
+      if sigs(i)._4.intersect(sigs(j)._4).nonEmpty
+      agree = sigs(i)._3.zip(sigs(j)._3).count { case (a, b) => a == b }
+      if agree >= 52
+    } yield (sigs(j)._1, sigs(i)._1, agree)).toSet
+    assert(expected.nonEmpty, "planted near-dups produced no expected pairs")
+    assert(expected.exists(_._3 == 64), "expected the exact re-crawl at full agreement")
+    assert(got == expected, s"streaming $got\nexpected $expected")
+  }
+
   test("flatMapGroupsWithState sessionization == batch 30-min-gap sessions, exactly once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
