@@ -701,6 +701,64 @@ class OpsSpec extends AnyFunSuite {
     assert(nat == lam, "null-token handling diverges from concat_ws")
   }
 
+  test("span dedup == naive in-memory rule on random low-alphabet corpora") {
+    import spark.implicits._
+    import graft.ops.SpanDedup
+    val rng = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "dd", "e") // tiny alphabet → real collisions
+    for (trial <- 0 until 3) {
+      val corpus = (0 until 30).map { i =>
+        (i.toLong, (0 until (1 + rng.nextInt(12))).map(_ => words(rng.nextInt(words.length)))
+          .mkString(" "))
+      }
+      val k = 3
+      // naive rule, entirely in driver memory
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val docSpans = corpus.map { case (id, t) =>
+        id -> toks(t).sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+      }.toMap
+      val spanDocs = docSpans.toSeq
+        .flatMap { case (id, sps) => sps.map(s => (s, id)) }.distinct
+        .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+      val expected = docSpans.collect { case (id, sps) if sps.nonEmpty =>
+        id -> ((sps.size.toLong, sps.count(s => spanDocs(s) >= 2).toLong))
+      }
+      val got = SpanDedup.summarize(corpus.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("lm score == naive in-memory model on random corpora (pruned and unpruned)") {
+    import spark.implicits._
+    import graft.ops.LmScore
+    val rng = new scala.util.Random(11)
+    val words = Array("x", "y", "z", "w")
+    val corpus = (0 until 25).map { i =>
+      (i.toLong, (0 until (1 + rng.nextInt(10))).map(_ => words(rng.nextInt(words.length)))
+        .mkString(" "))
+    }
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val allBi = corpus.flatMap { case (_, t) => toks(t).sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))) }
+    val nAb = allBi.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val nA = allBi.groupBy(_._1).map { case (a, xs) => a -> xs.size.toLong }
+    val v = nA.size.toLong
+    for (minCount <- Seq(1, 2)) {
+      val expected = corpus.collect { case (id, t) if toks(t).length >= 2 =>
+        val ps = toks(t).sliding(2).filter(_.length == 2).map { p =>
+          val c = nAb((p(0), p(1)))
+          val cPruned = if (c >= minCount) c else 0L
+          (cPruned + 1L) * 1000000L / (nA(p(0)) + v)
+        }.toSeq
+        id -> ((ps.size.toLong, ps.sum, ps.sum / ps.size))
+      }.toMap
+      val got = LmScore.score(corpus.toDF("doc_id", "text"), "doc_id", "text", minCount)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected, s"minCount=$minCount")
+    }
+  }
+
   test("lm score: add-one-smoothed bigram micros match hand computation") {
     import spark.implicits._
     import graft.ops.LmScore
