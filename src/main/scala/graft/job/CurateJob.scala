@@ -1,9 +1,8 @@
 package graft.job
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Balance, Hosts, Repetition, TextStats}
+import graft.ops.{Balance, Dedup, Hosts, Repetition, TextStats}
 
 /** End-to-end corpus curation as a RUNNABLE JOB — the stage a training
   * pipeline schedules after extraction, composing operators that are
@@ -45,11 +44,21 @@ object CurateJob {
         length(col("extracted_text")) > 0)
       .select(col("url"), col("extracted_text"))
 
-    // exact dedup (q12 rule): one keeper per content digest, the
-    // lexicographic-min url — deterministic and stable under resume
-    val hashed = base.withColumn("h", md5(col("extracted_text").cast("binary")))
-    val keeper = hashed.groupBy(col("h")).agg(min(col("url")).as("url"))
-    val deduped = hashed.join(keeper, Seq("h", "url"), "left_semi").drop("h")
+    // url uniqueness first: the snapshot chain anti-joins urls ACROSS
+    // snapshots, but a url re-crawled with changed content within one
+    // ingestion batch would otherwise survive dedup twice (two digests,
+    // same min url) and break the host cap's total order. Identical
+    // re-crawl rows collapse; among differing texts the min-digest row
+    // wins — deterministic.
+    val rows = base.dropDuplicates("url", "extracted_text")
+      .withColumn("h", md5(col("extracted_text")))
+    val urlKeeper = rows.groupBy(col("url")).agg(min(col("h")).as("h"))
+    val perUrl = rows.join(urlKeeper, Seq("url", "h"), "left_semi")
+    // exact content dedup — THE q12 rule via its one home (Dedup.exact):
+    // one keeper per content digest, the lexicographic-min url
+    val keeper = Dedup.exact(perUrl, idCol = "url", textCol = "extracted_text")
+      .select(col("text_hash").as("h"), col("keep_id").as("url"))
+    val deduped = perUrl.join(keeper, Seq("h", "url"), "left_semi").drop("h")
 
     // per-doc features once; both gates and the funnel read this table
     val feats = Repetition.withStats(deduped, textCol = "extracted_text")
@@ -57,6 +66,11 @@ object CurateJob {
       .persist()
     try {
       val kept = feats.filter(col("keep"))
+      // exact percentile (the oracle-proven q50 shape, and exact so the
+      // job is bit-deterministic); its buffer is value-count-sized — at
+      // 10^12 rows swap for a fixed-memory quantile sketch and accept
+      // an approximate threshold (approx_percentile's merge order would
+      // cost the determinism contract here)
       val thr = kept.agg(expr("percentile(quality, 0.5)").as("q50"))
       val gated = kept.join(broadcast(thr))
         .filter(col("quality") >= col("q50"))

@@ -155,18 +155,21 @@ object SnapshotStore {
   /** The chain's identity — (routing mode, extraction version) — read
     * in ONE manifest pass (each commit guard needs both; two separate
     * walks doubled per-commit manifest I/O on long streaming chains).
-    * Only snapshots that COMMITTED ROWS count: a 0-row bootstrap/no-op
-    * snapshot carries no bytes whose provenance could be mixed, so it
-    * must not pin an empty outRoot to the kernel that happened to
-    * touch it first (upgrading then resuming an empty chain is fine).
-    * Manifests older than the routing field read as "strict", the
-    * historical default. A chain mixing either field across row-bearing
-    * snapshots is a corruption of the byte-identity contract and is
-    * reported as such. */
+    * A snapshot pins the identity iff it committed rows OR consumed
+    * input files: consumed files matter even at 0 rows, because resume
+    * skips them forever — a new kernel re-running over a chain whose
+    * 0-row snapshot already consumed (say) unparseable segments would
+    * otherwise silently never re-extract them. Only the pure
+    * bootstrap/no-op snapshot (0 rows, 0 inputs) pins nothing, so an
+    * EMPTY outRoot survives kernel upgrades. Manifests older than the
+    * routing field read as "strict", the historical default. A chain
+    * mixing either field across pinning snapshots is a corruption of
+    * the byte-identity contract and is reported as such. */
   def chainIdentity(root: String): (Option[String], Option[String]) = {
     val seq = currentSequence(root)
     val rowBearing = (1 to seq).map(readManifest(root, _))
-      .filter(parseLongField(_, "row_count") > 0)
+      .filter(m => parseLongField(m, "row_count") > 0 ||
+        parseStringArray(m, "input_files").nonEmpty)
     def distinctOrThrow(vals: Seq[String], what: String): Option[String] =
       vals.distinct match {
         case Seq() => None

@@ -106,9 +106,11 @@ object StreamingExtract {
       .withWatermark("warc_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** One LSH bucket's in-window members (bounded: watermark eviction +
-    * the same size cap the batch candidatePairs applies). */
-  final case class BucketMember(url: String, tsMs: Long, sig: Array[Long])
+  /** One LSH bucket's in-window members (bounded by watermark
+    * eviction). Band keys ride with the member — a pure function of
+    * sig, stored to keep the hot comparison loop allocation-free. */
+  final case class BucketMember(url: String, tsMs: Long,
+                                sig: Array[Long], keys: Array[Long])
   final case class BucketState(members: List[BucketMember])
 
   /** Streaming MinHash near-duplicate detection — the q20/q63 LSH
@@ -129,15 +131,18 @@ object StreamingExtract {
     * correctness check).
     *
     * Bounds: members older than the watermark are evicted on every
-    * bucket visit and by event-time timeout, so state is the in-window
-    * tail only; a bucket at `maxBucket` members stops ACCUMULATING
-    * (new pages still compare — recall within the window degrades
-    * gracefully on pathological all-identical streams, the same
-    * explicit cap the batch path audits). Within a trigger a bucket's
-    * pages process in (ts, url) order, so "earlier" is deterministic. */
+    * bucket visit and by event-time timeout, so state holds the
+    * in-window tail only — the same contract as [[dedupStream]], with
+    * the watermark as the single knob (storage is UNCONDITIONAL within
+    * the window: a size cap would make bucket membership
+    * history-dependent and silently break the min-shared-bucket
+    * exactly-once rule — a pair whose minimum shared bucket had
+    * dropped the earlier doc could never be emitted by any bucket).
+    * Same-url re-crawls never pair with themselves (the batch rule's
+    * a_id < b_id analog). Within a trigger a bucket's pages process in
+    * (ts, url) order, so "earlier" is deterministic. */
   def nearDupStream(pages: DataFrame, shingleN: Int = 2, minAgree: Int = 52,
-                    watermark: String = "10 minutes",
-                    maxBucket: Int = 64): DataFrame = {
+                    watermark: String = "10 minutes"): DataFrame = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import graft.ops.Dedup
@@ -174,20 +179,29 @@ object StreamingExtract {
             var members = live(state.getOption.map(_.members).getOrElse(Nil))
             val out = List.newBuilder[(String, java.sql.Timestamp, String, Int)]
             rows.toArray.sortBy(r => (r._3.getTime, r._2)).foreach { case (_, url, ts, sig) =>
-              val keys = Dedup.bandKeys(sig)
+              val keys = Dedup.bandKeys(sig).toArray
+              val keySet = keys.toSet // hoisted: one alloc per incoming row
               members.foreach { m =>
-                var agree = 0
-                var i = 0
-                while (i < sig.length) { if (sig(i) == m.sig(i)) agree += 1; i += 1 }
-                if (agree >= minAgree) {
-                  // emit from the MINIMUM shared bucket only: every
-                  // shared bucket sees this pair, exactly one speaks
-                  val shared = keys.toSet.intersect(Dedup.bandKeys(m.sig).toSet)
-                  if (shared.min == bkey) out += ((url, ts, m.url, agree))
+                if (m.url != url) { // a re-crawl never pairs with itself
+                  var agree = 0
+                  var i = 0
+                  while (i < sig.length) { if (sig(i) == m.sig(i)) agree += 1; i += 1 }
+                  if (agree >= minAgree) {
+                    // emit from the MINIMUM shared bucket only: storage
+                    // is unconditional, so every shared bucket sees the
+                    // pair and exactly one speaks
+                    var minShared = Long.MaxValue
+                    var j = 0
+                    while (j < m.keys.length) {
+                      val k = m.keys(j)
+                      if (k < minShared && keySet.contains(k)) minShared = k
+                      j += 1
+                    }
+                    if (minShared == bkey) out += ((url, ts, m.url, agree))
+                  }
                 }
               }
-              if (members.length < maxBucket)
-                members = BucketMember(url, ts.getTime, sig) :: members
+              members = BucketMember(url, ts.getTime, sig, keys) :: members
             }
             state.update(BucketState(members))
             state.setTimeoutTimestamp(math.max(

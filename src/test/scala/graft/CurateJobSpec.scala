@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
-import graft.job.{CurateJob, ExtractJob}
+import graft.job.{CurateJob, ExtractJob, SnapshotStore}
 
 /** The end-to-end curation job: every published property of the
   * composed pipeline checked on a generated corpus — dedup exactness,
@@ -31,6 +31,14 @@ class CurateJobSpec extends AnyFunSuite {
       .withColumn("url", concat(col("url"), lit("?utm=copy")))
       .write.mode("append").parquet(s"$dir/pages")
     ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // plant a SAME-url re-crawl with changed content directly in the
+    // extraction table (possible within one ingestion batch): curation
+    // must keep exactly one row per url
+    ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter(col("error").isNull && col("payload_kind") === "html")
+      .orderBy(col("url")).limit(5)
+      .withColumn("extracted_text", concat(col("extracted_text"), lit(" recrawl-delta")))
+      .write.mode("append").parquet(SnapshotStore.dataDirs(s"$dir/out").head)
     val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated", perHostCap = 3)
 
     // funnel is a monotone filter chain and the manifest records it
@@ -42,6 +50,8 @@ class CurateJobSpec extends AnyFunSuite {
 
     val out = spark.read.parquet(s"$dir/curated/data")
     assert(out.count() == f.kept)
+    // url uniqueness despite the planted same-url re-crawl
+    assert(out.select(col("url")).distinct().count() == f.kept)
     // dedup exactness: curated text digests are unique
     assert(out.select(md5(col("extracted_text").cast("binary"))).distinct().count() == f.kept)
     // the generator plants exact mirrors, so dedup must actually bite

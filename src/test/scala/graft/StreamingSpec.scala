@@ -164,7 +164,8 @@ class StreamingSpec extends AnyFunSuite {
       base.zipWithIndex.map { case (t, i) => (f"u$i%02d", t0 + i * 1000L, t) } ++ Seq(
         ("u90", t0 + 60000L, base(3)),                                  // exact dup of u03
         ("u91", t0 + 61000L, base(5).replace("tok5_7", "mutated")),     // near dup of u05
-        ("u92", t0 + 62000L, base(5).replace("tok5_9", "other")))       // near dup of u05 (and of u91)
+        ("u92", t0 + 62000L, base(5).replace("tok5_9", "other")),       // near dup of u05 (and of u91)
+        ("u06", t0 + 63000L, base(6)))                                  // SAME-url re-crawl: no self-pair
     rows.map { case (u, ms, t) => (u, new java.sql.Timestamp(ms), t) }
       .toDF("url", "warc_ts", "text").coalesce(1).write.parquet(s"$dir/in/a")
     Seq(("zz", new java.sql.Timestamp(t0 + 10L * 86400000), "sentinel far future"))
@@ -197,6 +198,7 @@ class StreamingSpec extends AnyFunSuite {
     }.sortBy(r => (r._2, r._1))
     val expected = (for {
       j <- sigs.indices; i <- 0 until j
+      if sigs(i)._1 != sigs(j)._1 // the batch a_id < b_id analog: never self
       if sigs(i)._4.intersect(sigs(j)._4).nonEmpty
       agree = sigs(i)._3.zip(sigs(j)._3).count { case (a, b) => a == b }
       if agree >= 52
