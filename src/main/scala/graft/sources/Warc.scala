@@ -49,27 +49,35 @@ object Warc {
     * page whose text had newlines would roundtrip with them as
     * spaces, never with broken framing). url/lang are sanitized the
     * same way before being written on header lines. */
+  /** One complete WARC response record (headers + HTTP envelope +
+    * payload + the record separator) — the unit of segment
+    * concatenation, of per-record gzip membership, and of CDX-indexed
+    * random access. */
+  def recordBytes(p: Page): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(p.html.length + 512)
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    val httpHeadBytes = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: application/octet-stream\r\n" +
+      s"Content-Language: ${headerSafe(p.lang)}\r\n" +
+      s"Content-Length: ${p.html.length}\r\n\r\n").getBytes(UTF_8)
+    val httpLen = httpHeadBytes.length + p.html.length
+    val rawText = headerSafe(Option(p.text).getOrElse("").replaceAll("[\\r\\n]", " "))
+    w("WARC/1.0\r\n")
+    w("WARC-Type: response\r\n")
+    w(s"WARC-Target-URI: ${headerSafe(p.url)}\r\n")
+    w(s"WARC-Date: ${warcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}\r\n")
+    if (rawText.nonEmpty) w(s"X-Graft-Raw-Text: $rawText\r\n")
+    w("Content-Type: application/http; msgtype=response\r\n")
+    w(s"Content-Length: $httpLen\r\n\r\n")
+    out.write(httpHeadBytes)
+    out.write(p.html)
+    w("\r\n\r\n")
+    out.toByteArray
+  }
+
   def writeSegment(pages: Seq[Page]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(pages.map(_.html.length + 512).sum)
-    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
-    pages.foreach { p =>
-      val httpHeadBytes = ("HTTP/1.1 200 OK\r\n" +
-        "Content-Type: application/octet-stream\r\n" +
-        s"Content-Language: ${headerSafe(p.lang)}\r\n" +
-        s"Content-Length: ${p.html.length}\r\n\r\n").getBytes(UTF_8)
-      val httpLen = httpHeadBytes.length + p.html.length
-      val rawText = headerSafe(Option(p.text).getOrElse("").replaceAll("[\\r\\n]", " "))
-      w("WARC/1.0\r\n")
-      w("WARC-Type: response\r\n")
-      w(s"WARC-Target-URI: ${headerSafe(p.url)}\r\n")
-      w(s"WARC-Date: ${warcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}\r\n")
-      if (rawText.nonEmpty) w(s"X-Graft-Raw-Text: $rawText\r\n")
-      w("Content-Type: application/http; msgtype=response\r\n")
-      w(s"Content-Length: $httpLen\r\n\r\n")
-      out.write(httpHeadBytes)
-      out.write(p.html)
-      w("\r\n\r\n")
-    }
+    pages.foreach(p => out.write(recordBytes(p)))
     out.toByteArray
   }
 
@@ -266,8 +274,26 @@ object Warc {
       else {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
-        val bytes = writeSegment(ps)
-        val target = java.nio.file.Paths.get(dir, f"segment-$pid%05d$ext")
+        // Common-Crawl layout: with compression, every record is its
+        // OWN gzip member (concatenated members are one valid gzip
+        // stream — GZIPInputStream reads across member boundaries, so
+        // whole-segment gunzip readers are untouched) and the CDX
+        // sidecar records each member's (offset, length) so a single
+        // record is fetchable by byte range without scanning the
+        // segment. Uncompressed segments index plain record ranges.
+        val segName = f"segment-$pid%05d$ext"
+        val out = new java.io.ByteArrayOutputStream()
+        val cdx = new StringBuilder
+        ps.foreach { p =>
+          val rec = recordBytes(p)
+          val stored = if (doGzip) gzip(rec) else rec
+          cdx.append(headerSafe(p.url)).append('\t').append(segName)
+            .append('\t').append(out.size()).append('\t').append(stored.length)
+            .append('\t').append(p.warc_ts.getTime).append('\n')
+          out.write(stored)
+        }
+        val bytes = out.toByteArray
+        val target = java.nio.file.Paths.get(dir, segName)
         // Underscore prefix: Spark's file index drops _-prefixed files
         // before pathGlobFilter runs, so a crashed writer's temp is
         // invisible to segmentsDF/listSegments. (The *.warc* glob itself
@@ -279,14 +305,75 @@ object Warc {
         val tmp = target.resolveSibling(
           "_tmp-" + target.getFileName.toString + "." + tc.taskAttemptId())
         try {
-          java.nio.file.Files.write(tmp, if (doGzip) gzip(bytes) else bytes)
+          java.nio.file.Files.write(tmp, bytes)
           java.nio.file.Files.move(tmp, target,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         } finally java.nio.file.Files.deleteIfExists(tmp)
+        // the CDX sidecar commits AFTER its segment (readers treat the
+        // index as advisory: segment present + cdx missing = scan path
+        // still works; cdx present + segment missing cannot happen)
+        val cdxTarget = target.resolveSibling(segName.stripSuffix(ext) + ".cdx")
+        val cdxTmp = cdxTarget.resolveSibling(
+          "_tmp-" + cdxTarget.getFileName.toString + "." + tc.taskAttemptId())
+        try {
+          java.nio.file.Files.write(cdxTmp, cdx.toString.getBytes(UTF_8))
+          java.nio.file.Files.move(cdxTmp, cdxTarget,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(cdxTmp)
         Iterator.single(pid)
       }
     }.collect()
     ()
+  }
+
+  // ---- CDX random access (the Common-Crawl index pattern) ---------------
+
+  /** The CDX index of a segment dir: (url, segment, offset, length,
+    * warc_ts_ms) — one row per record, read from the per-segment
+    * sidecars the writer commits. Vastly smaller than the segments
+    * (~60 bytes/record vs the payload), so point lookups join against
+    * THIS and fetch only the matching byte ranges. */
+  def cdxIndex(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read
+      .schema(StructType(Seq(
+        StructField("url", StringType), StructField("segment", StringType),
+        StructField("offset", LongType), StructField("length", IntegerType),
+        StructField("warc_ts_ms", LongType))))
+      .option("sep", "\t")
+      .option("pathGlobFilter", "*.cdx")
+      .csv(dir)
+  }
+
+  /** Point-fetch ONE record by CDX coordinates: reads `length` bytes at
+    * `offset` (a complete gzip member for .gz segments), never the
+    * segment. The raw-crawl analog of the reference's per-document S3
+    * GET (ocrworker/s3.py) — S4 point lookup at the segment layer. */
+  def fetchRecord(dir: String, segment: String, offset: Long, length: Int): Option[Page] = {
+    val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(dir, segment))
+    try {
+      val buf = java.nio.ByteBuffer.allocate(length)
+      ch.position(offset)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      val raw = buf.array()
+      val bytes = if (segment.endsWith(".gz")) gunzip(raw) else raw
+      val it = parseSegmentIterator(bytes)
+      if (it.hasNext) Some(it.next()) else None
+    } finally ch.close()
+  }
+
+  /** Batch point lookups: broadcast-join the url set against the CDX
+    * index and fetch ONLY the matching byte ranges, executor-side (the
+    * same local-FS visibility contract as [[writeSegments]]). */
+  def lookupPages(spark: SparkSession, dir: String, urls: Seq[String]): Dataset[Page] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    cdxIndex(spark, dir)
+      .join(broadcast(urls.toDF("url")), Seq("url"), "left_semi")
+      .select(col("segment"), col("offset"), col("length"))
+      .as[(String, Long, Int)]
+      .mapPartitions(_.flatMap { case (seg, off, len) => fetchRecord(dir, seg, off, len) })
   }
 }

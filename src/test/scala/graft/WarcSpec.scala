@@ -152,12 +152,42 @@ class WarcSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graftwarcgz").toString
     val pages = (200 until 260).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
     Warc.writeSegments(spark.createDataset(pages).repartition(3), s"$dir/gz", compress = true)
-    assert(new java.io.File(s"$dir/gz").listFiles().forall(_.getName.endsWith(".warc.gz")))
+    assert(new java.io.File(s"$dir/gz").listFiles().forall(f =>
+      f.getName.endsWith(".warc.gz") || f.getName.endsWith(".cdx")))
+    // per-record gzip MEMBERS (the Common-Crawl layout): whole-segment
+    // gunzip still reads across member boundaries transparently
     val back = Warc.readPages(spark, s"$dir/gz").collect().map(p => p.url -> p).toMap
     assert(back.size == pages.size)
     pages.foreach(p => assert(java.util.Arrays.equals(back(p.url).html, p.html)))
     // bad gzip bytes are skipped, not fatal
     assert(Warc.gunzip("nope".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("CDX random access: point-fetch by byte range == full-scan record, gz and plain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftcdx").toString
+    val pages = (300 until 360).map(i => PageGen.genRow(PageGen.DefaultSeed, i.toLong).page)
+    for ((sub, gz) <- Seq(("gz", true), ("plain", false))) {
+      Warc.writeSegments(spark.createDataset(pages).repartition(3), s"$dir/$sub", compress = gz)
+      val idx = Warc.cdxIndex(spark, s"$dir/$sub")
+      assert(idx.count() == pages.size, s"$sub: cdx must index every record")
+      // every record point-fetches byte-identically — and the range
+      // read never touches the rest of the segment
+      val rows = idx.collect()
+      val byUrl = pages.map(p => p.url -> p).toMap
+      rows.take(10).foreach { r =>
+        val got = Warc.fetchRecord(s"$dir/$sub", r.getString(1), r.getLong(2), r.getInt(3))
+        assert(got.nonEmpty, s"$sub: fetch miss at ${r.getString(0)}")
+        val p = byUrl(got.get.url)
+        assert(java.util.Arrays.equals(got.get.html, p.html))
+        assert(got.get.warc_ts.getTime == p.warc_ts.getTime && got.get.lang == p.lang)
+      }
+      // batch lookup: exactly the requested urls, payloads intact
+      val want = pages.take(7).map(_.url)
+      val got = Warc.lookupPages(spark, s"$dir/$sub", want).collect()
+      assert(got.map(_.url).sorted.toSeq == want.sorted)
+      got.foreach(p => assert(java.util.Arrays.equals(p.html, byUrl(p.url).html)))
+    }
   }
 
   test("a crashed writer's _tmp segment is invisible to ingestion and resume") {
