@@ -83,13 +83,19 @@ object CurateJob {
       curated.write.mode(SaveMode.Overwrite).partitionBy("split")
         .parquet(s"$outRoot/data")
 
-      val written = spark.read.parquet(s"$outRoot/data")
+      // an all-filtered corpus writes ZERO part files — reading the dir
+      // back would fail schema inference, so count the written rows
+      // only when something was written (a legal outcome: e.g. every
+      // doc failed the repetition gate)
+      val wroteFiles = Option(new java.io.File(s"$outRoot/data").listFiles())
+        .getOrElse(Array.empty)
+        .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val funnel = Funnel(
         extracted = table.count(),
         html = base.count(),
         deduped = feats.count(),
         gated = gated.count(),
-        kept = written.count())
+        kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
         s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))

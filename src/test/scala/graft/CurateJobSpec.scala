@@ -79,4 +79,23 @@ class CurateJobSpec extends AnyFunSuite {
     assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty,
       "curation is not deterministic")
   }
+
+  test("curate: a corpus with nothing curatable yields an empty funnel, not a crash") {
+    import spark.implicits._
+    val dir = tmp()
+    // a snapshot chain holding ONLY quarantined rows (no clean html)
+    val junk = (0 until 8).map(i => graft.core.ExtractedDoc(
+      url = s"https://junk.example/$i",
+      warc_ts = new java.sql.Timestamp(1700000000000L + i),
+      extracted_text = null, spans = Array.empty, out_links = Array.empty,
+      payload_kind = "junk", page_count = 0, n_blocks = 0, n_content_blocks = 0,
+      confidence = 0.0, lang = "eng", engine = "none", fallback_used = false,
+      error = "quarantined: unknown payload", extraction_version = "t"))
+    ExtractJob.appendSnapshot(spark.createDataset(junk), s"$dir/out")
+    val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated")
+    assert(f.extracted == 8 && f.html == 0 && f.kept == 0, f.toString)
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
+    assert(manifest.contains("\"kept\":0"), manifest)
+  }
 }
