@@ -140,7 +140,14 @@ object StreamingExtract {
     * dropped the earlier doc could never be emitted by any bucket).
     * Same-url re-crawls never pair with themselves (the batch rule's
     * a_id < b_id analog). Within a trigger a bucket's pages process in
-    * (ts, url) order, so "earlier" is deterministic. */
+    * (ts, url) order, so "earlier" is deterministic.
+    *
+    * State budget: each in-window doc stores its 64-Long signature in
+    * each of its 16 buckets (~8.5 KB/doc); this is the LOW-LATENCY
+    * path — size the watermark to the latency you need, and run the
+    * batch incremental probe (q63: the day's batch bands probe the
+    * corpus index, shuffling only |batch|×bands rows) for bulk
+    * backfill, the same layering as streaming vs batch exact dedup. */
   def nearDupStream(pages: DataFrame, shingleN: Int = 2, minAgree: Int = 52,
                     watermark: String = "10 minutes"): DataFrame = {
     import pages.sparkSession.implicits._
