@@ -205,16 +205,44 @@ object MediaOps {
     hist
   }
 
-  /** Stub resize for the stub container: halve dimensions, subsample
-    * payload 2:1 (keeps the container contract so
-    * decodeMeta(resize(x)) parses). Real formats pass through — pixel
-    * resampling needs a real raster library. */
+  /** Resize-to-half. BMP gets REAL nearest-neighbor pixel resampling
+    * (pure JVM, the codec the repo owns end-to-end): every other pixel
+    * of every other stored row is sampled honoring the source's 4-byte
+    * row stride, and the result re-encodes through [[encodeBmp]] —
+    * decodeBmp(resizeHalf(x)) parses with halved dimensions and the
+    * sampled bytes are exact. The stub container halves dimensions and
+    * subsamples its opaque payload 2:1 (contract-preserving stand-in);
+    * WAV/unknown pass through. */
   def resizeHalf(bytes: Array[Byte]): Array[Byte] = {
     val m = decodeMeta(bytes)
-    if (!m.ok || m.container != "gimg") return bytes
-    val payload = bytes.drop(m.payloadOff)
-    val sub = Array.tabulate(payload.length / 2)(i => payload(i * 2))
-    encodeImage(m.width / 2, m.height / 2, m.channels, sub)
+    if (!m.ok) return bytes
+    if (m.container == "gimg") {
+      val payload = bytes.drop(m.payloadOff)
+      val sub = Array.tabulate(payload.length / 2)(i => payload(i * 2))
+      return encodeImage(m.width / 2, m.height / 2, m.channels, sub)
+    }
+    if (m.container != "bmp") return bytes
+    val ch = m.channels
+    val w2 = math.max(1, m.width / 2)
+    val h2 = math.max(1, m.height / 2)
+    val srcStride = ((m.width * ch + 3) / 4) * 4
+    val dstStride = ((w2 * ch + 3) / 4) * 4
+    // sampling stored rows in order preserves the file's orientation
+    // (our encoder writes bottom-up positive-height images)
+    if (bytes.length < m.payloadOff + srcStride * m.height) return bytes // truncated: leave as-is
+    val dst = new Array[Byte](dstStride * h2)
+    var y = 0
+    while (y < h2) {
+      val srcRow = m.payloadOff + (y * 2) * srcStride
+      val dstRow = y * dstStride
+      var x = 0
+      while (x < w2) {
+        System.arraycopy(bytes, srcRow + (x * 2) * ch, dst, dstRow + x * ch, ch)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(w2, h2, ch, dst)
   }
 
   /** Frame sampling: treat a payload as stacked frames of frameBytes

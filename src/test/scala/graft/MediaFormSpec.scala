@@ -80,6 +80,35 @@ class MediaFormSpec extends AnyFunSuite {
     assert(m.width == 320 && m.height == 240 && m.ok)
   }
 
+  test("media: REAL BMP nearest-neighbor halving — exact sampled bytes, stride-correct") {
+    // 6x4 RGB gradient with a non-trivial stride (6*3=18 → stride 20)
+    val w = 6; val h = 4; val ch = 3
+    val stride = ((w * ch + 3) / 4) * 4
+    val px = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+      px(y * stride + x * ch + c) = (y * 40 + x * 5 + c).toByte
+    val bmp = MediaOps.encodeBmp(w, h, ch, px)
+    val half = MediaOps.resizeHalf(bmp)
+    val m = MediaOps.decodeBmp(half)
+    assert(m.ok && m.width == 3 && m.height == 2 && m.channels == 3)
+    // nearest-neighbor: dst(y,x) == src(2y,2x), byte-for-byte
+    val dstStride = ((3 * ch + 3) / 4) * 4
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until ch) {
+      val got = half(m.payloadOff + y * dstStride + x * ch + c)
+      val want = px((y * 2) * stride + (x * 2) * ch + c)
+      assert(got == want, s"pixel ($y,$x,$c): $got vs $want")
+    }
+    // an 8-bit (1-channel) image halves too — the PageRaster format
+    val gray = graft.pdf.PageRaster.rasterize("hello world gray page")
+    val ghalf = MediaOps.resizeHalf(gray)
+    val gm = MediaOps.decodeBmp(ghalf)
+    assert(gm.ok && gm.width == graft.pdf.PageRaster.Width / 2 &&
+      gm.height == graft.pdf.PageRaster.Height / 2 && gm.channels == 1)
+    // truncated payload: resize refuses and returns the input unchanged
+    val trunc = java.util.Arrays.copyOf(bmp, 60)
+    assert(MediaOps.resizeHalf(trunc).sameElements(trunc))
+  }
+
   test("media: REAL BMP codec — encode/decode roundtrip, truncation is total") {
     val bmp = MediaOps.encodeBmp(17, 9, 3, Array.tabulate(800)(_.toByte))
     val m = MediaOps.decodeBmp(bmp)
