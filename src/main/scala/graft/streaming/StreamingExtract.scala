@@ -302,3 +302,28 @@ object StreamingExtract {
         })
   }
 }
+
+/** Streaming entry point — the spark-submit shape of the reference's
+  * arrival-driven worker loop:
+  *   runMain graft.streaming.StreamCli <pagesDir> <outRoot> <checkpoint> [--available-now]
+  * Watches pagesDir for newly-arrived page files, extracts each
+  * micro-batch, and commits the same snapshots as the batch job.
+  * `--available-now` drains what exists and exits (drivable from a
+  * shell); without it the query runs until killed, resuming from the
+  * checkpoint on restart.
+  */
+object StreamCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: StreamCli <pagesDir> <outRoot> <checkpoint> [--available-now]")
+    val spark = graft.job.GraftSession.local()
+    val writer = StreamingExtract.extractStream(spark, args(0), args(1), args(2))
+    val q =
+      if (args.contains("--available-now")) writer.trigger(Trigger.AvailableNow()).start()
+      else writer.start()
+    q.awaitTermination()
+    val seq = graft.job.SnapshotStore.currentSequence(args(1))
+    println(s"stream drained: current snapshot seq=$seq")
+    spark.stop()
+  }
+}
