@@ -588,6 +588,19 @@ object Similarity {
       seeds, refineIters)
   }
 
+  /** Map-side cell assignment under a (tiny) coarse quantizer:
+    * (id, cell) — shared by IVF-style partitioning and SemDeDup's
+    * cluster-scoped blocking. */
+  def cellAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
+      .as[(String, Array[Float])]
+      .map { case (id, v) => (id, nearestCentroid(v, centroids)) }
+      .toDF("id", "cell")
+  }
+
   /** PQ codes: (neighbor_id, sub, cell) — one row per (vector,
     * subspace), assignment map-side under the (tiny) codebooks. The
     * exploded layout is chosen so BOTH engines score straight off the

@@ -356,6 +356,46 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** SemDeDup dumps (q77): cell assignments under the deterministic
+    * coarse quantizer, the floor-micros cell centroids, and the
+    * within-cell candidate pairs (the paper's blocking — pair search
+    * never leaves a cluster). The clustering/verify/representative
+    * stages all read ONLY these tables + embeddings, so DuckDB
+    * re-derives every downstream value. */
+  private val SemCells = 16
+  private val SemThreshold = 0.35
+  private def semTag(kind: String) = s"semdedup-c$SemCells-$kind"
+
+  private def semCached(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val aPath = annDumpPath(semTag("assign"), rows)
+    val bPath = annDumpPath(semTag("books"), rows)
+    val pPath = annDumpPath(semTag("pairs"), rows)
+    genLock.synchronized {
+      if (!Seq(aPath, bPath, pPath).forall(p => new java.io.File(s"$p/_SUCCESS").exists())) {
+        val e = t(spark, sfDir, "embeddings")
+        val cbs = Similarity.quantizer(e, "vec_id", "embedding",
+          nCells = SemCells, sampleSize = 2000)
+        val assign = Similarity.cellAssignments(e, "vec_id", "embedding", cbs)
+        atomicDump(assign, aPath)
+        atomicDump(Similarity.pqCodebookTable(spark, Array(cbs))
+          .select(col("cell"), col("cm")), bPath)
+        val a = spark.read.parquet(aPath)
+        atomicDump(a.select(col("cell"), col("id").as("a_id"))
+          .join(a.select(col("cell"), col("id").as("b_id")), Seq("cell"))
+          .filter(col("a_id") < col("b_id")), pPath)
+      }
+    }
+    (spark.read.parquet(aPath), spark.read.parquet(bPath), spark.read.parquet(pPath))
+  }
+
+  /** Exact floor-micros squared L2 distance between an embedding column
+    * and a quantized centroid column — the PQ/SemDeDup arithmetic, one
+    * rendering per engine. */
+  private val distMicrosExpr =
+    "aggregate(zip_with(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), " +
+      "cm, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
   /** PQ parameters (q75): m subspaces of dsub dims over the 64-dim
     * embeddings, ksub centroids per subspace. Shared by the Spark query
     * and the oracle SQL rendering. */
@@ -1183,6 +1223,38 @@ object GraftQueries {
         t(s, d, "embeddings").filter(col("vec_id") < 10), k = 5, dsub = PqDsub)
     }),
 
+    // dedup #6: SemDeDup (Abbas et al. 2023) — semantic dedup scoped by
+    // embedding k-means clusters: within-cell pairs above the cosine
+    // threshold form components; each component keeps the member
+    // FARTHEST from its cell centroid (the paper's diversity-preserving
+    // choice), distance in exact floor-micros, ties to the smallest id.
+    // Every stage re-derivable: pairs verify via exact cosine, the
+    // components via the q47 recursive CTE, the representative via the
+    // centroid dump.
+    "q77_semantic_dedup" -> ((s, d) => {
+      val (assign, books, pairs) = semCached(s, d)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").cast("string").as("id"), col("embedding"))
+      val verified = pairs
+        .join(e.select(col("id").as("a_id"), col("embedding").as("a_vec")), "a_id")
+        .join(e.select(col("id").as("b_id"), col("embedding").as("b_vec")), "b_id")
+        .filter(Similarity.cosine(col("a_vec"), col("b_vec")) >= SemThreshold)
+        .select(col("a_id"), col("b_id"))
+      val labels = graft.ops.Dedup.connectedComponents(verified)
+      val dist = assign
+        .join(e, "id")
+        .join(broadcast(books), "cell")
+        .select(col("id"), col("cell"), expr(distMicrosExpr).as("dist_micros"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("dist_micros").desc, col("id").asc)
+      dist
+        .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        .withColumn("is_canonical", row_number().over(w) === 1)
+        .select(col("id").as("vec_id"), col("cell"), col("cluster_id"),
+          col("is_canonical"), col("dist_micros"))
+    }),
+
     // dedup #5: embedding-cosine near-dup pairs via SRP blocking —
     // candidate pair dump + cosine/threshold re-derived over it
     "q25_cosine_neardup" -> ((s, d) => {
@@ -1576,6 +1648,7 @@ object GraftQueries {
     rasterCached(spark, sfDir)
     tokenCountsCached(spark, sfDir)
     bigramCountsCached(spark, sfDir)
+    semCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -2576,6 +2649,55 @@ object GraftQueries {
          |  JOIN embeddings a ON CAST(a.vec_id AS VARCHAR) = c.a_id
          |  JOIN embeddings b ON CAST(b.vec_id AS VARCHAR) = c.b_id)
          |WHERE cosine >= 0.35""".stripMargin,
+
+    // SemDeDup fully re-derived from the three dumps + embeddings:
+    // exact cosine + threshold over the within-cell candidates, the
+    // components via the q47 recursive CTE, the farthest-from-centroid
+    // representative via the floor-micros distance to the dumped
+    // centroids — every emitted value recomputed
+    "q77_semantic_dedup" ->
+      s"""WITH RECURSIVE a AS (
+         |  SELECT id, cell FROM read_parquet('${annDumpPath(semTag("assign"), oracleRows)}/*.parquet')),
+         |bk AS (
+         |  SELECT cell, cm FROM read_parquet('${annDumpPath(semTag("books"), oracleRows)}/*.parquet')),
+         |pr AS (
+         |  SELECT a_id, b_id FROM read_parquet('${annDumpPath(semTag("pairs"), oracleRows)}/*.parquet')),
+         |vp AS (
+         |  SELECT pr.a_id, pr.b_id FROM pr
+         |  JOIN embeddings ea ON CAST(ea.vec_id AS VARCHAR) = pr.a_id
+         |  JOIN embeddings eb ON CAST(eb.vec_id AS VARCHAR) = pr.b_id
+         |  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= $SemThreshold),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM vp
+         |  UNION SELECT b_id, a_id FROM vp),
+         |walk AS (
+         |  SELECT src AS id, dst AS reach FROM edges
+         |  UNION
+         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+         |comp AS (
+         |  SELECT id, min(reach) AS mn FROM (
+         |    SELECT id, reach FROM walk
+         |    UNION ALL SELECT DISTINCT src, src FROM edges)
+         |  GROUP BY id),
+         |dist AS (
+         |  SELECT a.id, a.cell,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (qm[i] - bk.cm[i]) * (qm[i] - bk.cm[i]))) AS BIGINT) AS dist_micros
+         |  FROM (
+         |    SELECT a.id, a.cell,
+         |      list_transform(e.embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qm
+         |    FROM a JOIN embeddings e ON CAST(e.vec_id AS VARCHAR) = a.id) a
+         |  JOIN bk USING (cell)),
+         |clus AS (
+         |  SELECT d.id, d.cell, d.dist_micros,
+         |    coalesce(c.mn, d.id) AS cluster_id
+         |  FROM dist d LEFT JOIN comp c ON c.id = d.id)
+         |SELECT id AS vec_id, cell, cluster_id,
+         |  (row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY dist_micros DESC, id ASC) = 1) AS is_canonical,
+         |  dist_micros
+         |FROM clus""".stripMargin,
 
     "q20_minhash_pairs" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.8),
 

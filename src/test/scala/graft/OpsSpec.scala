@@ -729,6 +729,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup (q77): one canonical per cluster, farthest-from-centroid rule") {
+    val out = graft.queries.GraftQueries.queries("q77_semantic_dedup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(out.length == 500)
+    val byCluster = out.groupBy(_._3)
+    // exactly one canonical per cluster, and it is the (dist DESC, id ASC) max
+    byCluster.foreach { case (cid, members) =>
+      val canon = members.filter(_._4)
+      assert(canon.length == 1, s"cluster $cid: ${canon.length} canonicals")
+      val want = members.maxBy(m => (m._5, m._1))(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      assert(canon.head._1 == want._1, s"cluster $cid keeps ${canon.head._1}, want ${want._1}")
+    }
+    // the paper's blocking: a multi-member cluster never spans cells
+    byCluster.values.filter(_.length > 1).foreach { ms =>
+      assert(ms.map(_._2).distinct.length == 1, "cluster spans cells")
+    }
+    assert(byCluster.values.count(_.length > 1) > 0, "expected semantic dups")
+  }
+
   test("lm score == naive in-memory model on random corpora (pruned and unpruned)") {
     import spark.implicits._
     import graft.ops.LmScore
