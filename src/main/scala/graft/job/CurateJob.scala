@@ -10,6 +10,8 @@ import graft.ops.{Balance, Dedup, Hosts, Repetition, TextStats}
   *
   *   extraction snapshots (ExtractJob/SnapshotStore output)
   *     → exact content dedup           q12 rule: min-url keeper per md5
+  *     → fuzzy (MinHash) dedup         q20 LSH pairs + q47 components,
+  *                                     keep each cluster's canonical
   *     → Gopher/C4 repetition gate     q54 thresholds (Repetition.keep)
   *     → corpus-median quality gate    q50 shape: percentile aggregate
   *                                     broadcast back, never a global sort
@@ -33,11 +35,12 @@ object CurateJob {
       extracted: Long,  // rows in the extraction table
       html: Long,       // clean html docs entering curation
       deduped: Long,    // after exact content dedup
+      fuzzyDeduped: Long, // after MinHash near-dup clustering (keep-one)
       gated: Long,      // after repetition + quality gates
       kept: Long)       // after the per-host cap == curated rows
 
   def run(spark: SparkSession, extractRoot: String, outRoot: String,
-          perHostCap: Int = 1000): Funnel = {
+          perHostCap: Int = 1000, fuzzyThreshold: Double = 0.6): Funnel = {
     val table = ExtractJob.readExtracted(spark, extractRoot)
     val base = table
       .filter(col("error").isNull && col("payload_kind") === "html" &&
@@ -60,8 +63,19 @@ object CurateJob {
       .select(col("text_hash").as("h"), col("keep_id").as("url"))
     val deduped = perUrl.join(keeper, Seq("h", "url"), "left_semi").drop("h")
 
+    // fuzzy (near-dup) dedup — the stage every modern recipe runs after
+    // exact dedup (C4/RefinedWeb/Gopher all MinHash here): LSH-blocked
+    // verified pairs → connected components → keep each cluster's
+    // canonical member (the q20 + q47 kernels, unchanged)
+    val pairs = Dedup.minhashDedup(deduped, idCol = "url",
+      textCol = "extracted_text", threshold = fuzzyThreshold)
+    val canon = Dedup.dedupClusters(deduped, pairs, idCol = "url")
+      .filter(col("is_canonical"))
+      .select(col("doc_id").as("url"))
+    val fuzzyDeduped = deduped.join(canon, Seq("url"), "left_semi")
+
     // per-doc features once; both gates and the funnel read this table
-    val feats = Repetition.withStats(deduped, textCol = "extracted_text")
+    val feats = Repetition.withStats(fuzzyDeduped, textCol = "extracted_text")
       .withColumn("quality", TextStats.qualityScore(col("extracted_text")))
       .persist()
     try {
@@ -93,11 +107,12 @@ object CurateJob {
       val funnel = Funnel(
         extracted = table.count(),
         html = base.count(),
-        deduped = feats.count(),
+        deduped = deduped.count(),
+        fuzzyDeduped = feats.count(),
         gated = gated.count(),
         kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
-        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap}"""
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")
@@ -116,7 +131,7 @@ object CurateCli {
     val cap = if (args.length > 2) args(2).toInt else 1000
     val f = CurateJob.run(spark, args(0), args(1), cap)
     println(s"curated ${f.kept} docs (extracted=${f.extracted} html=${f.html} " +
-      s"deduped=${f.deduped} gated=${f.gated}) at ${args(1)}")
+      s"deduped=${f.deduped} fuzzy=${f.fuzzyDeduped} gated=${f.gated}) at ${args(1)}")
     spark.stop()
   }
 }

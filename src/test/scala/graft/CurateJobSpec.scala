@@ -43,7 +43,10 @@ class CurateJobSpec extends AnyFunSuite {
 
     // funnel is a monotone filter chain and the manifest records it
     assert(f.extracted >= f.html && f.html >= f.deduped &&
-      f.deduped >= f.gated && f.gated >= f.kept && f.kept > 0, f.toString)
+      f.deduped >= f.fuzzyDeduped && f.fuzzyDeduped >= f.gated &&
+      f.gated >= f.kept && f.kept > 0, f.toString)
+    // the generator plants near-dup mirrors: the fuzzy stage must bite
+    assert(f.fuzzyDeduped < f.deduped, "expected near-dup mirrors to fold")
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
     assert(manifest.contains(s""""kept":${f.kept}""") &&
       manifest.contains(""""per_host_cap":3"""), manifest)
@@ -93,7 +96,7 @@ class CurateJobSpec extends AnyFunSuite {
       error = "quarantined: unknown payload", extraction_version = "t"))
     ExtractJob.appendSnapshot(spark.createDataset(junk), s"$dir/out")
     val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated")
-    assert(f.extracted == 8 && f.html == 0 && f.kept == 0, f.toString)
+    assert(f.extracted == 8 && f.html == 0 && f.kept == 0 && f.fuzzyDeduped == 0, f.toString)
     val manifest = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
     assert(manifest.contains("\"kept\":0"), manifest)
