@@ -61,14 +61,23 @@ object CurateJob {
     // one keeper per content digest, the lexicographic-min url
     val keeper = Dedup.exact(perUrl, idCol = "url", textCol = "extracted_text")
       .select(col("text_hash").as("h"), col("keep_id").as("url"))
+    // persisted: the fuzzy stage references this table five times
+    // (banding, the verify joins, the cluster docs, the keep semi-join)
+    // and the funnel counts it — unpersisted, its scan+dedup lineage
+    // would re-execute each time
     val deduped = perUrl.join(keeper, Seq("h", "url"), "left_semi").drop("h")
+      .persist()
 
     // fuzzy (near-dup) dedup — the stage every modern recipe runs after
     // exact dedup (C4/RefinedWeb/Gopher all MinHash here): LSH-blocked
     // verified pairs → connected components → keep each cluster's
-    // canonical member (the q20 + q47 kernels, unchanged)
-    val pairs = Dedup.minhashDedup(deduped, idCol = "url",
-      textCol = "extracted_text", threshold = fuzzyThreshold)
+    // canonical member (the q20 + q47 kernels, unchanged). The LSH
+    // bucket cap is AUDITED, never silent (the house rule): the dropped
+    // count goes into the funnel manifest.
+    val bands = Dedup.minhashBands(deduped, "url", "extracted_text", shingleN = 2)
+    val fuzzyBucketsDropped = Dedup.oversizedBuckets(bands)
+    val pairs = Dedup.jaccardVerify(Dedup.candidatePairs(bands), deduped,
+      "url", "extracted_text", shingleN = 2, threshold = fuzzyThreshold)
     val canon = Dedup.dedupClusters(deduped, pairs, idCol = "url")
       .filter(col("is_canonical"))
       .select(col("doc_id").as("url"))
@@ -112,12 +121,15 @@ object CurateJob {
         gated = gated.count(),
         kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
-        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap}"""
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")
       funnel
-    } finally feats.unpersist(blocking = false): Unit
+    } finally {
+      feats.unpersist(blocking = false)
+      deduped.unpersist(blocking = false): Unit
+    }
   }
 }
 

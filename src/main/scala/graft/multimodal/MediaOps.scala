@@ -223,13 +223,19 @@ object MediaOps {
     }
     if (m.container != "bmp") return bytes
     val ch = m.channels
+    // dimension sanity in LONG arithmetic: a crafted header claiming
+    // width ~2^31 would overflow the Int stride math, flip the
+    // truncation guard, and crash — untrusted crawl bytes must take
+    // the leave-as-is path, never throw
+    val srcStrideL = ((m.width.toLong * ch + 3) / 4) * 4
+    if (srcStrideL <= 0 || srcStrideL * m.height + m.payloadOff > bytes.length)
+      return bytes // truncated or absurd header: leave as-is
     val w2 = math.max(1, m.width / 2)
     val h2 = math.max(1, m.height / 2)
-    val srcStride = ((m.width * ch + 3) / 4) * 4
+    val srcStride = srcStrideL.toInt
     val dstStride = ((w2 * ch + 3) / 4) * 4
     // sampling stored rows in order preserves the file's orientation
     // (our encoder writes bottom-up positive-height images)
-    if (bytes.length < m.payloadOff + srcStride * m.height) return bytes // truncated: leave as-is
     val dst = new Array[Byte](dstStride * h2)
     var y = 0
     while (y < h2) {

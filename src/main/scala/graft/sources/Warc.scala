@@ -287,7 +287,7 @@ object Warc {
         ps.foreach { p =>
           val rec = recordBytes(p)
           val stored = if (doGzip) gzip(rec) else rec
-          cdx.append(headerSafe(p.url)).append('\t').append(segName)
+          cdx.append(Warc.cdxEscape(headerSafe(p.url))).append('\t').append(segName)
             .append('\t').append(out.size()).append('\t').append(stored.length)
             .append('\t').append(p.warc_ts.getTime).append('\n')
           out.write(stored)
@@ -330,11 +330,18 @@ object Warc {
 
   // ---- CDX random access (the Common-Crawl index pattern) ---------------
 
+  /** The CDX line format separates fields with tabs, and [[headerSafe]]
+    * deliberately PRESERVES tabs in WARC headers — so the url field is
+    * tab-escaped on write and lookups escape their keys the same way
+    * (framing stays 5 fields for any url; fetch-by-offset never depends
+    * on the url text). */
+  def cdxEscape(url: String): String = url.replace("\t", "%09")
+
   /** The CDX index of a segment dir: (url, segment, offset, length,
-    * warc_ts_ms) — one row per record, read from the per-segment
-    * sidecars the writer commits. Vastly smaller than the segments
-    * (~60 bytes/record vs the payload), so point lookups join against
-    * THIS and fetch only the matching byte ranges. */
+    * warc_ts_ms) — one row per record (urls [[cdxEscape]]d), read from
+    * the per-segment sidecars the writer commits. Vastly smaller than
+    * the segments (~60 bytes/record vs the payload), so point lookups
+    * join against THIS and fetch only the matching byte ranges. */
   def cdxIndex(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     spark.read
@@ -366,14 +373,32 @@ object Warc {
 
   /** Batch point lookups: broadcast-join the url set against the CDX
     * index and fetch ONLY the matching byte ranges, executor-side (the
-    * same local-FS visibility contract as [[writeSegments]]). */
+    * same local-FS visibility contract as [[writeSegments]]). Each
+    * partition's rows are grouped by segment so one FileChannel serves
+    * every record in that segment — O(#segments) opens, not
+    * O(#records), on exactly the path this feature makes cheap. */
   def lookupPages(spark: SparkSession, dir: String, urls: Seq[String]): Dataset[Page] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
     cdxIndex(spark, dir)
-      .join(broadcast(urls.toDF("url")), Seq("url"), "left_semi")
+      .join(broadcast(urls.map(cdxEscape).toDF("url")), Seq("url"), "left_semi")
       .select(col("segment"), col("offset"), col("length"))
       .as[(String, Long, Int)]
-      .mapPartitions(_.flatMap { case (seg, off, len) => fetchRecord(dir, seg, off, len) })
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (seg, rows) =>
+          val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(dir, seg))
+          try {
+            rows.sortBy(_._2).flatMap { case (_, off, len) =>
+              val buf = java.nio.ByteBuffer.allocate(len)
+              ch.position(off)
+              while (buf.hasRemaining && ch.read(buf) >= 0) {}
+              val raw = buf.array()
+              val bytes = if (seg.endsWith(".gz")) gunzip(raw) else raw
+              val pit = parseSegmentIterator(bytes)
+              if (pit.hasNext) Some(pit.next()) else None
+            }
+          } finally ch.close()
+        }
+      }
   }
 }

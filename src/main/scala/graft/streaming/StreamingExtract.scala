@@ -147,9 +147,19 @@ object StreamingExtract {
     * path — size the watermark to the latency you need, and run the
     * batch incremental probe (q63: the day's batch bands probe the
     * corpus index, shuffling only |batch|×bands rows) for bulk
-    * backfill, the same layering as streaming vs batch exact dedup. */
+    * backfill, the same layering as streaming vs batch exact dedup.
+    * For crawler-trap streams (near-identical pages flooding one
+    * bucket within the watermark), `maxPairAgeMs` bounds the
+    * per-arrival O(members) comparison: a member is comparable only
+    * within `maxPairAgeMs` of the incoming row's event time — an AGE
+    * rule, because age is a pure function of the two timestamps and
+    * therefore identical in every shared bucket, whereas any
+    * occupancy-based cap makes visibility bucket-dependent and breaks
+    * the min-shared-bucket exactly-once rule. STATE stays bounded by
+    * the watermark alone — shrink the watermark to shrink state. */
   def nearDupStream(pages: DataFrame, shingleN: Int = 2, minAgree: Int = 52,
-                    watermark: String = "10 minutes"): DataFrame = {
+                    watermark: String = "10 minutes",
+                    maxPairAgeMs: Long = Long.MaxValue): DataFrame = {
     import pages.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import graft.ops.Dedup
@@ -189,7 +199,10 @@ object StreamingExtract {
               val keys = Dedup.bandKeys(sig).toArray
               val keySet = keys.toSet // hoisted: one alloc per incoming row
               members.foreach { m =>
-                if (m.url != url) { // a re-crawl never pairs with itself
+                // the age rule bounds per-arrival comparison work; it is
+                // a pure function of the two timestamps, so every shared
+                // bucket agrees and exactly-once emission survives
+                if (m.url != url && ts.getTime - m.tsMs <= maxPairAgeMs) {
                   var agree = 0
                   var i = 0
                   while (i < sig.length) { if (sig(i) == m.sig(i)) agree += 1; i += 1 }
@@ -318,9 +331,12 @@ object StreamCli {
       "usage: StreamCli <pagesDir> <outRoot> <checkpoint> [--available-now]")
     val spark = graft.job.GraftSession.local()
     val writer = StreamingExtract.extractStream(spark, args(0), args(1), args(2))
+    // extractStream bakes AvailableNow in (the batch-drain default);
+    // continuous mode must OVERRIDE the trigger or the query would
+    // drain what exists and self-terminate
     val q =
       if (args.contains("--available-now")) writer.trigger(Trigger.AvailableNow()).start()
-      else writer.start()
+      else writer.trigger(Trigger.ProcessingTime("10 seconds")).start()
     q.awaitTermination()
     val seq = graft.job.SnapshotStore.currentSequence(args(1))
     println(s"stream drained: current snapshot seq=$seq")

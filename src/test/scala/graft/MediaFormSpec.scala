@@ -107,6 +107,13 @@ class MediaFormSpec extends AnyFunSuite {
     // truncated payload: resize refuses and returns the input unchanged
     val trunc = java.util.Arrays.copyOf(bmp, 60)
     assert(MediaOps.resizeHalf(trunc).sameElements(trunc))
+    // a crafted header claiming ~2^31 width must take the leave-as-is
+    // path, not overflow the stride math and throw
+    val crafted = bmp.clone()
+    crafted(18) = 0xFC.toByte; crafted(19) = 0xFF.toByte
+    crafted(20) = 0xFF.toByte; crafted(21) = 0x7F.toByte // width = 0x7FFFFFFC
+    assert(MediaOps.decodeBmp(crafted).ok) // header parses...
+    assert(MediaOps.resizeHalf(crafted).sameElements(crafted)) // ...resize refuses
   }
 
   test("media: REAL BMP codec — encode/decode roundtrip, truncation is total") {

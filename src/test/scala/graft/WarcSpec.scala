@@ -188,6 +188,17 @@ class WarcSpec extends AnyFunSuite {
       assert(got.map(_.url).sorted.toSeq == want.sorted)
       got.foreach(p => assert(java.util.Arrays.equals(p.html, byUrl(p.url).html)))
     }
+    // a TAB inside a url must not corrupt the 5-field CDX framing
+    // (headerSafe preserves tabs in WARC headers; the cdx escapes them)
+    val tabby = graft.core.Page("http://h.example/a\tb",
+      new java.sql.Timestamp(1700000000000L), "tab payload".getBytes(UTF_8), "t", "eng")
+    import spark.implicits._
+    Warc.writeSegments(spark.createDataset(Seq(tabby)), s"$dir/tab", compress = true)
+    val idx = Warc.cdxIndex(spark, s"$dir/tab").collect()
+    assert(idx.length == 1 && idx.head.getString(0) == "http://h.example/a%09b")
+    val fetched = Warc.lookupPages(spark, s"$dir/tab", Seq(tabby.url)).collect()
+    assert(fetched.length == 1 && fetched.head.url == tabby.url,
+      "tab-url record must be fetchable through the escaped index")
   }
 
   test("a crashed writer's _tmp segment is invisible to ingestion and resume") {
