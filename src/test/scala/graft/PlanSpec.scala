@@ -339,6 +339,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "ADC arithmetic must stay in Catalyst expressions")
   }
 
+  test("q77 semantic dedup: centroid table broadcast, no cartesian, no UDF") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q77_semantic_dedup")(spark, d))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "expected the centroid table as a broadcast join")
+    assert(!p.contains("ScalaUDF"), "distance/cosine arithmetic must stay in Catalyst")
+  }
+
   test("q61 mixture sample is one partial+final aggregate, decision map-side") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q61_mixture_sample")(spark, d))
     val finalSection = p.split("== Initial Plan ==").head
