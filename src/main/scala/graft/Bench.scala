@@ -8,11 +8,22 @@ import org.apache.spark.sql.SparkSession
   * (cached) BEFORE timing starts so query times measure the engine, not
   * the data generator; extraction throughput (docs/sec) is reported for
   * the flagship query.
+  *
+  * Phase-robustness (round-4 VERDICT #1): the sandbox VM's per-core
+  * throughput swings 2x+ window-to-window, so every query row is the
+  * MEDIAN of SPARK_GRAFT_REPS (default 3) back-to-back reps — a single
+  * bad scheduler window can no longer own the round's headline number.
+  * "queries" carries the medians (the driver contract), "queries_min"
+  * the per-query minima (median>>min across the board = bad VM window,
+  * not a code regression). Failures are LOUD: the stack goes to stderr,
+  * the query lands in "failed", and its row reads -1 — never silently
+  * averaged (round-4 VERDICT "What's wrong" #3).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,18 +52,35 @@ object Bench {
 
     var extractionDocs = 0L
     var extractionSecs = 0.0
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (name == "q18_extract_pages" && n > 0) { extractionDocs = n; extractionSecs = secs }
-      name -> secs
+      val runs = (1 to reps).flatMap { rep =>
+        val t0 = System.nanoTime()
+        try {
+          val n = fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9, n))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILURE $name rep $rep: $e")
+            e.printStackTrace()
+            None
+        }
+      }
+      if (runs.size < reps) failed += name
+      val med = if (runs.isEmpty) -1.0 else median(runs.map(_._1))
+      val mn = if (runs.isEmpty) -1.0 else runs.map(_._1).min
+      if (name == "q18_extract_pages" && runs.nonEmpty && runs.head._2 > 0) {
+        extractionDocs = runs.head._2; extractionSecs = med
+      }
+      (name, med, mn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def obj(f: ((String, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val docsPerSec = if (extractionSecs > 0) extractionDocs / extractionSecs else 0.0
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${obj(_._2)},"queries_min":${obj(_._3)},"reps":$reps,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":${f"$docsPerSec%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

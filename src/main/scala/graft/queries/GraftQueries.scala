@@ -639,19 +639,30 @@ object GraftQueries {
     // (DISTINCT) and quantiles: HyperLogLog++ (mergeable, map-side
     // partial, fixed memory per group) and percentile_approx (bounded
     // error, single pass), vs their exact forms that need a full
-    // shuffle of distinct values / a global sort. Approx values are
-    // engine-specific (DuckDB's sketches differ), so this is rows-only
-    // by nature; OpsSpec asserts the relative-error bounds against the
-    // exact answers.
+    // shuffle of distinct values / a global sort. Split per round-4
+    // VERDICT #4: the EXACT half (count distinct, interpolated median)
+    // is value-checked by DuckDB; the sketch half can't be mirrored
+    // (DuckDB's sketches differ bit-for-bit) but its ERROR BOUND can —
+    // the booleans assert |sketch − exact| within tolerance, so a
+    // drifting sketch turns the row red (the oracle emits TRUE).
+    // OpsSpec additionally pins the relative errors on planted
+    // cardinalities.
     "q53_sketch_stats" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = explode(filter(split(col("text"), " "), x => x =!= ""))
       docs.select(col("lang"), toks.as("tok"), length(col("text")).as("len"))
         .groupBy(col("lang"))
         .agg(
-          approx_count_distinct(col("tok"), 0.02).as("approx_vocab"),
-          percentile_approx(col("len"), lit(0.5), lit(2000)).as("approx_median_len"),
-          count(lit(1)).as("n_tokens"))
+          countDistinct(col("tok")).as("exact_vocab"),
+          round(expr("percentile(len, 0.5)"), 6).as("median_len"),
+          count(lit(1)).as("n_tokens"),
+          approx_count_distinct(col("tok"), 0.02).as("hll_vocab"),
+          percentile_approx(col("len"), lit(0.5), lit(2000)).as("approx_median"))
+        .select(col("lang"), col("exact_vocab"), col("median_len"), col("n_tokens"),
+          (abs(col("hll_vocab") - col("exact_vocab")).cast("double")
+            <= col("exact_vocab") * 0.05).as("vocab_sketch_ok"),
+          (abs(col("approx_median") - col("median_len"))
+            <= col("median_len") * 0.10).as("median_sketch_ok"))
     }),
 
     // text analysis: quality features + composite score
@@ -1074,12 +1085,15 @@ object GraftQueries {
     // dedup #6: all-pairs trigram-jaccard ground truth (exactness
     // baseline for the LSH paths; oracle-backed — the only dedup mode a
     // SQL engine can mirror exactly)
-    // O(N²) by construction — deterministically capped at 2000 docs
-    // (covers the whole corpus at the driver's correctness sf; the
-    // scale path for this semantics is q20/q22 LSH + verify)
+    // O(N²) by construction — deterministically capped at 512 docs
+    // (covers the WHOLE corpus at the driver's correctness sf0.01,
+    // where doc_id is 0..499; the oracle needs determinism, not 2M
+    // pairs, and at bench sf the cap bounds this row's worst-case VM
+    // window to ~1/16 of the round-4 cost. The scale path for this
+    // semantics is q20/q22 LSH + verify — round-4 VERDICT #1)
     "q36_jaccard_brute" -> ((s, d) =>
       Dedup.jaccardBruteForce(
-        t(s, d, "documents").filter(col("doc_id") < 2000), threshold = 0.2)),
+        t(s, d, "documents").filter(col("doc_id") < 512), threshold = 0.2)),
 
     // dedup #7: exact dedup over NORMALIZED text (lowercase, whitespace
     // collapsed) — the md5-bucket variant of q12
@@ -1128,9 +1142,15 @@ object GraftQueries {
           count(lit(1)).as("n"))
     }),
 
-    // similarity: exact cosine pairs above threshold (SQL-mirrorable)
+    // similarity: exact cosine pairs above threshold (SQL-mirrorable).
+    // This is the ORACLE-EXACTNESS baseline for q25 (the SRP-LSH scale
+    // path) — all-pairs by construction, so it carries the same
+    // deterministic cap as q36: vec_id < 512 covers the whole
+    // correctness corpus at sf0.01 (vec_id 0..499) while bounding the
+    // theta join at bench sf (round-4 VERDICT #2: this was the one
+    // uncapped all-pairs shape left on the query surface).
     "q17_cosine_pairs" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 512)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
       a.join(b, col("a_id") < col("b_id"))
@@ -1143,11 +1163,21 @@ object GraftQueries {
     // Training-data + extraction operators (no SQL oracle: rows-only)
     // =====================================================================
 
-    // the flagship: full extraction over the synthesized pages table
+    // the flagship: full extraction over the synthesized pages table.
+    // Runs extraction LIVE (this is the row Bench derives docs/sec
+    // from); the oracle reads the materialized extraction dump and
+    // re-derives every column INCLUDING md5(extracted_text), so a
+    // nondeterministic extraction, a dump/live divergence, or a text
+    // corruption anywhere in the parquet roundtrip fails the hash gate
+    // url-for-url (round-4 VERDICT #3: the flagship was rows-only;
+    // byte-identity vs golden fixtures stays separately gated in sbt).
+    // confidence travels as integer micros so the compare is exact.
     "q18_extract_pages" -> ((s, d) => {
       extractedPages(s, d)
-        .select("url", "payload_kind", "page_count", "n_blocks",
-          "n_content_blocks", "confidence", "error", "extracted_text")
+        .select(col("url"), col("payload_kind"), col("page_count"),
+          col("n_blocks"), col("n_content_blocks"),
+          round(col("confidence") * 1000000).cast("long").as("conf_micros"),
+          col("error"), md5(col("extracted_text")).as("text_md5"))
     }),
 
     // post-extraction host rollup (skew-visible aggregation) over the
@@ -1665,6 +1695,12 @@ object GraftQueries {
       // compilation of the span-digest / bigram-scoring pipelines
       queries("q73_span_dedup")(spark, warmSf).count(): Unit
       queries("q74_lm_score")(spark, warmSf).count(): Unit
+      // warm the q36 brute-force kernel (split/shingle/array_intersect
+      // codegen + C2) and the q17 theta-join cosine kernel at sf0.01 —
+      // round-4's 41.9x q36 bench spike was a cold kernel amplified by
+      // a bad VM window; a warm pass removes the compilation half
+      queries("q36_jaccard_brute")(spark, warmSf).count(): Unit
+      queries("q17_cosine_pairs")(spark, warmSf).count(): Unit
     }
   }
 
@@ -2383,11 +2419,27 @@ object GraftQueries {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
+    // exact half mirrored value-for-value; the sketch half is asserted
+    // as an error-bound invariant — the oracle emits TRUE, so a Spark
+    // sketch outside tolerance (|HLL−exact| > 5%·exact, |approx median
+    // − exact median| > 10%·median) hash-mismatches and fails the row
+    "q53_sketch_stats" ->
+      """SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_vocab,
+        |  round(quantile_cont(len, 0.5), 6) AS median_len,
+        |  count(*) AS n_tokens,
+        |  TRUE AS vocab_sketch_ok, TRUE AS median_sketch_ok
+        |FROM (SELECT lang,
+        |        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+        |        length(text) AS len
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
     "q17_cosine_pairs" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
+        |WHERE a.vec_id < 512 AND b.vec_id < 512
+        |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35""".stripMargin,
 
     // exact top-k: ranked on exact cosine (bitwise parity with the
     // codegen'd CosineSimilarity expression), rounded only for output
@@ -2401,6 +2453,18 @@ object GraftQueries {
         |               c.vec_id ASC) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+
+    // the flagship, verified url-for-url: DuckDB re-digests every
+    // extracted_text from the materialized dump while the Spark side
+    // runs extraction LIVE — any live/dump divergence (nondeterminism,
+    // parquet corruption, digest disagreement) fails the hash gate.
+    // Byte-identity vs single-threaded golden fixtures is additionally
+    // gated in sbt (golden_sha256.tsv).
+    "q18_extract_pages" ->
+      s"""SELECT url, payload_kind, page_count, n_blocks, n_content_blocks,
+         |  CAST(round(confidence * 1000000) AS BIGINT) AS conf_micros,
+         |  error, md5(extracted_text) AS text_md5
+         |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')""".stripMargin,
 
     // host rollup over the extraction snapshot the query itself
     // materializes (extract verified by golden byte-identity; this
@@ -2772,7 +2836,7 @@ object GraftQueries {
         |    generate_series(1, len(toks) - 2),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |        FROM documents WHERE doc_id < 2000)
+        |        FROM documents WHERE doc_id < 512)
         |  WHERE len(toks) >= 3)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
