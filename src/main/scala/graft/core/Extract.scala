@@ -45,7 +45,7 @@ object Extract {
               url = page.url, warc_ts = page.warc_ts,
               extracted_text = text,
               spans = pdfPageSpans(r.pageTexts),
-              out_links = Array.empty,
+              out_links = Array.empty, n_links_found = 0,
               payload_kind = "pdf", page_count = r.pageTexts.length,
               n_blocks = r.pageTexts.length, n_content_blocks = r.pageTexts.count(_.nonEmpty),
               confidence = if (text.isEmpty) 0.0 else 1.0, lang = page.lang,
@@ -64,7 +64,7 @@ object Extract {
     ExtractedDoc(
       url = page.url, warc_ts = page.warc_ts,
       extracted_text = res.text, spans = res.spans,
-      out_links = res.outLinks,
+      out_links = res.outLinks, n_links_found = res.nLinksFound,
       payload_kind = "html", page_count = 1,
       n_blocks = res.nBlocks, n_content_blocks = res.nContentBlocks,
       confidence = res.confidence, lang = page.lang,
@@ -111,7 +111,7 @@ object Extract {
     ExtractedDoc(
       url = page.url, warc_ts = page.warc_ts,
       extracted_text = "", spans = Array.empty[Span],
-      out_links = Array.empty,
+      out_links = Array.empty, n_links_found = 0,
       payload_kind = kind, page_count = 0, n_blocks = 0, n_content_blocks = 0,
       confidence = 0.0, lang = page.lang,
       engine = "none", fallback_used = false,

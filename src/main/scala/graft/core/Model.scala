@@ -47,6 +47,10 @@ final case class ExtractedDoc(
     out_links: Array[String], // absolute http(s) hrefs in document order
                             // (the WAT-style out-link surface; empty for
                             // pdf/quarantine rows)
+    n_links_found: Int,     // hrefs SEEN pre-cap: > out_links.length ⇔
+                            // the MaxOutLinks backstop truncated (caps
+                            // are never silent — a link-farm page on
+                            // real WARC ingest is auditable row-level)
     payload_kind: String,   // "html" | "pdf" | "unknown"
     page_count: Int,        // PDF branch; 1 for html, 0 for junk
     n_blocks: Int,
@@ -88,6 +92,8 @@ object ExtractionVersion {
     * (the analog of the reference's monotonic DocumentVersion.number,
     * /root/reference/ocrworker/db/api.py:128-137).
     * v2: density->relaxed confidence cascade (threshold 0.7).
-    * v3: out_links column (absolute hrefs captured by the tokenizer). */
-  val current: String = "graft-extract-3"
+    * v3: out_links column (absolute hrefs captured by the tokenizer).
+    * v4: n_links_found column (pre-cap href count, so the MaxOutLinks
+    *     backstop is auditable instead of silent — round-4 ADVICE #2). */
+  val current: String = "graft-extract-4"
 }

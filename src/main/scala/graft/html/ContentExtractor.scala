@@ -38,6 +38,9 @@ final class BlockBuilder extends HtmlHandler {
   // tokenizer fires anchorHref only for http(s) values, so this stays
   // empty for the overwhelmingly-relative navigation links
   private val outLinks = new ArrayBuffer[String](4)
+  // hrefs SEEN, including ones dropped past MaxOutLinks — the
+  // truncation audit counter (caps are never silent, round-4 ADVICE #2)
+  private var linksSeen = 0
 
   import BlockBuilder._
 
@@ -45,8 +48,10 @@ final class BlockBuilder extends HtmlHandler {
   // per event instead of 4-5 Set probes (flag semantics and branch order
   // are value-identical to the original per-Set pattern match; the flag
   // categories a/title/boiler/skip/h1-h6 are mutually disjoint).
-  override def anchorHref(href: String): Unit =
+  override def anchorHref(href: String): Unit = {
+    linksSeen += 1
     if (outLinks.length < BlockBuilder.MaxOutLinks) outLinks += href
+  }
 
   def startTag(name: String, selfClosing: Boolean): Unit = {
     val f = TagCatalog.flags(name)
@@ -124,6 +129,9 @@ final class BlockBuilder extends HtmlHandler {
     * raw-bytes oracle both see every occurrence). */
   def links: Array[String] = outLinks.toArray
 
+  /** Hrefs seen pre-cap; > links.length ⇔ MaxOutLinks truncated. */
+  def linksFound: Int = linksSeen
+
   /** The doc-level char store the blocks' [start, end) spans index —
     * valid until [[reset]]; consumers must slice before reuse. */
   def chars: CharSequence = buf
@@ -155,6 +163,7 @@ final class BlockBuilder extends HtmlHandler {
     titleText = null; inTitle = false
     titleBuf.setLength(0)
     if (outLinks.length > 64) outLinks.clearAndShrink(4) else outLinks.clear()
+    linksSeen = 0
   }
 
   /** First <title> wins (the document title); later ones (e.g. inline
@@ -300,7 +309,8 @@ object MainContentExtractor {
       text: String, spans: Array[Span], title: String,
       nBlocks: Int, nContentBlocks: Int, confidence: Double,
       engine: String = "density", fallbackUsed: Boolean = false,
-      outLinks: Array[String] = Array.empty)
+      outLinks: Array[String] = Array.empty,
+      nLinksFound: Int = 0) // pre-cap href count (truncation audit)
 
   /** Early-exit threshold of the engine cascade — the reference's
     * ocr_confidence_threshold (/root/reference/ocrworker/config.py:38,
@@ -351,24 +361,25 @@ object MainContentExtractor {
       val (blocks, title) = builder.result()
       val chars = builder.chars
       val links = builder.links
+      val nFound = builder.linksFound
       // same no-losing-assemble discipline as cascade(): confidences
       // are pure functions of the block flags, so decide the winner on
       // flag passes alone and build text+spans exactly once
       DensityClassifier.classifyRelaxed(blocks)
       val relaxedConf = confidenceOf(blocks)
       if (relaxedConf >= ConfidenceThreshold)
-        assemble(blocks, title, chars, links).copy(engine = "density_relaxed")
+        assemble(blocks, title, chars, links, nFound).copy(engine = "density_relaxed")
       else {
         // strict assigns isContent directly, so re-classification is a
         // clean second engine pass over the same block array
         DensityClassifier.classify(blocks)
         val strictConf = confidenceOf(blocks)
         if (strictConf > relaxedConf)
-          assemble(blocks, title, chars, links).copy(fallbackUsed = true)
+          assemble(blocks, title, chars, links, nFound).copy(fallbackUsed = true)
         else {
           // relaxed won: re-derive its flags (cheap) for the one assemble
           DensityClassifier.classifyRelaxed(blocks)
-          assemble(blocks, title, chars, links).copy(engine = "density_relaxed")
+          assemble(blocks, title, chars, links, nFound).copy(engine = "density_relaxed")
         }
       }
     }
@@ -397,8 +408,9 @@ object MainContentExtractor {
     val (blocks, title) = builder.result()
     val chars = builder.chars
     val links = builder.links
+    val nFound = builder.linksFound
     DensityClassifier.classify(blocks)
-    val strict = assemble(blocks, title, chars, links)
+    val strict = assemble(blocks, title, chars, links, nFound)
     if (strict.confidence >= ConfidenceThreshold) strict
     else {
       DensityClassifier.classifyRelaxed(blocks)
@@ -412,14 +424,16 @@ object MainContentExtractor {
       // best.confidence` — ties keep the selected (first) engine.
       // fallbackUsed marks that the fallback's OUTPUT was used.
       if (relaxedConf > strict.confidence)
-        assemble(blocks, title, chars, links).copy(engine = "density_relaxed", fallbackUsed = true)
+        assemble(blocks, title, chars, links, nFound)
+          .copy(engine = "density_relaxed", fallbackUsed = true)
       else strict
     }
   }
 
   private def assemble(blocks: Array[Block], title: String,
                        chars: CharSequence,
-                       links: Array[String]): HtmlResult = {
+                       links: Array[String],
+                       nLinksFound: Int): HtmlResult = {
     // presize exactly: growth-doubling on the output builder was pure
     // garbage at ~2x the text size per document
     var cap = 0
@@ -452,6 +466,6 @@ object MainContentExtractor {
       sb.toString, spans, title,
       blocks.length, nContent,
       if (nContent == 0) 0.0 else scoreSum / nContent,
-      outLinks = links)
+      outLinks = links, nLinksFound = nLinksFound)
   }
 }

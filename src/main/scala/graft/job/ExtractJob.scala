@@ -267,8 +267,24 @@ object ExtractJob {
       val chainVersion = SnapshotStore.committedExtractionVersion(outRoot)
         .getOrElse(ExtractionVersion.current)
       val (seq, dataDir) = SnapshotStore.nextDataDir(outRoot)
-      val table = spark.read.parquet(dirs: _*)
-        .drop("partition_id").as[ExtractedDoc]
+      // a genuinely pre-v3 chain may LACK columns newer kernels added
+      // (out_links arrived in graft-extract-3): fill schema gaps with
+      // typed empties before the encoder, so "a newer binary may
+      // compact an old table" holds for schema-evolved chains too, not
+      // just version-tag-evolved ones (round-4 ADVICE #1). Arrays fill
+      // as empty (the old kernel recorded none), scalars as null.
+      val raw = spark.read.parquet(dirs: _*).drop("partition_id")
+      val want = org.apache.spark.sql.Encoders.product[ExtractedDoc].schema
+      val have = raw.columns.toSet
+      val filled = want.fields.foldLeft(raw) { (df, f) =>
+        if (have.contains(f.name)) df
+        else f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            df.withColumn(f.name, array().cast(f.dataType))
+          case dt => df.withColumn(f.name, lit(null).cast(dt))
+        }
+      }
+      val table = filled.as[ExtractedDoc]
       commitSnapshot(table, outRoot, seq, dataDir,
         SnapshotStore.committedInputFiles(outRoot).toSeq.sorted,
         numPartitions, saltBuckets, routingMode, replaces = current,

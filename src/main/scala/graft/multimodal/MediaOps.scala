@@ -234,12 +234,23 @@ object MediaOps {
     val h2 = math.max(1, m.height / 2)
     val srcStride = srcStrideL.toInt
     val dstStride = ((w2 * ch + 3) / 4) * 4
-    // sampling stored rows in order preserves the file's orientation
-    // (our encoder writes bottom-up positive-height images)
+    // Row order honors the HEADER's height sign (round-4 ADVICE #5):
+    // our encoder writes bottom-up (positive height), and sampling a
+    // bottom-up source in stored order preserves orientation — but an
+    // externally crafted TOP-DOWN BMP (negative height) stores row 0 at
+    // the top, so its stored rows are walked in reverse to land the
+    // same content in the re-encoded bottom-up output (decodeBmp's
+    // abs() hides the sign, so re-read it from the raw header).
+    val topDown = le32(bytes, 22) < 0
     val dst = new Array[Byte](dstStride * h2)
     var y = 0
     while (y < h2) {
-      val srcRow = m.payloadOff + (y * 2) * srcStride
+      // same CONTENT row either way (bottom-up stored row 2y is content
+      // row 2(h2-1-y)+1; a top-down file stores that content row at
+      // stored index 2(h2-1-y)+1) — so the two orientations of one
+      // image resize to byte-identical output
+      val srcStoredRow = if (topDown) (h2 - 1 - y) * 2 + 1 else y * 2
+      val srcRow = m.payloadOff + srcStoredRow * srcStride
       val dstRow = y * dstStride
       var x = 0
       while (x < w2) {

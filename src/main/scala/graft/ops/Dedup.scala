@@ -193,8 +193,19 @@ object Dedup {
     * are [[candidatePairs]]' job, deliberately out of scope here. */
   def incrementalCandidates(corpus: DataFrame, batch: DataFrame,
                             idCol: String, textCol: String,
-                            shingleN: Int = 2, maxBucket: Int = 1000): DataFrame = {
-    val cb = minhashBands(corpus, idCol, textCol, shingleN)
+                            shingleN: Int = 2, maxBucket: Int = 1000): DataFrame =
+    incrementalCandidatesFromBands(
+      minhashBands(corpus, idCol, textCol, shingleN),
+      batch, idCol, textCol, shingleN, maxBucket)
+
+  /** [[incrementalCandidates]] with the corpus bands precomputed by the
+    * caller — the dump-site shape, so the SAME bands DataFrame can be
+    * passed to [[auditBucketCap]] and the corpus-bucket drop is
+    * recorded in a sidecar instead of silently zeroing a batch doc's
+    * candidates (round-4 ADVICE #3). */
+  def incrementalCandidatesFromBands(cb: DataFrame, batch: DataFrame,
+                                     idCol: String, textCol: String,
+                                     shingleN: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val bb = minhashBands(batch, idCol, textCol, shingleN)
     val sized = cb.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))

@@ -1650,10 +1650,21 @@ object GraftQueries {
         val pages = extractedPagesDocs(s, d)
         val cut = pages.agg(floor(max("doc_id") * 0.9).cast("long").as("cut"))
         val withCut = pages.crossJoin(broadcast(cut))
-        atomicDump(Dedup.incrementalCandidates(
+        // corpus bands computed HERE (not inside incrementalCandidates)
+        // so the bucket cap on the corpus side is audited into the dump
+        // sidecar like every other capped LSH path (round-4 ADVICE #3:
+        // a batch doc whose only matching bucket was dropped must not
+        // get a silently clean verdict)
+        val corpusBands = Dedup.minhashBands(
           withCut.filter(col("doc_id") <= col("cut")).drop("cut"),
-          withCut.filter(col("doc_id") > col("cut")).drop("cut"),
-          "doc_id", "text", shingleN = 2), path)
+          "doc_id", "text", shingleN = 2).persist()
+        try {
+          atomicDump(Dedup.incrementalCandidatesFromBands(
+            corpusBands,
+            withCut.filter(col("doc_id") > col("cut")).drop("cut"),
+            "doc_id", "text", shingleN = 2), path)
+          Dedup.auditBucketCap(corpusBands, path)
+        } finally corpusBands.unpersist(blocking = false)
       }
     }
     s.read.parquet(path)

@@ -282,12 +282,18 @@ object Warc {
         // record is fetchable by byte range without scanning the
         // segment. Uncompressed segments index plain record ranges.
         val segName = f"segment-$pid%05d$ext"
+        // Int-indexed buffer ⇒ a segment is bounded at 2 GB — within
+        // the Common-Crawl convention (~1 GB segments) and enforced
+        // loudly: ByteArrayOutputStream throws OutOfMemoryError past
+        // Int.MaxValue rather than wrapping offsets. Size partitions
+        // (repartition upstream) so a partition's records stay under
+        // the bound.
         val out = new java.io.ByteArrayOutputStream()
         val cdx = new StringBuilder
         ps.foreach { p =>
           val rec = recordBytes(p)
           val stored = if (doGzip) gzip(rec) else rec
-          cdx.append(Warc.cdxEscape(headerSafe(p.url))).append('\t').append(segName)
+          cdx.append(Warc.cdxKey(p.url)).append('\t').append(segName)
             .append('\t').append(out.size()).append('\t').append(stored.length)
             .append('\t').append(p.warc_ts.getTime).append('\n')
           out.write(stored)
@@ -337,6 +343,14 @@ object Warc {
     * on the url text). */
   def cdxEscape(url: String): String = url.replace("\t", "%09")
 
+  /** The ONE canonicalization shared by index writes and lookups:
+    * [[headerSafe]] first (the writer sanitizes CR/LF/C0 controls out
+    * of header values, and the CDX url field rides a header), then
+    * [[cdxEscape]]. A lookup that escaped but did not sanitize would
+    * silently never find a url containing control chars — the index
+    * stores the sanitized form (round-4 ADVICE #4). */
+  def cdxKey(url: String): String = cdxEscape(headerSafe(url))
+
   /** The CDX index of a segment dir: (url, segment, offset, length,
     * warc_ts_ms) — one row per record (urls [[cdxEscape]]d), read from
     * the per-segment sidecars the writer commits. Vastly smaller than
@@ -381,7 +395,7 @@ object Warc {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
     cdxIndex(spark, dir)
-      .join(broadcast(urls.map(cdxEscape).toDF("url")), Seq("url"), "left_semi")
+      .join(broadcast(urls.map(cdxKey).toDF("url")), Seq("url"), "left_semi")
       .select(col("segment"), col("offset"), col("length"))
       .as[(String, Long, Int)]
       .mapPartitions { it =>

@@ -91,6 +91,7 @@ class CurateJobSpec extends AnyFunSuite {
       url = s"https://junk.example/$i",
       warc_ts = new java.sql.Timestamp(1700000000000L + i),
       extracted_text = null, spans = Array.empty, out_links = Array.empty,
+      n_links_found = 0,
       payload_kind = "junk", page_count = 0, n_blocks = 0, n_content_blocks = 0,
       confidence = 0.0, lang = "eng", engine = "none", fallback_used = false,
       error = "quarantined: unknown payload", extraction_version = "t"))

@@ -50,6 +50,19 @@ class ExtractCoreSpec extends AnyFunSuite {
     val b = MainContentExtractor.extractBytes(html.getBytes(UTF_8))
     assert(a.outLinks.toSeq == expected)
     assert(b.outLinks.toSeq == expected)
+    assert(a.nLinksFound == expected.size) // no truncation on a normal page
+  }
+
+  test("out-link cap is audited, never silent: a link farm truncates at MaxOutLinks with n_links_found > size") {
+    val n = graft.html.BlockBuilder.MaxOutLinks + 40
+    val farm = (0 until n)
+      .map(i => s"""<a href="https://farm.example/$i">x$i</a>""")
+      .mkString("<html><body><p>", " ", "</p></body></html>")
+    val r = MainContentExtractor.extractBytes(farm.getBytes(UTF_8))
+    assert(r.outLinks.length == graft.html.BlockBuilder.MaxOutLinks)
+    assert(r.nLinksFound == n) // the drop is row-level auditable
+    assert(r.outLinks.head == "https://farm.example/0")
+    assert(r.outLinks.last == s"https://farm.example/${graft.html.BlockBuilder.MaxOutLinks - 1}")
   }
 
   test("generator: every html page carries its host's 3 partner links; extraction captures them") {

@@ -118,6 +118,40 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == rowsBefore)
   }
 
+  test("compaction fills schema gaps: a genuinely pre-v3 chain (no out_links column) compacts") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 60, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // simulate a chain written by an out_links-less kernel: physically
+    // rewrite the data dir WITHOUT the column (not just the version tag
+    // - round-4 ADVICE #1 flagged that the old test only faked the tag
+    // over v3-schema data)
+    val dataDir = SnapshotStore.dataDirs(s"$dir/out").head
+    val stripped = spark.read.parquet(dataDir).drop("out_links")
+    val tmpDir = s"$dir/stripped"
+    stripped.write.parquet(tmpDir)
+    def clearDir(d: java.io.File): Unit =
+      d.listFiles().filter(_.isFile).foreach(_.delete())
+    clearDir(new java.io.File(dataDir))
+    new java.io.File(tmpDir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        Files.copy(f.toPath, java.nio.file.Paths.get(dataDir, f.getName))
+      }
+    val mPath = java.nio.file.Paths.get(s"$dir/out/snapshots/v1.json")
+    val rewritten = new String(Files.readAllBytes(mPath), UTF_8)
+      .replace(graft.core.ExtractionVersion.current, "graft-extract-2")
+    Files.write(mPath, rewritten.getBytes(UTF_8))
+    val snap = ExtractJob.compact(spark, s"$dir/out")
+    assert(snap.rowCount == 60)
+    assert(snap.extractionVersion == "graft-extract-2")
+    val after = ExtractJob.readExtracted(spark, s"$dir/out")
+    assert(after.count() == 60)
+    // the gap column comes back as a typed EMPTY array, not null
+    assert(after.filter(col("out_links").isNull).count() == 0)
+    assert(after.selectExpr("max(size(out_links))").collect()(0).getInt(0) == 0)
+  }
+
   test("compaction: verbatim rewrite, resume intact, time travel until expiry") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()

@@ -116,6 +116,27 @@ class MediaFormSpec extends AnyFunSuite {
     assert(MediaOps.resizeHalf(crafted).sameElements(crafted)) // ...resize refuses
   }
 
+  test("media: top-down BMP (negative height) resizes to the SAME content as its bottom-up twin") {
+    val w = 6; val h = 4; val ch = 3
+    val stride = ((w * ch + 3) / 4) * 4
+    def contentRow(r: Int): Array[Byte] = Array.tabulate(stride)(i => (r * 50 + i).toByte)
+    // bottom-up stores content rows h-1..0; top-down stores 0..h-1
+    val bu = MediaOps.encodeBmp(w, h, ch,
+      (h - 1 to 0 by -1).flatMap(contentRow).toArray)
+    val tdBytes = MediaOps.encodeBmp(w, h, ch,
+      (0 until h).flatMap(contentRow).toArray)
+    // patch the header height to -h (little-endian at offset 22)
+    val neg = -h
+    for (i <- 0 until 4) tdBytes(22 + i) = ((neg >> (8 * i)) & 0xff).toByte
+    assert(MediaOps.decodeBmp(tdBytes).ok && MediaOps.decodeBmp(tdBytes).height == h)
+    val halfBu = MediaOps.resizeHalf(bu)
+    val halfTd = MediaOps.resizeHalf(tdBytes)
+    // round-4 ADVICE #5: the crafted top-down file used to come back
+    // vertically flipped; now both orientations of one image resize to
+    // byte-identical (bottom-up) output
+    assert(halfBu.sameElements(halfTd))
+  }
+
   test("media: REAL BMP codec — encode/decode roundtrip, truncation is total") {
     val bmp = MediaOps.encodeBmp(17, 9, 3, Array.tabulate(800)(_.toByte))
     val m = MediaOps.decodeBmp(bmp)

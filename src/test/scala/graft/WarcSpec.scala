@@ -199,6 +199,15 @@ class WarcSpec extends AnyFunSuite {
     val fetched = Warc.lookupPages(spark, s"$dir/tab", Seq(tabby.url)).collect()
     assert(fetched.length == 1 && fetched.head.url == tabby.url,
       "tab-url record must be fetchable through the escaped index")
+    // a url carrying CONTROL chars is written SANITIZED (headerSafe) —
+    // the lookup key must take the same canonicalization, or the record
+    // is silently unfindable (round-4 ADVICE #4)
+    val ctrl = graft.core.Page("http://h.example/a\nbc",
+      new java.sql.Timestamp(1700000000001L), "ctrl payload".getBytes(UTF_8), "t", "eng")
+    Warc.writeSegments(spark.createDataset(Seq(ctrl)), s"$dir/ctrl", compress = true)
+    val fetchedCtrl = Warc.lookupPages(spark, s"$dir/ctrl", Seq(ctrl.url)).collect()
+    assert(fetchedCtrl.length == 1, "control-char url must be findable via cdxKey")
+    assert(java.util.Arrays.equals(fetchedCtrl.head.html, ctrl.html))
   }
 
   test("a crashed writer's _tmp segment is invisible to ingestion and resume") {
