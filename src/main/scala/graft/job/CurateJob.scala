@@ -12,6 +12,11 @@ import graft.ops.{Balance, Dedup, Hosts, Repetition, TextStats}
   *     → exact content dedup           q12 rule: min-url keeper per md5
   *     → fuzzy (MinHash) dedup         q20 LSH pairs + q47 components,
   *                                     keep each cluster's canonical
+  *     → semantic (SemDeDup) dedup     q77 kernel (Similarity
+  *                                     .semanticDedup), optional: runs
+  *                                     when an embeddings table is
+  *                                     supplied — the RefinedWeb →
+  *                                     SemDeDup recipe's last rung
   *     → Gopher/C4 repetition gate     q54 thresholds (Repetition.keep)
   *     → corpus-median quality gate    q50 shape: percentile aggregate
   *                                     broadcast back, never a global sort
@@ -36,11 +41,22 @@ object CurateJob {
       html: Long,       // clean html docs entering curation
       deduped: Long,    // after exact content dedup
       fuzzyDeduped: Long, // after MinHash near-dup clustering (keep-one)
+      semanticDeduped: Long, // after embedding-level SemDeDup (== fuzzyDeduped
+                             // when no embeddings table was supplied)
       gated: Long,      // after repetition + quality gates
       kept: Long)       // after the per-host cap == curated rows
 
+  /** @param embeddings optional (url, embedding ARRAY<FLOAT>) table —
+    *   when present, the modern recipe's final dedup rung runs after
+    *   lexical MinHash (RefinedWeb → SemDeDup, round-4 VERDICT #5):
+    *   embedding-cluster-scoped cosine components, keep the member
+    *   farthest from its cell centroid. Docs WITHOUT an embedding pass
+    *   through untouched (dedup what you can measure — at production
+    *   scale the embedding table lags the crawl by one model pass). */
   def run(spark: SparkSession, extractRoot: String, outRoot: String,
-          perHostCap: Int = 1000, fuzzyThreshold: Double = 0.6): Funnel = {
+          perHostCap: Int = 1000, fuzzyThreshold: Double = 0.6,
+          embeddings: Option[org.apache.spark.sql.DataFrame] = None,
+          semThreshold: Double = 0.9, semCells: Int = 16): Funnel = {
     val table = ExtractJob.readExtracted(spark, extractRoot)
     val base = table
       .filter(col("error").isNull && col("payload_kind") === "html" &&
@@ -82,9 +98,29 @@ object CurateJob {
       .filter(col("is_canonical"))
       .select(col("doc_id").as("url"))
     val fuzzyDeduped = deduped.join(canon, Seq("url"), "left_semi")
+      .persist()
+
+    // embedding-level dedup (SemDeDup) — the recipe's last rung, scoped
+    // to docs that (a) survived lexical dedup and (b) HAVE an embedding
+    val semDeduped = embeddings match {
+      case Some(emb) =>
+        val scoped = emb
+          .select(col("url"), col("embedding"))
+          .join(fuzzyDeduped.select("url"), Seq("url"), "left_semi")
+        val keep = graft.ops.Similarity
+          .semanticDedup(scoped, "url", "embedding",
+            nCells = semCells, threshold = semThreshold)
+          .filter(col("is_canonical"))
+          .select(col("id").as("url"))
+        val withEmb = fuzzyDeduped.join(keep, Seq("url"), "left_semi")
+        val withoutEmb = fuzzyDeduped
+          .join(emb.select("url"), Seq("url"), "left_anti")
+        withEmb.unionByName(withoutEmb)
+      case None => fuzzyDeduped
+    }
 
     // per-doc features once; both gates and the funnel read this table
-    val feats = Repetition.withStats(fuzzyDeduped, textCol = "extracted_text")
+    val feats = Repetition.withStats(semDeduped, textCol = "extracted_text")
       .withColumn("quality", TextStats.qualityScore(col("extracted_text")))
       .persist()
     try {
@@ -117,17 +153,19 @@ object CurateJob {
         extracted = table.count(),
         html = base.count(),
         deduped = deduped.count(),
-        fuzzyDeduped = feats.count(),
+        fuzzyDeduped = fuzzyDeduped.count(),
+        semanticDeduped = feats.count(),
         gated = gated.count(),
         kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
-        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"semantic_deduped":${funnel.semanticDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")
       funnel
     } finally {
       feats.unpersist(blocking = false)
+      fuzzyDeduped.unpersist(blocking = false)
       deduped.unpersist(blocking = false): Unit
     }
   }
@@ -143,7 +181,8 @@ object CurateCli {
     val cap = if (args.length > 2) args(2).toInt else 1000
     val f = CurateJob.run(spark, args(0), args(1), cap)
     println(s"curated ${f.kept} docs (extracted=${f.extracted} html=${f.html} " +
-      s"deduped=${f.deduped} fuzzy=${f.fuzzyDeduped} gated=${f.gated}) at ${args(1)}")
+      s"deduped=${f.deduped} fuzzy=${f.fuzzyDeduped} semantic=${f.semanticDeduped} " +
+      s"gated=${f.gated}) at ${args(1)}")
     spark.stop()
   }
 }

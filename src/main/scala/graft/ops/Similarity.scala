@@ -674,4 +674,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rank").cast("int").as("rank"))
   }
+
+  // ---- SemDeDup (Abbas et al. 2023) as a reusable pipeline stage -------
+
+  /** Semantic dedup, the q77 kernel packaged for jobs (CurateJob's
+    * embedding-level stage after lexical MinHash — the RefinedWeb →
+    * SemDeDup recipe): k-means-cell-scoped cosine pairs → connected
+    * components → keep each component's member FARTHEST from its cell
+    * centroid (the paper's diversity-preserving choice), distance in
+    * exact floor-micros, ties to the smallest id.
+    *
+    * Returns (id, cell, cluster_id, is_canonical, dist_micros) — one
+    * row per input doc; filter is_canonical for the keep set.
+    *
+    * Scale: pair search never leaves a cell (the paper's blocking), so
+    * the only O(n²) term is per-cell and bounded by nCells sizing;
+    * centroids are a broadcast k×d table; components converge in
+    * O(log diameter) rounds (Dedup.connectedComponents). */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.35,
+                    sampleSize: Int = 2000): DataFrame = {
+    val spark = docs.sparkSession
+    val e = docs.select(col(idCol).cast("string").as("id"), col(vecCol).as("embedding"))
+    val cbs = quantizer(e, "id", "embedding", nCells, sampleSize)
+    val assign = cellAssignments(e, "id", "embedding", cbs)
+    val pairs = assign.select(col("cell"), col("id").as("a_id"))
+      .join(assign.select(col("cell"), col("id").as("b_id")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+    val verified = pairs
+      .join(e.select(col("id").as("a_id"), col("embedding").as("a_vec")), "a_id")
+      .join(e.select(col("id").as("b_id"), col("embedding").as("b_vec")), "b_id")
+      .filter(cosine(col("a_vec"), col("b_vec")) >= threshold)
+      .select("a_id", "b_id")
+    val labels = Dedup.connectedComponents(verified)
+    val books = pqCodebookTable(spark, Array(cbs)).select(col("cell"), col("cm"))
+    val distMicros =
+      "aggregate(zip_with(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), " +
+        "cm, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val dist = assign
+      .join(e, "id")
+      .join(broadcast(books), "cell")
+      .select(col("id"), col("cell"), expr(distMicros).as("dist_micros"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("dist_micros").desc, col("id").asc)
+    dist
+      .join(labels.withColumnRenamed("label", "cluster_id"), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("id"), col("cell"), col("cluster_id"),
+        col("is_canonical"), col("dist_micros"))
+  }
 }

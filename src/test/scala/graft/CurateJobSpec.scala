@@ -83,6 +83,83 @@ class CurateJobSpec extends AnyFunSuite {
       "curation is not deterministic")
   }
 
+  test("curate: optional SemDeDup stage folds planted embedding-mirrors; docs without embeddings pass through") {
+    import spark.implicits._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 300, s"$dir/pages", partitions = 3)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // baseline: no embeddings table — the stage is a structural no-op
+    val f0 = CurateJob.run(spark, s"$dir/out", s"$dir/c0", perHostCap = 1000)
+    assert(f0.semanticDeduped == f0.fuzzyDeduped, f0.toString)
+    // plant embeddings for HALF the clean html urls, paired 2-by-2:
+    // each pair shares a near-identical unit vector (cosine ≈ 1 ≥ 0.9);
+    // different pairs are independent gaussian unit vectors (expected
+    // cosine ≈ 0 in 64 dims). Pair members have DIFFERENT text, so
+    // lexical dedup cannot fold them — only the semantic stage can.
+    val urls = ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter(col("error").isNull && col("payload_kind") === "html" &&
+        length(col("extracted_text")) > 0)
+      .select("url").orderBy("url").collect().map(_.getString(0))
+    val embedded = urls.take(urls.length / 2)
+    val rng = new java.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = embedded.grouped(2).filter(_.length == 2).flatMap { pair =>
+      val base = unit()
+      pair.zipWithIndex.map { case (u, i) =>
+        val p = base.clone(); p(0) = p(0) + i * 1e-3f; (u, p)
+      }
+    }.toSeq
+    val nPairs = rows.size / 2
+    val emb = rows.toDF("url", "embedding")
+    val f1 = CurateJob.run(spark, s"$dir/out", s"$dir/c1", perHostCap = 1000,
+      embeddings = Some(emb), semThreshold = 0.9, semCells = 4)
+    // lexical stages unchanged by the new rung
+    assert(f1.fuzzyDeduped == f0.fuzzyDeduped && f1.deduped == f0.deduped)
+    // the planted pairs fold — at most one drop per pair, at least one
+    // pair survived fuzzy dedup intact and folded
+    assert(f1.semanticDeduped < f1.fuzzyDeduped,
+      s"expected embedding-mirrors to fold: $f1")
+    assert(f1.semanticDeduped >= f1.fuzzyDeduped - nPairs, f1.toString)
+    // manifest records the stage
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/c1/funnel.json"))
+    assert(manifest.contains(s""""semantic_deduped":${f1.semanticDeduped}"""), manifest)
+    // determinism with the stage on
+    val f2 = CurateJob.run(spark, s"$dir/out", s"$dir/c2", perHostCap = 1000,
+      embeddings = Some(emb), semThreshold = 0.9, semCells = 4)
+    assert(f2 == f1)
+  }
+
+  test("semanticDedup kernel: one canonical per component — the farthest-from-centroid member") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a1", Array(1.00f, 0.00f, 0f, 0f)),
+      ("a2", Array(1.00f, 0.01f, 0f, 0f)),
+      ("b1", Array(0.00f, 1.00f, 0f, 0f)),
+      ("b2", Array(0.02f, 1.00f, 0f, 0f)),
+      ("solo", Array(0f, 0f, 1f, 0f))).toDF("id", "vec")
+    val out = graft.ops.Similarity
+      .semanticDedup(docs, "id", "vec", nCells = 1, threshold = 0.9, sampleSize = 10)
+      .collect()
+    assert(out.length == 5)
+    val byCluster = out.groupBy(_.getAs[String]("cluster_id"))
+    assert(byCluster.size == 3, byCluster.keys.toSeq.sorted.mkString(","))
+    byCluster.foreach { case (_, members) =>
+      val canon = members.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length == 1)
+      // keep rule: max dist_micros, ties to smallest id
+      val expected = members.minBy(r =>
+        (-r.getAs[Long]("dist_micros"), r.getAs[String]("id")))
+      assert(canon.head.getAs[String]("id") == expected.getAs[String]("id"))
+    }
+    // the singleton is its own canonical
+    val solo = out.filter(_.getAs[String]("id") == "solo").head
+    assert(solo.getAs[Boolean]("is_canonical") && solo.getAs[String]("cluster_id") == "solo")
+  }
+
   test("curate: a corpus with nothing curatable yields an empty funnel, not a crash") {
     import spark.implicits._
     val dir = tmp()
