@@ -100,4 +100,63 @@ object PageRaster {
     * Left(parse error) — the same totality contract as the parser. */
   def rasterizePages(pdfBytes: Array[Byte]): Either[String, Array[Array[Byte]]] =
     PdfParser.extract(pdfBytes).map(_.pageTexts.map(rasterize))
+
+  /** [[rasterize]] with the page rotated by `angleCentiDeg` (hundredths
+    * of a degree) about the canvas center — the planted-skew surface
+    * the deskew analog ([[Deskew]]) recovers from. Each glyph box keeps
+    * its axis-aligned shape (rotated TEXT LINES, like a skewed scan of
+    * upright glyphs); its origin rotates, so a text row's boxes fall
+    * along a line of slope tan(angle): dy/dx positive for a positive
+    * angle, exactly the angle [[Deskew.lines]] reports. Boxes rotated
+    * out of bounds are clipped (a real scanner crops too). */
+  /** Line pitch of the SKEWED surface: 4 px leading (vs [[AdvY]]'s 2) —
+    * the deskew estimator bins ink by rho at a 0.25°-grid angle, and a
+    * sub-grid angle error smears rho by ~0.5 px across the page width;
+    * 2 px leading leaves only 1 empty bin between lines, which that
+    * smear can close. A skew surface is synthetic by nature, so it gets
+    * scan-like line spacing. */
+  val AdvYSkew = CellH + 4
+  val MaxRowsSkew: Int = (Height - 2 * Margin) / AdvYSkew
+
+  def rasterizeSkewed(pageText: String, angleCentiDeg: Int): Array[Byte] = {
+    val th = math.toRadians(angleCentiDeg / 100.0)
+    val cosA = math.cos(th); val sinA = math.sin(th)
+    val cx = Width / 2.0; val cy = Height / 2.0
+    val px = Array.fill[Byte](Width * Height)(Paper)
+    val lines = pageText.split("\n", -1)
+    var r = 0
+    while (r < lines.length && r < MaxRowsSkew) {
+      val line = lines(r)
+      var c = 0
+      val n = math.min(line.length, MaxCols)
+      while (c < n) {
+        if (!line.charAt(c).isWhitespace) {
+          val x0 = Margin + c * AdvX
+          val y0 = Margin + r * AdvYSkew
+          val xr = math.round(cx + (x0 - cx) * cosA - (y0 - cy) * sinA).toInt
+          val yr = math.round(cy + (x0 - cx) * sinA + (y0 - cy) * cosA).toInt
+          if (xr >= 0 && yr >= 0 && xr + CellW <= Width && yr + CellH <= Height) {
+            var dy = 0
+            while (dy < CellH) {
+              var dx = 0
+              while (dx < CellW) {
+                px((yr + dy) * Width + (xr + dx)) = Ink
+                dx += 1
+              }
+              dy += 1
+            }
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val flipped = new Array[Byte](px.length)
+    var y = 0
+    while (y < Height) {
+      System.arraycopy(px, y * Width, flipped, (Height - 1 - y) * Width, Width)
+      y += 1
+    }
+    MediaOps.encodeBmp(Width, Height, 1, flipped)
+  }
 }

@@ -315,6 +315,54 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** Deskew line dump (q79): every pdf page is re-rendered with a
+    * PLANTED skew angle (a pure function of the page index, so BOTH
+    * engines re-derive it from the url), the Hough-median deskew
+    * analog ([[graft.pdf.Deskew]], segmenter.py:645-692 semantics) runs
+    * on the skewed raster, and its detected LINE table dumps here. The
+    * vision stage is the only non-SQL step: the median, the 15° gate,
+    * the correction and the recovered-vs-planted check are all
+    * re-derived relationally by q79's oracle. */
+  def deskewDumpPath(rows: Int): String =
+    s"/tmp/graft_deskew_cache/g${graft.gen.PageGen.GenVersion}-${graft.pdf.PageRaster.Version}-${graft.pdf.Deskew.Version}-rows$rows"
+
+  /** The planted skew in centi-degrees for page index `idx` — mirrored
+    * verbatim by [[plantedSkewSql]]: mostly within the ±15° auto-deskew
+    * window, every 31st page at 22° to exercise the too-steep gate. */
+  def plantedSkewCenti(idx: Long): Int =
+    if (idx % 31 == 0) 2200 else ((idx % 29).toInt - 14) * 100
+
+  private def plantedSkewSql(idxExpr: String): String =
+    s"CASE WHEN ($idxExpr) % 31 = 0 THEN 2200 ELSE (CAST(($idxExpr) % 29 AS INTEGER) - 14) * 100 END"
+
+  def deskewCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = deskewDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+        val lines = pages.flatMap { case (url, payload) =>
+          if (payload.length < 4 || payload(0) != '%' || payload(1) != 'P') Iterator.empty
+          else graft.pdf.PdfParser.extract(payload) match {
+            case Left(_) => Iterator.empty
+            case Right(res) =>
+              val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+              val planted = plantedSkewCenti(idx)
+              res.pageTexts.iterator.zipWithIndex.flatMap { case (t, i) =>
+                graft.pdf.Deskew.lines(
+                  graft.pdf.PageRaster.rasterizeSkewed(t, planted)).iterator
+                  .map(l => (url, i, l.angleCenti, l.pixels))
+              }
+          }
+        }.toDF("url", "page_no", "angle_centi", "px")
+        atomicDump(lines, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -1550,6 +1598,30 @@ object GraftQueries {
           sum(col("ink_px").cast("long")).as("ink_px"),
           sum(expr("octet_length(img)").cast("long")).as("img_bytes"))),
 
+    // auto-deskew over the planted-skew raster surface (the reference's
+    // Hough-median deskew, segmenter.py:645-692 + the 15° cap at :47):
+    // per page, the MEDIAN of the detected line angles, the
+    // MAX_AUTO_DESKEW_ANGLE gate, and the applied correction — all
+    // re-derived relationally from the dumped line table. recovered_ok
+    // is the planted-truth gate: Spark compares the measured median to
+    // the planted angle it re-derives from the url (|err| ≤ 0.5°);
+    // the oracle emits TRUE, so a drifting vision kernel fails the
+    // hash compare (the q53 boolean-invariant pattern).
+    "q79_deskew" -> ((s, d) => {
+      val idx = expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)")
+      val planted = when(idx % 31 === 0, lit(2200))
+        .otherwise(((idx % 29).cast("int") - 14) * 100)
+      deskewCached(s, d)
+        .groupBy(col("url"), col("page_no"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(expr("percentile(angle_centi, 0.5)"), 4).as("median_centi"))
+        .select(col("url"), col("page_no"), col("n_lines"), col("median_centi"),
+          (abs(col("median_centi")) <= 1500).as("within_limit"),
+          when(abs(col("median_centi")) <= 1500, round(-col("median_centi"), 4))
+            .otherwise(lit(0.0)).as("corrected_centi"),
+          (abs(col("median_centi") - planted) <= 50).as("recovered_ok"))
+    }),
+
     // form detection over raw pages (sibling pipeline to extraction) —
     // scans the materialized detection table, not the raw corpus
     "q31_form_detect" -> ((s, d) => {
@@ -1734,6 +1806,8 @@ object GraftQueries {
     nerCached(spark, sfDir)
     pqCached(spark, sfDir)
     rasterCached(spark, sfDir)
+    deskewCached(spark, sfDir)
+    ivfadcCached(spark, sfDir)
     tokenCountsCached(spark, sfDir)
     bigramCountsCached(spark, sfDir)
     semCached(spark, sfDir)
@@ -2737,6 +2811,23 @@ object GraftQueries {
          |  CAST(sum(n) AS BIGINT) AS img_bytes
          |FROM ink GROUP BY url""".stripMargin
     },
+
+    // deskew re-derived from the dumped line table: DuckDB recomputes
+    // the per-page median line angle, the 15° gate and the correction;
+    // recovered_ok is TRUE by assertion — Spark's real planted-vs-
+    // measured comparison must agree or the row hash-mismatches
+    "q79_deskew" ->
+      s"""WITH m AS (
+         |  SELECT url, page_no, count(*) AS n_lines,
+         |    round(quantile_cont(angle_centi, 0.5), 4) AS median_centi
+         |  FROM read_parquet('${deskewDumpPath(oracleRows)}/*.parquet')
+         |  GROUP BY 1, 2)
+         |SELECT url, page_no, n_lines, median_centi,
+         |  abs(median_centi) <= 1500 AS within_limit,
+         |  CASE WHEN abs(median_centi) <= 1500 THEN round(-median_centi, 4)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS corrected_centi,
+         |  TRUE AS recovered_ok
+         |FROM m""".stripMargin,
 
     // the FULL PQ-ADC ranking re-derived from the dumped codes +
     // quantized codebooks: same floored-micros query slices, same exact

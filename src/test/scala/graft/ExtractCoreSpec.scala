@@ -142,6 +142,32 @@ class ExtractCoreSpec extends AnyFunSuite {
     assert(tall.drop(54).count(_ == PageRaster.Ink) == PageRaster.MaxRows * 15)
   }
 
+  test("deskew (segmenter.py:645-692 analog): planted skew recovered by line-angle median") {
+    import graft.pdf.{Deskew, PageRaster}
+    val rng = new PageGen.Rng(11)
+    val (bytes, _) = PageGen.genPdf(rng, compress = true)
+    val texts = PdfParser.extract(bytes).toOption.get.pageTexts.filter(_.trim.nonEmpty)
+    assert(texts.nonEmpty)
+    def median(a: Array[Int]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2).toDouble
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    // every planted angle q79 uses (±14° window + the 22° too-steep case)
+    // is recovered within the 0.5° gate the oracle asserts
+    for (planted <- (-1400 to 1400 by 100) :+ 2200; t <- texts.take(3)) {
+      val ls = Deskew.lines(PageRaster.rasterizeSkewed(t, planted))
+      assert(ls.nonEmpty, s"no lines at planted=$planted")
+      val med = median(ls.map(_.angleCenti))
+      assert(math.abs(med - planted) <= 50.0,
+        s"planted=$planted measured=$med (${ls.length} lines)")
+    }
+    // blank page → no lines; determinism: same raster, same line table
+    assert(Deskew.lines(PageRaster.rasterizeSkewed("", 700)).isEmpty)
+    val bmp = PageRaster.rasterizeSkewed(texts.head, -900)
+    assert(Deskew.lines(bmp).toSeq == Deskew.lines(bmp).toSeq)
+  }
+
   test("pdf: uncompressed and escaped parens") {
     val rng = new PageGen.Rng(9)
     val (bytes, intended) = PageGen.genPdf(rng, compress = false)
