@@ -73,7 +73,8 @@ object ExtractJob {
       numPartitions: Int = 0,
       saltBuckets: Int = 8,
       rowLevelResume: Boolean = true,
-      routedSelection: Boolean = false): Snapshot = {
+      routedSelection: Boolean = false,
+      signatureArtifacts: Boolean = false): Snapshot = {
     import spark.implicits._
     SnapshotStore.acquireLock(outRoot) // single-writer commit protocol
     try {
@@ -124,8 +125,17 @@ object ExtractJob {
       if (routedSelection) extractRoutedDS(pending)
       else pending.mapPartitions { it => it.map(p => Extract(p)) }
 
+    // S6 companion: signature SVG artifacts (signature_extractor.py's
+    // vector output). A SIBLING scan of the raw payload — form detection
+    // needs the html the snapshot no longer carries — so it is opt-in
+    // and never taxes the flagship extraction scan (see SignatureSvg
+    // scaladoc for the 100 TB fusion note).
+    val sigSvgs =
+      if (signatureArtifacts) Some(graft.forms.SignatureSvg.svgs(pending))
+      else None
+
     commitSnapshot(extracted, outRoot, seq, dataDir, pendingFiles,
-      numPartitions, saltBuckets, routingMode)
+      numPartitions, saltBuckets, routingMode, signatureSvgs = sigSvgs)
     } finally SnapshotStore.releaseLock(outRoot)
   }
 
@@ -305,7 +315,8 @@ object ExtractJob {
       dataDir: String, inputFiles: Seq[String],
       numPartitions: Int, saltBuckets: Int,
       routingMode: String = "strict", replaces: Int = 0,
-      extractionVersion: String = ExtractionVersion.current): Snapshot = {
+      extractionVersion: String = ExtractionVersion.current,
+      signatureSvgs: Option[org.apache.spark.sql.DataFrame] = None): Snapshot = {
     val spark = extracted.sparkSession
     import spark.implicits._
 
@@ -356,6 +367,12 @@ object ExtractJob {
     // the extraction scan.
     writeArtifacts(spark, dataDir, artifactDir(outRoot, seq))
 
+    // signature SVG sidecar (same pre-commit ordering contract as the
+    // previews: a crash here leaves an orphan artifact dir, never a
+    // committed snapshot missing its artifacts)
+    signatureSvgs.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(signatureDir(outRoot, seq)))
+
     val snap = Snapshot(
       sequence = seq,
       parent = seq - 1,
@@ -376,6 +393,10 @@ object ExtractJob {
   val PreviewChars = 300
 
   def artifactDir(outRoot: String, seq: Int): String = s"$outRoot/artifacts/snap-$seq"
+
+  /** Signature SVG sidecar table of snapshot `seq` (url, signer, svg) —
+    * written only when `run(..., signatureArtifacts = true)`. */
+  def signatureDir(outRoot: String, seq: Int): String = s"$outRoot/artifacts/sig-$seq"
 
   private def writeArtifacts(spark: SparkSession, dataDir: String, artDir: String): Unit = {
     spark.read.parquet(dataDir)

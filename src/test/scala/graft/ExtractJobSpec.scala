@@ -245,6 +245,48 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("signature SVG sidecar: well-formed vector artifact per planted signed form") {
+    import graft.forms.{FormDetector, SignatureCompare, SignatureSvg}
+    val dir = tmp()
+    ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 3)
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out", signatureArtifacts = true)
+    val svgs = spark.read.parquet(ExtractJob.signatureDir(s"$dir/out", snap.sequence))
+      .select("url", "signer", "svg").collect()
+    assert(svgs.nonEmpty, "no planted signed forms produced an SVG")
+    // exactly the signed-form population the pairing pipeline (q43) sees
+    val signed = SignatureCompare.signedForms(
+      ExtractJob.readPages(spark, s"$dir/pages")).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(svgs.map(_.getString(0)).toSet == signed)
+    val db = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    svgs.foreach { r =>
+      val url = r.getString(0); val svg = r.getString(2)
+      // well-formed standalone XML with the svg root + xmlns
+      val doc = db.parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+      assert(doc.getDocumentElement.getTagName == "svg", url)
+      assert(doc.getDocumentElement.getAttribute("xmlns") == "http://www.w3.org/2000/svg", url)
+      val nPaths = doc.getDocumentElement.getElementsByTagName("path").getLength
+      assert(nPaths >= 1, url)
+      // exact single-threaded oracle: re-derive the artifact from the
+      // planted page (the byte-identity pattern of the text snapshot)
+      val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+      val fields = FormDetector.detectHtml(
+        PageGen.genRow(PageGen.DefaultSeed, idx).page.html).fields
+      val golden = SignatureSvg.trace(SignatureSvg.inkText(fields).get)
+      assert(svg == golden, s"svg mismatch for $url")
+      // the vectorization is real: one path per connected ink component
+      // (= non-whitespace chars of the capped ink text)
+      val expectPaths = SignatureSvg.inkText(fields).get
+        .take(SignatureSvg.MaxChars).count(!_.isWhitespace)
+      assert(nPaths == expectPaths, s"path count for $url")
+    }
+    // default-off: the flagship job writes no signature sidecar
+    val dir2 = tmp()
+    ExtractJob.generatePages(spark, 60, s"$dir2/pages", partitions = 2)
+    val s2 = ExtractJob.run(spark, s"$dir2/pages", s"$dir2/out")
+    assert(!new java.io.File(ExtractJob.signatureDir(s"$dir2/out", s2.sequence)).exists())
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")
