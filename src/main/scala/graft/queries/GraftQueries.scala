@@ -939,6 +939,38 @@ object GraftQueries {
           UrlCanon.canonicalize(col("url_raw")).as("canon_url"))
     }),
 
+    // URL curation filter (RefinedWeb §3.1 / C4 first rung): adversarial
+    // url variants decorated deterministically onto the pages urls by
+    // doc_id % 7 (strict+soft words, raw-IP host, digit-stuffed host,
+    // over-long url, blocklisted-subdomain), then scored and verdicted
+    // by UrlFilter — one map-side codegen'd projection (literal-array
+    // blocklist membership, no join, no UDF), mirrored 1:1 in DuckDB.
+    "q80_url_filter" -> ((s, d) => {
+      val seven = pmod(col("doc_id"), lit(7))
+      val idStr = col("doc_id").cast("string")
+      val decorated = s.read.parquet(pagesPath(s, d))
+        .select(col("url"),
+          expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
+          regexp_extract(col("url"), "^https://([^/]+)/", 1).as("h0"))
+        .withColumn("url_raw",
+          when(seven === 1, concat(lit("https://"), col("h0"),
+            lit("/casino/poker/page/"), idStr))
+          .when(seven === 2, concat(lit("https://203.0.113."),
+            pmod(col("doc_id"), lit(200)).cast("string"), lit("/page/"), idStr))
+          .when(seven === 3, concat(col("url"), lit("/"), lit("y" * 150)))
+          .when(seven === 4, concat(lit("https://cdn."), col("h0"),
+            lit("/page/"), idStr))
+          .when(seven === 5, concat(lit("https://"), col("h0"),
+            lit("/torrent/page/"), idStr))
+          .when(seven === 6, concat(lit("https://a12345678b.example.org/page/"), idStr))
+          .otherwise(col("url")))
+        .select(col("doc_id"), col("url_raw"))
+      graft.ops.UrlFilter.verdicts(decorated, "url_raw")
+        .select(col("doc_id"), col("url_raw"), col("host"),
+          col("score").cast("int").as("score"),
+          col("blocklisted"), col("blocked"), col("reason"))
+    }),
+
     // backward as-of join: each event picks up the most recent order of
     // the same customer at-or-before the event time — the "state in
     // force at event time" join. AsOf.joinBackward is the single-shuffle
@@ -2350,6 +2382,52 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // the url filter re-derived 1:1: same variant decoration, same
+    // integer word/structure score, same suffix-membership blocklist
+    // (the word lists and blocklist are EMITTED from the Scala
+    // constants — the q26 stopword-table pattern)
+    "q80_url_filter" -> {
+      val strict = graft.ops.UrlFilter.StrictWords
+        .map(w => s"CASE WHEN contains(lu, '$w') THEN 3 ELSE 0 END").mkString(" + ")
+      val soft = graft.ops.UrlFilter.SoftWords
+        .map(w => s"CASE WHEN contains(lu, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+      val bl = graft.ops.UrlFilter.DemoBlocklist
+        .map(dm => s"(host = '$dm' OR suffix(host, '.$dm'))").mkString(" OR ")
+      s"""WITH pages AS (
+         |  SELECT url,
+         |    CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |    regexp_extract(url, '^https://([^/]+)/', 1) AS h0
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |messy AS (
+         |  SELECT doc_id, CASE CAST(doc_id % 7 AS INTEGER)
+         |    WHEN 1 THEN 'https://' || h0 || '/casino/poker/page/' || CAST(doc_id AS VARCHAR)
+         |    WHEN 2 THEN 'https://203.0.113.' || CAST(doc_id % 200 AS VARCHAR) || '/page/' || CAST(doc_id AS VARCHAR)
+         |    WHEN 3 THEN url || '/' || repeat('y', 150)
+         |    WHEN 4 THEN 'https://cdn.' || h0 || '/page/' || CAST(doc_id AS VARCHAR)
+         |    WHEN 5 THEN 'https://' || h0 || '/torrent/page/' || CAST(doc_id AS VARCHAR)
+         |    WHEN 6 THEN 'https://a12345678b.example.org/page/' || CAST(doc_id AS VARCHAR)
+         |    ELSE url END AS url_raw
+         |  FROM pages),
+         |feat AS (
+         |  SELECT doc_id, url_raw, lower(url_raw) AS lu,
+         |    split_part(lower(split_part(split_part(url_raw, '://', 2), '/', 1)), ':', 1) AS host
+         |  FROM messy),
+         |scored AS (
+         |  SELECT doc_id, url_raw, host,
+         |    CAST($strict + $soft
+         |      + CASE WHEN regexp_matches(host, '^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$') THEN 3 ELSE 0 END
+         |      + CASE WHEN length(regexp_replace(host, '[^0-9]', '', 'g')) >= 8 THEN 2 ELSE 0 END
+         |      + CASE WHEN length(url_raw) > 160 THEN 1 ELSE 0 END AS INTEGER) AS score,
+         |    ($bl) AS blocklisted
+         |  FROM feat)
+         |SELECT doc_id, url_raw, host, score, blocklisted,
+         |  blocklisted OR score >= ${graft.ops.UrlFilter.ScoreThreshold} AS blocked,
+         |  CASE WHEN blocklisted THEN 'blocklist'
+         |       WHEN score >= ${graft.ops.UrlFilter.ScoreThreshold} THEN 'score'
+         |       ELSE 'ok' END AS reason
+         |FROM scored""".stripMargin
+    },
 
     // the heavy-hitter SET is exact (sketch only prunes candidates):
     // DuckDB just counts everything and applies the integer threshold

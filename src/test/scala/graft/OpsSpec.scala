@@ -848,4 +848,38 @@ class OpsSpec extends AnyFunSuite {
     assert(gotP(1L) == ((3L, 650000L, 216666L)), s"doc1 pruned ${gotP(1L)}")
     assert(gotP(2L) == ((2L, 450000L, 225000L)), s"doc2 pruned ${gotP(2L)}")
   }
+
+  test("url filter: suffix blocklist semantics, integer score, scale-path drop == verdict filter") {
+    import spark.implicits._
+    import graft.ops.UrlFilter
+    val urls = Seq(
+      "https://site-0000.example.org/page/1",        // exact blocklist hit
+      "https://cdn.site-0001.example.org/page/2",    // subdomain hit
+      "https://notsite-0000.example.org/page/3",     // NOT a hit (label boundary)
+      "https://site-9999.example.org/casino/poker/4",// words 3+1=4 -> blocked
+      "https://203.0.113.9/page/5",                  // raw IP +3, digits 8 -> +2
+      "https://site-9999.example.org/torrent/6",     // soft word only -> ok
+      s"https://site-9999.example.org/${"y" * 170}", // over-long +1 -> ok
+      "https://a12345678b.example.org/page/8")       // digit-stuffed +2 -> ok
+    val df = urls.toDF("url")
+    val v = UrlFilter.verdicts(df, "url").collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("score"), r.getAs[Boolean]("blocklisted"),
+          r.getAs[Boolean]("blocked"), r.getAs[String]("reason")))).toMap
+    assert(v(urls(0)) == ((0, true, true, "blocklist")))
+    assert(v(urls(1)) == ((0, true, true, "blocklist")))
+    assert(v(urls(2)) == ((0, false, false, "ok")), s"label boundary: ${v(urls(2))}")
+    assert(v(urls(3)) == ((4, false, true, "score")))
+    assert(v(urls(4)) == ((5, false, true, "score")))
+    assert(v(urls(5)) == ((1, false, false, "ok")))
+    assert(v(urls(6)) == ((1, false, false, "ok")))
+    assert(v(urls(7)) == ((2, false, false, "ok")))
+    // the UT1-scale drop (explode -> broadcast equi-join -> anti) keeps
+    // exactly the rows the literal-array verdict marks unblocklisted
+    val blDf = UrlFilter.DemoBlocklist.toDF("domain")
+    val kept = UrlFilter.dropBlocklisted(df, "url", blDf)
+      .collect().map(_.getString(0)).toSet
+    val expect = v.collect { case (u, (_, false, _, _)) => u }.toSet
+    assert(kept == expect)
+  }
 }

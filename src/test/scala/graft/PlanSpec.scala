@@ -230,6 +230,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "canonicalization must not use interpreted parse_url")
   }
 
+  test("q80 url filter is a zero-shuffle, join-free, UDF-free projection (blocklist inlined)") {
+    val df = graft.queries.GraftQueries.queries("q80_url_filter")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("Exchange"), s"url filter must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"literal-array membership must not plan a join:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "url filter must stay codegen'd (no UDF)")
+    assert(!hasParseUrl(df), "url filter must not use interpreted parse_url")
+  }
+
   test("q65 as-of join is the single-shuffle union+window form (no range theta-join)") {
     val df = graft.queries.GraftQueries.queries("q65_asof_join")(spark, d)
     val p = executedPlan(df)
