@@ -939,6 +939,16 @@ object GraftQueries {
           UrlCanon.canonicalize(col("url_raw")).as("canon_url"))
     }),
 
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // bucket models for the TARGET slice (lang='eng' — "look like the
+    // English target") vs the full raw corpus, fixed-point importance
+    // score per doc, deterministic top-quantile keep. One corpus-sized
+    // exchange; delta model + quantile cut broadcast (see ops.Dsir).
+    "q81_dsir_select" -> ((s, d) =>
+      graft.ops.Dsir.select(
+        t(s, d, "documents"), "doc_id", "text",
+        targetPred = col("lang") === "eng")),
+
     // URL curation filter (RefinedWeb §3.1 / C4 first rung): adversarial
     // url variants decorated deterministically onto the pages urls by
     // doc_id % 7 (strict+soft words, raw-IP host, digit-stuffed host,
@@ -2382,6 +2392,13 @@ object GraftQueries {
          |  host_norm || path_norm ||
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
          |FROM normed""".stripMargin,
+
+    // the full DSIR pipeline re-derived: same md5-prefix buckets, same
+    // add-one fixed-point models, same linear importance fold, same
+    // exact interpolated quantile cut
+    "q81_dsir_select" ->
+      graft.ops.Dsir.selectSql(
+        "(SELECT doc_id, lang = 'eng' AS is_tgt, text AS t FROM documents)"),
 
     // the url filter re-derived 1:1: same variant decoration, same
     // integer word/structure score, same suffix-membership blocklist

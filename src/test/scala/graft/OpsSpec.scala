@@ -882,4 +882,37 @@ class OpsSpec extends AnyFunSuite {
     val expect = v.collect { case (u, (_, false, _, _)) => u }.toSet
     assert(kept == expect)
   }
+
+  test("dsir: target-vocabulary docs outscore off-target docs, quantile keep, determinism") {
+    import spark.implicits._
+    import graft.ops.Dsir
+    // target slice speaks vocabulary A, the rest vocabulary B; two
+    // probe docs (not in the target slice) speak pure A / pure B —
+    // importance must rank the A-probe above every B doc
+    val tgtDocs = (0 until 8).map(i => (i.toLong, s"alpha beta gamma delta alpha beta g$i", "eng"))
+    val rawB = (8 until 16).map(i => (i.toLong, s"zeta eta theta iota zeta eta z$i", "other"))
+    val probeA = Seq((16L, "alpha beta gamma delta alpha beta", "other"))
+    val probeB = Seq((17L, "zeta eta theta iota zeta eta", "other"))
+    val df = (tgtDocs ++ rawB ++ probeA ++ probeB).toDF("doc_id", "text", "lang")
+    val out = Dsir.select(df, "doc_id", "text", col("lang") === "eng")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows.size == 18)
+    // n_grams = tokens + bigrams = 2t - 1
+    assert(rows(16L)._1 == 11)
+    // the A-probe outscores the B-probe and every B doc
+    val bScores = (8L until 16L).map(rows(_)._2) :+ rows(17L)._2
+    assert(bScores.forall(_ < rows(16L)._2),
+      s"A-probe ${rows(16L)._2} vs B scores ${bScores.mkString(",")}")
+    // keep quantile: exactly the top-quantile set is selected
+    val scores = rows.values.map(_._2).toSeq.sorted
+    val selected = rows.values.count(_._3)
+    assert(selected >= 1 && selected <= rows.size / 2)
+    assert(rows.values.filter(_._3).map(_._2).min >=
+      rows.values.filterNot(_._3).map(_._2).max)
+    // determinism
+    val again = Dsir.select(df, "doc_id", "text", col("lang") === "eng")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(again == rows)
+  }
 }

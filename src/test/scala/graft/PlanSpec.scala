@@ -230,6 +230,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "canonicalization must not use interpreted parse_url")
   }
 
+  test("q81 dsir: delta model + quantile cut broadcast, no cartesian, no UDF") {
+    val df = graft.queries.GraftQueries.queries("q81_dsir_select")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"scalar joins must broadcast:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "dsir must stay expression-only (no UDF)")
+    assert(p.contains("BroadcastExchange"), "delta model / cut must broadcast")
+  }
+
   test("q80 url filter is a zero-shuffle, join-free, UDF-free projection (blocklist inlined)") {
     val df = graft.queries.GraftQueries.queries("q80_url_filter")(spark, d)
     val p = executedPlan(df)
