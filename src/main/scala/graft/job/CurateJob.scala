@@ -9,6 +9,10 @@ import graft.ops.{Balance, Dedup, Hosts, Repetition, TextStats}
   * each oracle-backed on the query surface into one dataset build:
   *
   *   extraction snapshots (ExtractJob/SnapshotStore output)
+  *     → url blocklist/score rung      q80 kernel (UrlFilter), optional:
+  *                                     the RefinedWeb FIRST stage — the
+  *                                     cheapest signal drops docs before
+  *                                     any content-sized work
   *     → exact content dedup           q12 rule: min-url keeper per md5
   *     → fuzzy (MinHash) dedup         q20 LSH pairs + q47 components,
   *                                     keep each cluster's canonical
@@ -39,6 +43,8 @@ object CurateJob {
   final case class Funnel(
       extracted: Long,  // rows in the extraction table
       html: Long,       // clean html docs entering curation
+      urlFiltered: Long, // after the url blocklist/score rung (== html
+                         // when no blocklist was supplied)
       deduped: Long,    // after exact content dedup
       fuzzyDeduped: Long, // after MinHash near-dup clustering (keep-one)
       semanticDeduped: Long, // after embedding-level SemDeDup (== fuzzyDeduped
@@ -53,15 +59,32 @@ object CurateJob {
     *   farthest from its cell centroid. Docs WITHOUT an embedding pass
     *   through untouched (dedup what you can measure — at production
     *   scale the embedding table lags the crawl by one model pass). */
+  /** @param urlBlocklist optional domain blocklist — when present, the
+    *   RefinedWeb FIRST rung runs before any content work: docs whose
+    *   host is (a subdomain of) a listed domain, or whose url trips the
+    *   word/structure score, are dropped map-side (ops.UrlFilter, the
+    *   q80 kernel). None keeps the stage out of the funnel (the q57
+    *   oracle mirrors the blocklist-free chain). */
   def run(spark: SparkSession, extractRoot: String, outRoot: String,
           perHostCap: Int = 1000, fuzzyThreshold: Double = 0.6,
           embeddings: Option[org.apache.spark.sql.DataFrame] = None,
-          semThreshold: Double = 0.9, semCells: Int = 16): Funnel = {
+          semThreshold: Double = 0.9, semCells: Int = 16,
+          urlBlocklist: Option[Seq[String]] = None): Funnel = {
     val table = ExtractJob.readExtracted(spark, extractRoot)
-    val base = table
+    val base0 = table
       .filter(col("error").isNull && col("payload_kind") === "html" &&
         length(col("extracted_text")) > 0)
       .select(col("url"), col("extracted_text"))
+
+    // url rung (first, like the published recipes: cheapest signal
+    // drops payload before any content-sized work)
+    val base = urlBlocklist match {
+      case Some(bl) =>
+        graft.ops.UrlFilter.verdicts(base0, "url", bl)
+          .filter(!col("blocked"))
+          .select(col("url"), col("extracted_text"))
+      case None => base0
+    }
 
     // url uniqueness first: the snapshot chain anti-joins urls ACROSS
     // snapshots, but a url re-crawled with changed content within one
@@ -151,14 +174,15 @@ object CurateJob {
         .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       val funnel = Funnel(
         extracted = table.count(),
-        html = base.count(),
+        html = base0.count(),
+        urlFiltered = if (urlBlocklist.isDefined) base.count() else base0.count(),
         deduped = deduped.count(),
         fuzzyDeduped = fuzzyDeduped.count(),
         semanticDeduped = feats.count(),
         gated = gated.count(),
         kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
-        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"semantic_deduped":${funnel.semanticDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"url_filtered":${funnel.urlFiltered},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"semantic_deduped":${funnel.semanticDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")
@@ -181,8 +205,8 @@ object CurateCli {
     val cap = if (args.length > 2) args(2).toInt else 1000
     val f = CurateJob.run(spark, args(0), args(1), cap)
     println(s"curated ${f.kept} docs (extracted=${f.extracted} html=${f.html} " +
-      s"deduped=${f.deduped} fuzzy=${f.fuzzyDeduped} semantic=${f.semanticDeduped} " +
-      s"gated=${f.gated}) at ${args(1)}")
+      s"urlFiltered=${f.urlFiltered} deduped=${f.deduped} fuzzy=${f.fuzzyDeduped} " +
+      s"semantic=${f.semanticDeduped} gated=${f.gated}) at ${args(1)}")
     spark.stop()
   }
 }

@@ -42,9 +42,12 @@ class CurateJobSpec extends AnyFunSuite {
     val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated", perHostCap = 3)
 
     // funnel is a monotone filter chain and the manifest records it
-    assert(f.extracted >= f.html && f.html >= f.deduped &&
+    assert(f.extracted >= f.html && f.html >= f.urlFiltered &&
+      f.urlFiltered >= f.deduped &&
       f.deduped >= f.fuzzyDeduped && f.fuzzyDeduped >= f.gated &&
       f.gated >= f.kept && f.kept > 0, f.toString)
+    // no blocklist supplied: the url rung is a pass-through
+    assert(f.urlFiltered == f.html)
     // the generator plants near-dup mirrors: the fuzzy stage must bite
     assert(f.fuzzyDeduped < f.deduped, "expected near-dup mirrors to fold")
     val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
@@ -81,6 +84,26 @@ class CurateJobSpec extends AnyFunSuite {
     val out2 = spark.read.parquet(s"$dir/curated2/data")
     assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty,
       "curation is not deterministic")
+  }
+
+  test("curate: optional url rung drops blocklisted-host docs first, funnel records it") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 400, s"$dir/pages", partitions = 3)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // block the zipfian head host: the rung must bite, and every
+    // surviving stage (and the curated output) must be free of it
+    val bl = Seq("site-0000.example.org")
+    val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated",
+      perHostCap = 1000, urlBlocklist = Some(bl))
+    assert(f.urlFiltered < f.html, f.toString)
+    assert(f.urlFiltered >= f.deduped && f.deduped >= f.kept && f.kept > 0, f.toString)
+    val out = spark.read.parquet(s"$dir/curated/data")
+    assert(out.filter(col("host") === "site-0000.example.org").count() == 0)
+    val manifest = Files.readString(java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
+    assert(manifest.contains(s""""url_filtered":${f.urlFiltered}"""), manifest)
+    // the blocklist-free run keeps those docs (the rung, not the data)
+    val f0 = CurateJob.run(spark, s"$dir/out", s"$dir/curated0", perHostCap = 1000)
+    assert(f0.urlFiltered == f0.html && f0.kept > f.kept, s"$f0 vs $f")
   }
 
   test("curate: optional SemDeDup stage folds planted embedding-mirrors; docs without embeddings pass through") {
