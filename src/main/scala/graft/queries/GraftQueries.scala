@@ -363,6 +363,43 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** VLM classification ledger dump (q82): the transport-pluggable
+    * client stage ([[graft.vlm.VlmStage]]) run with the deterministic
+    * stub over the raster dump, domain hints assigned as a pure
+    * function of the page index so both engines re-derive them. Every
+    * dumped value — prompt selection, retry/fallback accounting, the
+    * token/duration ledger, the response text itself — is a pure
+    * function of md5(img) + the shared prompt/label tables, so q82's
+    * oracle re-derives the WHOLE ledger from the raster dump; the only
+    * non-SQL step is the client loop under verification. */
+  def vlmDumpPath(rows: Int): String =
+    s"/tmp/graft_vlm_cache/g${graft.gen.PageGen.GenVersion}-${graft.pdf.PageRaster.Version}-v${graft.vlm.VlmStage.Version}s${graft.vlm.StubVlm.Version}-rows$rows"
+
+  /** q82 domain-hint rotation — 'insurance' is deliberately NOT in the
+    * prompt table, so the detector.py:166 general-fallback path runs. */
+  val VlmDomains: Vector[String] =
+    Vector("financial", "legal", "medical", "insurance", "general")
+
+  def vlmCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = vlmDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = rasterCached(spark, sfDir)
+          .select(col("url"), col("page_no").cast("int"), col("img"),
+            element_at(array(VlmDomains.map(lit): _*),
+              (expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)")
+                % 5).cast("int") + 1))
+          .as[(String, Int, Array[Byte], String)]
+        atomicDump(
+          graft.vlm.VlmStage.classifyPages(pages, graft.vlm.StubVlm).toDF(),
+          path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -1664,6 +1701,34 @@ object GraftQueries {
           (abs(col("median_centi") - planted) <= 50).as("recovered_ok"))
     }),
 
+    // VLM client analog (the reference's one previously-inexecutable
+    // module, vlm/client.py + detector.py:148-199): the staged ledger
+    // is the REAL client loop's output (prompt selection, bounded
+    // retry, never-throw fallback, token/duration accounting) under
+    // the deterministic stub transport; this query re-parses the
+    // responses with the F12 parser and applies the unknown/low
+    // fallback for dead-transport rows. The oracle re-derives the
+    // ENTIRE ledger — responses included — from md5(img) over the
+    // raster dump plus the shared prompt/label tables.
+    "q82_vlm_classify" -> ((s, d) => {
+      import graft.nlp.ResponseParser
+      val failed = col("status") === "failed"
+      vlmCached(s, d).select(
+        col("url"), col("page_no").cast("int").as("page_no"),
+        col("domain"), col("prompt_key"), col("status"),
+        col("attempts").cast("int").as("attempts"), col("model"),
+        col("prompt_eval_count").cast("long").as("prompt_eval_count"),
+        col("eval_count").cast("long").as("eval_count"),
+        col("total_duration_micros").cast("long").as("total_duration_micros"),
+        md5(col("response").cast("binary")).as("response_md5"),
+        when(failed, lit("unknown"))
+          .otherwise(ResponseParser.docType(col("response"))).as("doc_type"),
+        when(failed, lit("unknown"))
+          .otherwise(ResponseParser.category(col("response"))).as("category"),
+        when(failed, lit("low"))
+          .otherwise(ResponseParser.confidence(col("response"))).as("confidence"))
+    }),
+
     // form detection over raw pages (sibling pipeline to extraction) —
     // scans the materialized detection table, not the raw corpus
     "q31_form_detect" -> ((s, d) => {
@@ -2923,6 +2988,74 @@ object GraftQueries {
          |       ELSE CAST(0.0 AS DOUBLE) END AS corrected_centi,
          |  TRUE AS recovered_ok
          |FROM m""".stripMargin,
+
+    // the ENTIRE vlm client ledger re-derived from md5(img) over the
+    // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm
+    // emit their own tables into this SQL, so engine and oracle can't
+    // drift): domain rotation, prompt selection with the general
+    // fallback, the planted fault schedule (ff→permanent, a→transient),
+    // attempt accounting, whitespace-token + fake-clock ledgers, the
+    // response text itself, and the parse through the same F12 SQL
+    "q82_vlm_classify" -> {
+      import graft.vlm.{StubVlm, VlmPrompts, VlmStage}
+      def lst(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val prompts = VlmPrompts.classification.toMap
+      val bareCase = Seq("financial", "legal", "medical").map { k =>
+        val choices = StubVlm.promptChoices(prompts(k))
+        s"WHEN prompt_key = '$k' THEN list_extract(${lst(choices)}, (h1 % ${choices.size}) + 1)"
+      }.mkString("\n      ")
+      val ptokCase = VlmPrompts.classification.map { case (k, p) =>
+        s"WHEN '$k' THEN ${VlmPrompts.sqlTokens(VlmPrompts.sqlLit(p))}"
+      }.mkString("\n      ")
+      val rTok = VlmPrompts.sqlTokens("response")
+      val it = VlmPrompts.ImageTokens
+      val ppt = StubVlm.MicrosPerPromptToken
+      val pet = StubVlm.MicrosPerEvalToken
+      val pen = VlmStage.AttemptPenaltyMicros
+      import graft.nlp.ResponseParser
+      s"""WITH r AS (
+         |  SELECT url, page_no, md5(lower(hex(img))) AS d,
+         |    CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS idx
+         |  FROM read_parquet('${rasterDumpPath(oracleRows)}/*.parquet')),
+         |k AS (
+         |  SELECT url, CAST(page_no AS INTEGER) AS page_no, d,
+         |    CAST(('0x' || substr(d, 2, 1)) AS INT) AS h1,
+         |    CAST(('0x' || substr(d, 3, 1)) AS INT) AS h2,
+         |    CAST(('0x' || substr(d, 4, 1)) AS INT) AS h3,
+         |    substr(d, 1, 2) = 'ff' AS is_failed,
+         |    CASE WHEN substr(d, 1, 2) = 'ff' OR substr(d, 1, 1) = 'a'
+         |      THEN 2 ELSE 1 END AS attempts,
+         |    list_extract(${lst(VlmDomains)}, CAST(idx % 5 AS INT) + 1) AS domain
+         |  FROM r),
+         |p AS (
+         |  SELECT *, CASE WHEN domain IN ('financial', 'legal', 'medical')
+         |      THEN domain ELSE 'general' END AS prompt_key
+         |  FROM k),
+         |resp AS (
+         |  SELECT *,
+         |    CASE WHEN is_failed THEN ''
+         |      $bareCase
+         |      ELSE 'TYPE: ' || list_extract(${lst(StubVlm.rawTypes)}, h1 + 1)
+         |        || chr(10) || 'CATEGORY: ' || list_extract(${lst(StubVlm.rawCats)}, h2 + 1)
+         |        || chr(10) || 'CONFIDENCE: ' || list_extract(${lst(StubVlm.rawConfs)}, (h3 % 4) + 1)
+         |    END AS response,
+         |    CASE prompt_key $ptokCase END AS ptoks
+         |  FROM p)
+         |SELECT url, page_no, domain, prompt_key,
+         |  CASE WHEN is_failed THEN 'failed' ELSE 'ok' END AS status,
+         |  CAST(attempts AS INTEGER) AS attempts,
+         |  '${StubVlm.model}' AS model,
+         |  CAST(CASE WHEN is_failed THEN 0 ELSE ptoks + $it END AS BIGINT) AS prompt_eval_count,
+         |  CAST(CASE WHEN is_failed THEN 0 ELSE $rTok END AS BIGINT) AS eval_count,
+         |  CAST(CASE WHEN is_failed THEN attempts * $pen
+         |       ELSE (attempts - 1) * $pen + (ptoks + $it) * $ppt + $rTok * $pet
+         |       END AS BIGINT) AS total_duration_micros,
+         |  md5(response) AS response_md5,
+         |  CASE WHEN is_failed THEN 'unknown' ELSE ${ResponseParser.sqlDocType("response")} END AS doc_type,
+         |  CASE WHEN is_failed THEN 'unknown' ELSE ${ResponseParser.sqlCategory("response")} END AS category,
+         |  CASE WHEN is_failed THEN 'low' ELSE ${ResponseParser.sqlConfidence("response")} END AS confidence
+         |FROM resp""".stripMargin
+    },
 
     // the FULL PQ-ADC ranking re-derived from the dumped codes +
     // quantized codebooks: same floored-micros query slices, same exact
