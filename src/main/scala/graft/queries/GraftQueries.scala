@@ -1914,6 +1914,7 @@ object GraftQueries {
     pqCached(spark, sfDir)
     rasterCached(spark, sfDir)
     deskewCached(spark, sfDir)
+    vlmCached(spark, sfDir)
     ivfadcCached(spark, sfDir)
     tokenCountsCached(spark, sfDir)
     bigramCountsCached(spark, sfDir)

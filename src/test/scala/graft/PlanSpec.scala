@@ -247,6 +247,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "url filter must not use interpreted parse_url")
   }
 
+  test("q82 vlm classify is a zero-shuffle, join-free projection over the staged ledger") {
+    // the client loop runs at staging time (vlmCached); the query itself
+    // must stay a scan + codegen'd parse projection — at 100 TB the
+    // ledger re-read costs one map-side pass, never an exchange
+    val df = graft.queries.GraftQueries.queries("q82_vlm_classify")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("Exchange"), s"vlm parse must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), s"vlm parse must not plan a join:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "response parse must stay codegen'd (no UDF)")
+  }
+
   test("q65 as-of join is the single-shuffle union+window form (no range theta-join)") {
     val df = graft.queries.GraftQueries.queries("q65_asof_join")(spark, d)
     val p = executedPlan(df)

@@ -85,6 +85,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vlm stub: total modulo the fault schedule, ledger arithmetic invariant") {
+    import graft.vlm.{StubVlm, VlmPrompts, VlmUnavailable}
+    val b64 = java.util.Base64.getEncoder
+    val genBytes = Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    forSamples(genBytes, 300) { img =>
+      val d = StubVlm.digestOf(img)
+      val (_, prompt) = VlmPrompts.classifyPrompt(
+        Seq("financial", "legal", "medical", "general", "x")(math.abs(img.length) % 5))
+      try {
+        val r = StubVlm.generate(prompt, b64.encodeToString(img), 0, 4096, 2)
+        assert(!d.startsWith("ff")) // only permanent faults throw at attempt 2
+        // determinism + ledger arithmetic for every sampled image
+        assert(r == StubVlm.generate(prompt, b64.encodeToString(img), 0, 4096, 2))
+        assert(r.promptEvalCount == VlmPrompts.tokens(prompt) + VlmPrompts.ImageTokens)
+        assert(r.evalCount == VlmPrompts.tokens(r.text) && r.text.nonEmpty)
+        assert(r.promptEvalDurationMicros == r.promptEvalCount * StubVlm.MicrosPerPromptToken)
+        assert(r.evalDurationMicros == r.evalCount * StubVlm.MicrosPerEvalToken)
+      } catch {
+        case _: VlmUnavailable => assert(d.startsWith("ff"))
+      }
+    }
+  }
+
   test("jaccard is symmetric, bounded, reflexive") {
     val arr = Gen.containerOf[Array, Long](Gen.choose(Long.MinValue, Long.MaxValue))
     forAll(arr, arr, minSuccessful(100)) { (a, b) =>
