@@ -951,6 +951,25 @@ object GraftQueries {
           col("dup_of"), col("best_jaccard"))
     }),
 
+    // Bloom-filter incremental dedup — the constant-memory companion to
+    // q63's join form (see ops/BloomDedup.scala for the at-scale story):
+    // corpus = doc_id <= floor(max*0.9), batch = the rest; the Bloom
+    // verdict comes from 6 non-overlapping 20-bit md5 digest slices
+    // over the q37-normalized text (md5/substring/conv — codegen'd
+    // builtins, bit-identical in DuckDB), the relational broadcast-join
+    // form here proven ≡ the Array[Long] bitset form in BloomDedupSpec.
+    "q83_bloom_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cut = docs.agg(floor(max("doc_id") * 0.9).cast("long").as("cut"))
+      val corpus = docs.crossJoin(broadcast(cut))
+        .filter(col("doc_id") <= col("cut")).drop("cut")
+      val batch = docs.crossJoin(broadcast(cut))
+        .filter(col("doc_id") > col("cut")).drop("cut")
+      graft.ops.BloomDedup.maybeDup(corpus, batch, "doc_id", "text")
+        .select(col("id").cast("long").as("doc_id"),
+          col("bloom_maybe"), col("is_dup_exact"))
+    }),
+
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
     // slash) decorated deterministically onto the pages urls by
@@ -2416,6 +2435,33 @@ object GraftQueries {
          |SELECT d.doc_id, (b.dup_of IS NOT NULL) AS is_dup, b.dup_of, b.best_jaccard
          |FROM docs d CROSS JOIN cut LEFT JOIN best b ON b.doc_id = d.doc_id
          |WHERE d.doc_id > cut.cut""".stripMargin,
+
+    // the Bloom verdict re-derived from the SAME md5 digest slices
+    // (md5 is bit-identical across engines; positions are 20-bit hex
+    // slices parsed with a 0x cast) — bloom_maybe = every distinct
+    // batch-doc position present in the corpus position set,
+    // is_dup_exact = key-level membership
+    "q83_bloom_dedup" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+        |  FROM documents),
+        |cut AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS c FROM keyed),
+        |pos AS (
+        |  SELECT doc_id, k, CAST('0x' || substr(k, 1 + i*5, 5) AS BIGINT) AS p
+        |  FROM keyed, unnest([0,1,2,3,4,5]) AS t(i)),
+        |corpus_pos AS (SELECT DISTINCT p FROM pos, cut WHERE doc_id <= c),
+        |corpus_keys AS (SELECT DISTINCT k FROM keyed, cut WHERE doc_id <= c),
+        |batch AS (SELECT doc_id, k FROM keyed, cut WHERE doc_id > c),
+        |agg AS (
+        |  SELECT bp.doc_id,
+        |    count(DISTINCT bp.p) =
+        |      count(DISTINCT CASE WHEN cp.p IS NOT NULL THEN bp.p END) AS bloom_maybe
+        |  FROM pos bp JOIN batch b ON bp.doc_id = b.doc_id
+        |  LEFT JOIN corpus_pos cp ON bp.p = cp.p
+        |  GROUP BY 1)
+        |SELECT b.doc_id, a.bloom_maybe, (ck.k IS NOT NULL) AS is_dup_exact
+        |FROM batch b JOIN agg a ON a.doc_id = b.doc_id
+        |LEFT JOIN corpus_keys ck ON b.k = ck.k""".stripMargin,
 
     // canonicalization re-derived rule by rule (split_part/list slicing
     // in place of substring_index; same decoration CASE on doc_id % 5)
