@@ -458,6 +458,23 @@ object ExtractJob {
     }
   }
 
+  /** Incremental consumption: ONLY the rows added by snapshots
+    * `fromSeq+1 .. toSeq` (the reference's downstream consumers poll a
+    * queue per new document, /root/reference/ocrworker/tasks.py
+    * notify flow; here a consumer checkpoints the last sequence it
+    * processed and reads just the delta — O(batch) instead of
+    * O(table) per cycle). Compaction snapshots add no rows and are
+    * skipped; an empty window is a valid EMPTY table. */
+  def readChanges(spark: SparkSession, outRoot: String, fromSeq: Int, toSeq: Int): DataFrame = {
+    val dirs = SnapshotStore.changedDataDirs(outRoot, fromSeq, toSeq)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[ExtractedDoc].toDF()
+        .withColumn("partition_id", org.apache.spark.sql.functions.lit(0).cast("int"))
+    }
+  }
+
   /** Generate the deterministic synthetic pages table (distributed:
     * each row is a pure function of (seed, index)). `start` > 0 with
     * append mode models a growing crawl: new rows arrive as NEW files,

@@ -266,6 +266,40 @@ object SnapshotStore {
   def releaseLock(root: String): Unit =
     Files.deleteIfExists(Paths.get(root, "commit.lock"))
 
+  /** Incremental (changelog) read window: data dirs of the rows ADDED
+    * by snapshots `fromExclusive+1 .. to` — the Iceberg
+    * incremental-scan analog a downstream consumer uses to process
+    * only what arrived since its last checkpointed sequence, instead
+    * of rescanning the whole table (the difference between O(batch)
+    * and O(10^12) per consumption cycle).
+    *
+    * The store is append-only except compaction, and a compaction
+    * snapshot (`replaces` > 0) REWRITES existing rows without adding
+    * any — so it contributes nothing to a change window (Iceberg's
+    * incremental reads skip replace/rewrite snapshots the same way).
+    * Zero-row snapshots (idempotent no-op resumes) also contribute
+    * nothing. An out-of-range window is an ERROR, never a clamp; a
+    * window whose dirs were reclaimed by [[expireReplaced]] fails the
+    * same missing-dir integrity check as [[dataDirs]]. */
+  def changedDataDirs(root: String, fromExclusive: Int, to: Int): Seq[String] = {
+    val current = currentSequence(root)
+    require(fromExclusive >= 0 && to <= current && fromExclusive <= to,
+      s"invalid change window ($fromExclusive, $to] at $root (committed: 1..$current)")
+    (fromExclusive + 1 to to).flatMap { i =>
+      val m = readManifest(root, i)
+      val dir = parseStringField(m, "data_dir")
+      val rows = parseLongField(m, "row_count")
+      if (rows > 0 && dir.nonEmpty && parseLongField(m, "replaces") == 0L) {
+        if (!Files.exists(Paths.get(dir)))
+          throw new IllegalStateException(
+            s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
+              "expired or externally deleted; incremental reads over expired snapshots " +
+              "must restart from a full scan at the compaction boundary")
+        Some(dir)
+      } else None
+    }
+  }
+
   /** Sequence of the latest compaction snapshot (replaces > 0), 0 if
     * the chain has never been compacted. */
   def latestCompaction(root: String): Int =

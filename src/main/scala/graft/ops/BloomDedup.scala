@@ -108,11 +108,21 @@ object BloomDedup {
 
   /** Per batch doc: `bloom_maybe` (all K digest-slice positions present
     * in the corpus position set — the Bloom verdict, relationally) and
-    * `is_dup_exact` (key-level ground truth via left join). The corpus
-    * side collapses to ≤ min(K·|corpus|, MBits) distinct int rows —
+    * `is_dup_exact` (key-level ground truth). The corpus position side
+    * collapses to ≤ min(K·|corpus|, MBits) distinct int rows —
     * broadcast-able at any corpus size, so the only wide exchange is
-    * the batch's own groupBy(id), and Bloom guarantees
-    * is_dup_exact ⇒ bloom_maybe (no false negatives). */
+    * the batch's own groupBy(id) — and the exact-membership probe is
+    * CONFINED to the bloom-maybe rows: Bloom has no false negatives
+    * (is_dup_exact ⇒ bloom_maybe by construction), so definite-news
+    * skip the key join entirely and get is_dup_exact = false for free.
+    * That prune is the whole point at 10^12 corpus rows, where
+    * corpus_keys no longer broadcasts and the exact probe becomes a
+    * shuffle join whose probe side Bloom shrinks to the (rare) maybes.
+    *
+    * Scope boundary: the key is the EXACT normalized text, so this
+    * gates exact membership only — it must never pre-filter the
+    * MinHash near-dup rung ([[Dedup.incrementalCandidates]]): a doc
+    * with no exact match can still have near-duplicates. */
   def maybeDup(corpus: DataFrame, batch: DataFrame,
                idCol: String, textCol: String): DataFrame = {
     val corpusPos = positions(corpus, idCol, textCol).select("pos").distinct()
@@ -123,9 +133,12 @@ object BloomDedup {
       .groupBy("id")
       .agg((countDistinct(col("pos")) ===
         countDistinct(when(col("hit").isNotNull, col("pos")))).as("bloom_maybe"))
-    verdict
       .join(batchKeyed, Seq("id"))
+    val maybes = verdict.filter(col("bloom_maybe"))
       .join(broadcast(corpusKeys.withColumn("dup", lit(1))), Seq("k"), "left")
       .select(col("id"), col("bloom_maybe"), col("dup").isNotNull.as("is_dup_exact"))
+    val news = verdict.filter(!col("bloom_maybe"))
+      .select(col("id"), col("bloom_maybe"), lit(false).as("is_dup_exact"))
+    maybes.unionByName(news)
   }
 }

@@ -383,4 +383,40 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(snap2.sequence == 2 && snap2.rowCount == 0)
     assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 100)
   }
+
+  test("incremental reads: change windows are exact deltas, skip no-ops and compaction, error after expiry") {
+    val dir = tmp()
+    // three appends -> snapshots 1..3 (50 + 50 + 50 rows), then a no-op
+    ExtractJob.generatePages(spark, 50, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.generatePages(spark, 100, s"$dir/pages", partitions = 2, start = 50, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.generatePages(spark, 150, s"$dir/pages", partitions = 2, start = 100, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val noop = ExtractJob.run(spark, s"$dir/pages", s"$dir/out") // seq 4, 0 rows
+    assert(noop.rowCount == 0L)
+    // delta windows are exact: (1,3] = snaps 2+3's rows, disjoint from snap 1
+    val w23 = ExtractJob.readChanges(spark, s"$dir/out", 1, 3)
+    assert(w23.count() == 100)
+    val w1 = ExtractJob.readChanges(spark, s"$dir/out", 0, 1)
+    val all = ExtractJob.readExtracted(spark, s"$dir/out")
+    assert(w1.count() + w23.count() == all.count())
+    assert(w1.select("url").intersect(w23.select("url")).count() == 0)
+    // a window of only the no-op snapshot is a valid EMPTY table
+    assert(ExtractJob.readChanges(spark, s"$dir/out", 3, 4).count() == 0)
+    // compaction (seq 5) rewrites rows but ADDS none: window over it is empty
+    ExtractJob.compact(spark, s"$dir/out")
+    assert(ExtractJob.readChanges(spark, s"$dir/out", 4, 5).count() == 0)
+    // a window before the boundary still reads (retained dirs) until expiry
+    assert(ExtractJob.readChanges(spark, s"$dir/out", 1, 2).count() == 50)
+    SnapshotStore.expireReplaced(s"$dir/out")
+    val e = intercept[IllegalStateException] {
+      ExtractJob.readChanges(spark, s"$dir/out", 1, 2).count()
+    }
+    assert(e.getMessage.contains("missing"))
+    // out-of-range windows are errors, never clamps
+    intercept[IllegalArgumentException] {
+      ExtractJob.readChanges(spark, s"$dir/out", 0, 99)
+    }
+  }
 }
