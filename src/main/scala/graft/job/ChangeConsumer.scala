@@ -1,0 +1,61 @@
+package graft.job
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Checkpointed downstream consumption of the snapshot chain — the
+  * consumer half of the reference's queue notify flow (the worker
+  * posts a "document ready" event per document,
+  * /root/reference/ocrworker/tasks.py; downstream services consume the
+  * queue). Here the snapshot chain IS the queue: a consumer records
+  * the last sequence it processed in its own checkpoint file and each
+  * cycle processes exactly the delta window via
+  * [[ExtractJob.readChanges]] — O(new rows) per cycle at any table
+  * size.
+  *
+  * Delivery contract: AT-LEAST-ONCE. The checkpoint is advanced (via
+  * atomic tmp+move, same discipline as the store's version-hint) only
+  * AFTER `process` returns; a crash between processing and the
+  * checkpoint write replays the window on restart. Consumers therefore
+  * make processing idempotent — the same rule the extraction job
+  * itself follows with file-granular resume. Exactly-once is the
+  * composition: idempotent processing × at-least-once delivery.
+  */
+object ChangeConsumer {
+
+  /** Last consumed sequence recorded at `ckptFile`; 0 if never run. */
+  def lastConsumed(ckptFile: String): Int = {
+    val p = Paths.get(ckptFile)
+    if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8).trim.toInt else 0
+  }
+
+  private def writeCheckpoint(ckptFile: String, seq: Int): Unit = {
+    val target = Paths.get(ckptFile)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, seq.toString.getBytes(UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One consumption cycle: process rows added by snapshots
+    * `(lastConsumed, currentSequence]`, then advance the checkpoint.
+    * Returns the consumed window (from, to]; an empty window (nothing
+    * new) returns (to, to) without calling `process`. `process`
+    * receives the delta DataFrame plus the window bounds so consumers
+    * can tag their own outputs with the provenance window. */
+  def consumeOnce(spark: SparkSession, snapshotRoot: String, ckptFile: String)
+                 (process: (DataFrame, Int, Int) => Unit): (Int, Int) = {
+    val from = lastConsumed(ckptFile)
+    val to = SnapshotStore.currentSequence(snapshotRoot)
+    require(from <= to,
+      s"checkpoint $ckptFile is ahead of the chain ($from > $to) — wrong root or rolled-back store")
+    if (to > from) {
+      process(ExtractJob.readChanges(spark, snapshotRoot, from, to), from, to)
+      writeCheckpoint(ckptFile, to)
+    }
+    (from, to)
+  }
+}
