@@ -81,6 +81,44 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(merged, whole))
   }
 
+  test("fuzz: positions + verdict match driver recomputation on arbitrary unicode text") {
+    // deterministic scalacheck corpus: arbitrary unicode strings incl.
+    // multi-byte chars and exotic whitespace (md5 runs over UTF-8 bytes
+    // on both sides; \s is ASCII-only in Java AND RE2, so the q37 norm
+    // agrees across engines — this pins the Spark side to the JVM side)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    var seed = Seed(83L)
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', ' ', 'é', '中', ' ')))
+      .map(_.mkString)
+    val texts = (1 to 200).flatMap { i =>
+      val r = gen.apply(Gen.Parameters.default.withSize(1 + i % 64), seed)
+      seed = seed.next
+      r
+    }.distinct
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val half = rows.size / 2
+    val corpusF = frame(rows.take(half))
+    val batchF = frame(rows.drop(half) ++ rows.take(3).map { case (id, t) => (id + 10000L, t) })
+    val bits = BloomDedup.buildBitset(corpusF, "doc_id", "text")
+    val corpusKeys = rows.take(half).map(r => driverPositions(r._2)).map(_.mkString(",")).toSet
+    val got = BloomDedup.maybeDup(corpusF, batchF, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    val batchRows = batchF.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == batchRows.size)
+    got.foreach { case (id, maybe, exact) =>
+      val ps = driverPositions(batchRows(id))
+      assert(maybe == BloomDedup.maybeInBitset(bits, ps), s"doc $id verdict")
+      if (exact) assert(maybe, s"doc $id false negative")
+      // exact agrees with driver-side key membership (positions are a
+      // superset witness of the md5 key at 120/128 bits; the planted
+      // +10000 rows are the only true exact dups by construction)
+      if (id >= 10000L) assert(exact, s"planted dup $id missed")
+    }
+    assert(corpusKeys.nonEmpty)
+  }
+
   test("q83 over sf0.001 documents: invariant holds and broadcast join planned") {
     val df = graft.queries.GraftQueries.queries("q83_bloom_dedup")(spark, "/root/testdata/sf0.001")
     val rows = df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
