@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * "is this batch doc already in the 10^12-row corpus?".
   *
   * The reference's worker answers that question one document at a time
-  * with a primary-key lookup (reference `worker.py` re-OCR guard); our
+  * with a per-document existence check before doing work
+  * (/root/reference/ocrworker/tasks.py:176, the skip-if-present
+  * download guard); our
   * join-based analog (q63, [[Dedup.incrementalCandidates]]) shuffles
   * batch∪corpus band rows. At 10^12 corpus rows even the band join's
   * bounded fan-out pays a corpus-wide scan+shuffle per batch; the Bloom
