@@ -247,6 +247,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "url filter must not use interpreted parse_url")
   }
 
+  test("q83 bloom dedup: corpus sides broadcast, no cartesian, no UDF") {
+    // the 100 TB contract: the corpus collapses to the distinct
+    // position set (≤ 2^20 ints) and the distinct key set, BOTH
+    // broadcast — the only wide exchange is the batch's own groupBy
+    val df = graft.queries.GraftQueries.queries("q83_bloom_dedup")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"bloom joins must broadcast:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "corpus position/key sets must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide sort-merge join:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "bloom verdict must stay codegen'd (md5/conv builtins)")
+  }
+
   test("q82 vlm classify is a zero-shuffle, join-free projection over the staged ledger") {
     // the client loop runs at staging time (vlmCached); the query itself
     // must stay a scan + codegen'd parse projection — at 100 TB the
