@@ -59,3 +59,30 @@ object ChangeConsumer {
     (from, to)
   }
 }
+
+/** spark-submit-shaped downstream consumer (one cycle per invocation —
+  * schedule it like any poller):
+  *   runMain graft.job.ConsumeCli <snapshotRoot> <consumerDir>
+  * The demo consumer appends a per-host rollup of each delta window to
+  * `<consumerDir>/host_counts` tagged with the provenance window, so a
+  * replayed window (at-least-once) is identifiable and idempotently
+  * collapsible downstream. */
+object ConsumeCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ConsumeCli <snapshotRoot> <consumerDir>")
+    val spark = GraftSession.local()
+    import org.apache.spark.sql.functions._
+    val (from, to) = ChangeConsumer.consumeOnce(spark, args(0), s"${args(1)}/last_seq") {
+      (delta, f, t) =>
+        delta.filter(col("error").isNull)
+          .groupBy(graft.ops.Hosts.hostOf(col("url")).as("host"))
+          .agg(count(lit(1)).as("n_docs"), sum(length(col("extracted_text"))).as("n_chars"))
+          .withColumn("window_from", lit(f)).withColumn("window_to", lit(t))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"${args(1)}/host_counts")
+    }
+    println(if (to > from) s"consumed window ($from, $to]"
+            else s"nothing new (at seq=$to)")
+    spark.stop()
+  }
+}
