@@ -448,5 +448,14 @@ class ExtractJobSpec extends AnyFunSuite {
     // checkpoint ahead of the chain is an explicit error
     java.nio.file.Files.write(java.nio.file.Paths.get(ckpt), "9".getBytes)
     intercept[IllegalArgumentException] { cycle() }
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckpt), "3".getBytes)
+    // a consumer keeps working across a compaction boundary: the
+    // compaction snapshot (rows verbatim, none new) yields an empty
+    // cycle, and rows appended after it arrive exactly once
+    ExtractJob.compact(spark, s"$dir/out") // seq 4
+    assert(cycle() == (3, 4) && seen.last._3 == 0L)
+    ExtractJob.generatePages(spark, 160, s"$dir/pages", partitions = 2, start = 120, append = true)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out") // seq 5
+    assert(cycle() == (4, 5) && seen.last._3 == 40L)
   }
 }
