@@ -25,10 +25,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ChangeConsumer {
 
-  /** Last consumed sequence recorded at `ckptFile`; 0 if never run. */
+  /** Last consumed sequence recorded at `ckptFile`; 0 if never run. A
+    * corrupted checkpoint is an explicit error (silently treating it
+    * as 0 would replay the whole table into the consumer). */
   def lastConsumed(ckptFile: String): Int = {
     val p = Paths.get(ckptFile)
-    if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8).trim.toInt else 0
+    if (!Files.exists(p)) 0
+    else {
+      val raw = new String(Files.readAllBytes(p), UTF_8).trim
+      try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupted consumer checkpoint $ckptFile (content: '${raw.take(40)}') — " +
+            "refusing to default to 0 (that would replay the whole table); " +
+            "restore or delete it deliberately")
+      }
+    }
   }
 
   private def writeCheckpoint(ckptFile: String, seq: Int): Unit = {

@@ -457,5 +457,9 @@ class ExtractJobSpec extends AnyFunSuite {
     ExtractJob.generatePages(spark, 160, s"$dir/pages", partitions = 2, start = 120, append = true)
     ExtractJob.run(spark, s"$dir/pages", s"$dir/out") // seq 5
     assert(cycle() == (4, 5) && seen.last._3 == 40L)
+    // a corrupted checkpoint is an explicit refusal, never a full replay
+    java.nio.file.Files.write(java.nio.file.Paths.get(ckpt), "garbage".getBytes)
+    val ce = intercept[IllegalStateException] { cycle() }
+    assert(ce.getMessage.contains("corrupted"))
   }
 }
