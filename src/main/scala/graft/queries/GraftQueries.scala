@@ -1960,6 +1960,10 @@ object GraftQueries {
       // a bad VM window; a warm pass removes the compilation half
       queries("q36_jaccard_brute")(spark, warmSf).count(): Unit
       queries("q17_cosine_pairs")(spark, warmSf).count(): Unit
+      // q83's first-in-JVM rep pays ~6x in md5/conv codegen + the
+      // double broadcast build; one warm pass leaves the bench rows
+      // measuring the plan (9.4 s cold vs 1.4 s steady at sf0.1)
+      queries("q83_bloom_dedup")(spark, warmSf).count(): Unit
     }
   }
 
