@@ -970,6 +970,16 @@ object GraftQueries {
           col("bloom_maybe"), col("is_dup_exact"))
     }),
 
+    // BM25 retrieval (q84): integer-micros ranking of the extraction
+    // corpus against a fixed broadcast query workload — the retrieval
+    // rung of curation (find-training-docs-like-this audits, retrieval
+    // decontam). See ops/Bm25.scala for the fixed-point arithmetic, the
+    // documented log-free IDF deviation, and the 100 TB shape (query
+    // terms broadcast; the corpus text never shuffles — the explode
+    // dies at the broadcast semi-join unless the token is a query term).
+    "q84_bm25" -> ((s, d) =>
+      graft.ops.Bm25.retrieve(extractedPagesDocs(s, d), "doc_id", "text")),
+
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
     // slash) decorated deterministically onto the pages urls by
@@ -2466,6 +2476,16 @@ object GraftQueries {
         |SELECT b.doc_id, a.bloom_maybe, (ck.k IS NOT NULL) AS is_dup_exact
         |FROM batch b JOIN agg a ON a.doc_id = b.doc_id
         |LEFT JOIN corpus_keys ck ON b.k = ck.k""".stripMargin,
+
+    // BM25 re-derived end to end from the extraction dump: same integer
+    // micros, same log-free IDF, same (score DESC, doc_id ASC) ranking
+    // (Bm25.retrieveSql renders the workload VALUES and the arithmetic)
+    "q84_bm25" ->
+      graft.ops.Bm25.retrieveSql(
+        s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+           |        extracted_text AS text
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
 
     // canonicalization re-derived rule by rule (split_part/list slicing
     // in place of substring_index; same decoration CASE on doc_id % 5)

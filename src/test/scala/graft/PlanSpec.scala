@@ -259,6 +259,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "bloom verdict must stay codegen'd (md5/conv builtins)")
   }
 
+  test("q84 bm25: query workload broadcasts, corpus text never shuffles, no UDF") {
+    // the 100 TB contract: the only corpus-sized work is the map-side
+    // tokenize+explode that dies at the broadcast semi-join on query
+    // terms — tf/df/stats joins all broadcast, no corpus sort-merge
+    val df = graft.queries.GraftQueries.queries("q84_bm25")(spark, d)
+    val p = executedPlan(df)
+    assert(p.contains("BroadcastHashJoin"), "query-term join must broadcast")
+    assert(!p.contains("CartesianProduct"), s"bm25 must not plan a cartesian:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-wide sort-merge join:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "scoring must stay codegen'd integer arithmetic")
+  }
+
   test("q82 vlm classify is a zero-shuffle, join-free projection over the staged ledger") {
     // the client loop runs at staging time (vlmCached); the query itself
     // must stay a scan + codegen'd parse projection — at 100 TB the
