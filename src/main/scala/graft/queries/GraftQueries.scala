@@ -980,6 +980,15 @@ object GraftQueries {
     "q84_bm25" -> ((s, d) =>
       graft.ops.Bm25.retrieve(extractedPagesDocs(s, d), "doc_id", "text")),
 
+    // BPE tokenizer training (q85): the top-8 learned merges over the
+    // extraction corpus's head vocabulary — ops/Bpe.scala documents the
+    // chain-skip deviation and the 100 TB shape (one corpus-sized
+    // word-count exchange; training itself is model-sized long-form
+    // window work, the IVF-centroid pattern; the merge list is the
+    // model and the oracle re-derives all 8 rounds in unrolled CTEs).
+    "q85_bpe_merges" -> ((s, d) =>
+      graft.ops.Bpe.trainMerges(extractedPagesDocs(s, d), "text")),
+
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
     // slash) decorated deterministically onto the pages urls by
@@ -2484,6 +2493,14 @@ object GraftQueries {
       graft.ops.Bm25.retrieveSql(
         s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
            |        extracted_text AS text
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // BPE re-derived end to end: same head-vocab cut, same chain-skip
+    // pair counting, same (cnt DESC, l, r) argmax, 8 unrolled rounds
+    "q85_bpe_merges" ->
+      graft.ops.Bpe.trainSql(
+        s"""(SELECT extracted_text AS text
            |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
            |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
 
