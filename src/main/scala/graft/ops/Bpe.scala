@@ -31,8 +31,8 @@ import org.apache.spark.sql.types._
   * tok) — model-sized work, never corpus-sized, the IVF-centroid
   * pattern. Each round: two window passes + one ≤|pairs| aggregate;
   * the argmax pair is a 1-row driver collect (the model, bytes). The
-  * corpus text never shuffles; applying the learned merges corpus-wide
-  * would be a map-side encode pass against the broadcast merge table.
+  * corpus text never shuffles; [[encodeTokenStats]] is the corpus-wide
+  * application pass against that model.
   */
 object Bpe {
 
@@ -52,6 +52,36 @@ object Bpe {
       .orderBy(col("freq").desc, col("word").asc)
       .limit(cap)
 
+  /** (word, freq) → (word, freq, pos, tok): one row per character,
+    * 1-based pos — the long form every training/encode round works on. */
+  private def longForm(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("freq"),
+        posexplode(filter(split(col("word"), ""), t => t =!= "")))
+      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+
+  /** One merge application: fold adjacent (l, r) token pairs into "lr"
+    * everywhere in the long form, first-of-chain rule (see the deviation
+    * note above) — the transform shared verbatim by training rounds and
+    * corpus-wide encoding, mirrored 1:1 in the DuckDB CTEs. */
+  private def mergeOnce(lf: DataFrame, l: String, r: String): DataFrame = {
+    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
+    lf
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .withColumn("pm", coalesce(
+        col("tok") === lit(l) && col("nxt") === lit(r), lit(false)))
+      .withColumn("mark",
+        col("pm") && !coalesce(lag(col("pm"), 1).over(w), lit(false)))
+      .withColumn("dropped",
+        coalesce(lag(col("mark"), 1).over(w), lit(false)))
+      .filter(!col("dropped"))
+      .select(col("word"), col("freq"),
+        row_number().over(w).cast("long").as("pos"),
+        when(col("mark"), concat(col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+  }
+
   /** Learned merges: (round, lhs, rhs, pair_count). Trains [[Rounds]]
     * rounds (early-stops when no adjacent pair remains). */
   def trainMerges(docs: DataFrame, textCol: String,
@@ -60,11 +90,7 @@ object Bpe {
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
 
     // long form: (word, freq, pos, tok) — vocab-sized from here on
-    var lf = wordCounts(docs, textCol, cap)
-      .select(col("word"), col("freq"),
-        posexplode(filter(split(col("word"), ""), t => t =!= "")))
-      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
-        col("col").as("tok"))
+    var lf = longForm(wordCounts(docs, textCol, cap))
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
@@ -89,22 +115,7 @@ object Bpe {
         val (bl, br, cnt) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((r, bl, br, cnt))
-        // merge (bl, br) everywhere: mark first-of-chain matches, fold
-        // the right symbol into the left, drop the consumed row,
-        // renumber — pure window expressions, mirrored 1:1 in SQL
-        lf = paired
-          .withColumn("pm", coalesce(
-            col("tok") === lit(bl) && col("nxt") === lit(br), lit(false)))
-          .withColumn("mark",
-            col("pm") && !coalesce(lag(col("pm"), 1).over(w), lit(false)))
-          .withColumn("dropped",
-            coalesce(lag(col("mark"), 1).over(w), lit(false)))
-          .filter(!col("dropped"))
-          .select(col("word"), col("freq"),
-            row_number().over(w).cast("long").as("pos"),
-            when(col("mark"), concat(col("tok"), col("nxt")))
-              .otherwise(col("tok")).as("tok"))
-          .localCheckpoint(true)
+        lf = mergeOnce(lf, bl, br).localCheckpoint(true)
       }
       r += 1
     }
@@ -118,59 +129,167 @@ object Bpe {
         merges.toList.map(m => Row(m._1, m._2, m._3, m._4)), 1), schema)
   }
 
-  /** The DuckDB mirror: word count + per-round unrolled CTE windows,
-    * same chain-skip rule, same (cnt DESC, l, r) argmax. `docsRel` must
-    * provide (text). */
-  def trainSql(docsRel: String, rounds: Int = Rounds,
-               cap: Int = VocabCap): String = {
+  /** Result rows kept by [[encodeTokenStats]] (deterministic ties:
+    * occurrences DESC, tok ASC). */
+  val EncodeTopK = 32
+
+  /** Corpus-wide ENCODE with the trained model — the application pass
+    * the training Scaladoc promises: apply the [[Rounds]] learned
+    * merges, in round order, to EVERY in-scope corpus word (not just
+    * the training head vocabulary), then report the top-[[EncodeTopK]]
+    * BPE tokens by weighted corpus occurrences. Any divergence in
+    * either training or merge application shifts these counts, so the
+    * oracle (which re-derives both, end to end, in unrolled CTEs)
+    * value-checks the whole tokenizer, not just the merge list.
+    *
+    * 100 TB shape: the model is 8 driver-side rows (trainMerges); the
+    * ONLY corpus-sized exchange here is the distinct-word count
+    * (map-side combinable, ≤ distinct-word cardinality out — the same
+    * exchange training already pays). Encoding runs as [[Rounds]]
+    * window passes over the DISTINCT-WORD long form — heavy-tailed but
+    * ≪ corpus tokens — and per-document token counts at full scale are
+    * a broadcast join of word → n_tokens against this table; the
+    * corpus text itself never shuffles. */
+  def encodeTokenStats(docs: DataFrame, textCol: String,
+                       rounds: Int = Rounds, cap: Int = VocabCap,
+                       topK: Int = EncodeTopK): DataFrame = {
+    val model = trainMerges(docs, textCol, rounds, cap)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val corpusWords = docs
+      .select(explode(TextStats.lowerToks(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var ef = longForm(corpusWords).localCheckpoint(true)
+    model.foreach { case (l, r) =>
+      ef = mergeOnce(ef, l, r).localCheckpoint(true)
+    }
+    ef.groupBy(col("tok"))
+      .agg(sum(col("freq")).as("occurrences"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("occurrences").desc, col("tok").asc)
+      .limit(topK)
+  }
+
+  /** The training CTE chain shared by [[trainSql]] and [[encodeSql]]:
+    * head-vocab word count (w0), its long form (lf0), and per-round
+    * unrolled window CTEs p/b/m/mm/d/lf — b$r holds round r's argmax
+    * merge pair. Every CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs by
+    * default, and with b$r referenced from several later CTEs the
+    * 8-round chain re-evaluates super-linearly when inlined (minutes at
+    * sf0.001 vs sub-second materialized — each round's relation is
+    * vocab-long-form-sized, so materializing is the cheap direction).
+    * `docsRel` must provide (text). */
+  private def trainCteBlock(docsRel: String, rounds: Int,
+                            cap: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT word, freq, pos, tok,
          |    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt,
          |    lag(tok)  OVER (PARTITION BY word ORDER BY pos) AS prv
          |  FROM lf${r - 1}),
-         |b$r AS (
+         |b$r AS MATERIALIZED (
          |  SELECT tok AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM p$r
          |  WHERE nxt IS NOT NULL
          |    AND NOT coalesce(prv = tok AND tok = nxt, FALSE)
          |  GROUP BY 1, 2
          |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         |m$r AS (
+         |m$r AS MATERIALIZED (
          |  SELECT word, freq, pos, tok, nxt,
          |    coalesce(tok = (SELECT l FROM b$r)
          |         AND nxt = (SELECT r FROM b$r), FALSE) AS pm
          |  FROM p$r),
-         |mm$r AS (
+         |mm$r AS MATERIALIZED (
          |  SELECT *, pm AND NOT coalesce(
          |      lag(pm) OVER (PARTITION BY word ORDER BY pos), FALSE) AS mark
          |  FROM m$r),
-         |d$r AS (
+         |d$r AS MATERIALIZED (
          |  SELECT *, coalesce(
          |      lag(mark) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropped
          |  FROM mm$r),
-         |lf$r AS (
+         |lf$r AS MATERIALIZED (
          |  SELECT word, freq,
          |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
          |    CASE WHEN mark THEN tok || nxt ELSE tok END AS tok
          |  FROM d$r WHERE NOT dropped)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds).map { r =>
-      s"SELECT $r AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b$r"
-    }.mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(
        |          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
        |        FROM $docsRel)
        |  WHERE regexp_full_match(word, '[a-z]+')
        |  GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT $cap),
-       |lf0 AS (
+       |lf0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    CAST(unnest(range(1, len(cs) + 1)) AS BIGINT) AS pos,
        |    unnest(cs) AS tok
        |  FROM (SELECT word, freq, string_split_regex(word, '') AS cs FROM w0)),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  /** The DuckDB mirror of [[trainMerges]]: the merge list re-derived in
+    * unrolled CTEs (same head-vocab cut, chain-skip counting, and
+    * (cnt DESC, l, r) argmax). */
+  def trainSql(docsRel: String, rounds: Int = Rounds,
+               cap: Int = VocabCap): String = {
+    val unions = (1 to rounds).map { r =>
+      s"SELECT $r AS round, l AS lhs, r AS rhs, cnt AS pair_count FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${trainCteBlock(docsRel, rounds, cap)}
        |$unions""".stripMargin
+  }
+
+  /** The DuckDB mirror of [[encodeTokenStats]]: re-derives the merges
+    * (the training CTEs), then re-applies them to the FULL corpus word
+    * list with the identical window transform — ef$r parallels lf$r but
+    * pulls round r's pair from b$r instead of recomputing an argmax. An
+    * early-stopped round leaves b$r empty, so its pair subqueries read
+    * NULL and the coalesce makes the round a no-op in both engines. */
+  def encodeSql(docsRel: String, rounds: Int = Rounds,
+                cap: Int = VocabCap, topK: Int = EncodeTopK): String = {
+    val encodeCtes = (1 to rounds).map { r =>
+      s"""ep$r AS MATERIALIZED (
+         |  SELECT word, freq, pos, tok,
+         |    lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM ef${r - 1}),
+         |em$r AS MATERIALIZED (
+         |  SELECT word, freq, pos, tok, nxt,
+         |    coalesce(tok = (SELECT l FROM b$r)
+         |         AND nxt = (SELECT r FROM b$r), FALSE) AS pm
+         |  FROM ep$r),
+         |emm$r AS MATERIALIZED (
+         |  SELECT *, pm AND NOT coalesce(
+         |      lag(pm) OVER (PARTITION BY word ORDER BY pos), FALSE) AS mark
+         |  FROM em$r),
+         |ed$r AS MATERIALIZED (
+         |  SELECT *, coalesce(
+         |      lag(mark) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropped
+         |  FROM emm$r),
+         |ef$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN mark THEN tok || nxt ELSE tok END AS tok
+         |  FROM ed$r WHERE NOT dropped)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${trainCteBlock(docsRel, rounds, cap)},
+       |cw AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+       |        FROM $docsRel)
+       |  WHERE regexp_full_match(word, '[a-z]+')
+       |  GROUP BY 1),
+       |ef0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    CAST(unnest(range(1, len(cs) + 1)) AS BIGINT) AS pos,
+       |    unnest(cs) AS tok
+       |  FROM (SELECT word, freq, string_split_regex(word, '') AS cs FROM cw)),
+       |$encodeCtes
+       |SELECT tok, CAST(sum(freq) AS BIGINT) AS occurrences,
+       |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |FROM ef$rounds
+       |GROUP BY 1 ORDER BY occurrences DESC, tok ASC LIMIT $topK""".stripMargin
   }
 }

@@ -989,6 +989,19 @@ object GraftQueries {
     "q85_bpe_merges" -> ((s, d) =>
       graft.ops.Bpe.trainMerges(extractedPagesDocs(s, d), "text")),
 
+    // BPE corpus encode (q86): the map-side application pass q85's
+    // model promises — the 8 learned merges re-applied to EVERY corpus
+    // word (not just the training head vocab), reported as the top-32
+    // BPE tokens by weighted occurrences. The oracle re-derives BOTH
+    // training and encoding in unrolled CTEs, so a divergence anywhere
+    // in the tokenizer (vocab cut, argmax, chain-skip application)
+    // shifts these counts and fails the value compare. 100 TB shape in
+    // ops/Bpe.scala: one distinct-word exchange; encode itself is
+    // window passes over the distinct-word long form, and per-doc
+    // token counts are a broadcast word→n_tokens join.
+    "q86_bpe_encode" -> ((s, d) =>
+      graft.ops.Bpe.encodeTokenStats(extractedPagesDocs(s, d), "text")),
+
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
     // slash) decorated deterministically onto the pages urls by
@@ -2500,6 +2513,15 @@ object GraftQueries {
     // pair counting, same (cnt DESC, l, r) argmax, 8 unrolled rounds
     "q85_bpe_merges" ->
       graft.ops.Bpe.trainSql(
+        s"""(SELECT extracted_text AS text
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // BPE encode re-derived end to end: training CTEs + the same merge
+    // transform unrolled over the FULL corpus word list (ef0..ef8),
+    // same (occurrences DESC, tok) top-32 cut
+    "q86_bpe_encode" ->
+      graft.ops.Bpe.encodeSql(
         s"""(SELECT extracted_text AS text
            |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
            |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),

@@ -124,4 +124,68 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "a", 3L)), s"got $got")
     assert(got == reference(texts, 1, 2))
   }
+
+  /** Driver-side reference ENCODE: train via [[reference]], apply each
+    * merge (same first-of-chain rule) to every in-scope corpus word,
+    * assert the tokenization rounds-trip, aggregate the top-K table. */
+  private def referenceEncode(texts: Seq[String], rounds: Int, cap: Int,
+                              topK: Int): Seq[(String, Long, Long)] = {
+    val merges = reference(texts, rounds, cap).map(m => (m._2, m._3))
+    val words = texts.flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .filter(_.forall(c => c >= 'a' && c <= 'z'))
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var lf: Map[String, Vector[String]] =
+      freq.keySet.map(w => w -> w.map(_.toString).toVector).toMap
+    for ((l, r) <- merges) {
+      lf = lf.map { case (wd, ts) =>
+        val pm = ts.indices.map(i =>
+          i < ts.size - 1 && ts(i) == l && ts(i + 1) == r)
+        val mark = ts.indices.map(i => pm(i) && (i == 0 || !pm(i - 1)))
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.size) {
+          if (mark(i)) { b += (l + r); i += 2 } else { b += ts(i); i += 1 }
+        }
+        wd -> b.result()
+      }
+    }
+    for ((wd, ts) <- lf)
+      assert(ts.mkString == wd, s"encode must round-trip: $wd -> $ts")
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    val inWords = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[String]]
+    for ((wd, ts) <- lf; t <- ts) {
+      occ(t) = occ.getOrElse(t, 0L) + freq(wd)
+      inWords.getOrElseUpdate(
+        t, scala.collection.mutable.Set.empty[String]) += wd
+    }
+    occ.toSeq.map { case (t, o) => (t, o, inWords(t).size.toLong) }
+      .sortBy { case (t, o, _) => (-o, t) }.take(topK)
+  }
+
+  private def runEncode(texts: Seq[String], rounds: Int, cap: Int,
+                        topK: Int): Seq[(String, Long, Long)] =
+    Bpe.encodeTokenStats(frame(texts), "text", rounds, cap, topK).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy { case (t, o, _) => (-o, t) }
+
+  test("encode matches the driver-side reference on a mixed corpus") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the lower newest wider low lower lowest",
+      "streaming streams stream streamed the the the",
+      "data 123 mixed-case Words data data banana bananas")
+    assert(runEncode(texts, 8, 4000, 32) ===
+      referenceEncode(texts, 8, 4000, 32))
+  }
+
+  test("encode covers words outside the training head vocabulary") {
+    // cap=1 trains on {abab} only; 'zq' is outside the head vocab but
+    // must still be encoded (as raw chars — no merge touches z or q)
+    val texts = Seq("abab abab abab zq")
+    val got = runEncode(texts, rounds = 2, cap = 1, topK = 32)
+    assert(got.contains(("z", 1L, 1L)) && got.contains(("q", 1L, 1L)),
+      s"out-of-vocab word must surface as chars: $got")
+    assert(got === referenceEncode(texts, 2, 1, 32))
+  }
 }
