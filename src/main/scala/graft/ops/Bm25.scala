@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * dl/avgdl cross-multiplied to (dl·N) div total_len in milli units.
   *
   * 100 TB shape: query terms BROADCAST (a query workload is KBs); the
-  * only corpus-sized work is one map-side tokenize+explode whose output
-  * dies at the broadcast-hash semi-join unless the token is a query
-  * term — the tf aggregate shuffles only matching (query, term, doc)
-  * triples. Corpus stats (N, Σdl) are a 1-row broadcast scalar; df is
+  * only corpus-sized work is one map-side tokenize whose non-query
+  * tokens die inside the token array (a codegen'd literal-set filter
+  * before the explode, so they never materialize as rows) — the tf
+  * aggregate shuffles only matching (query, term, doc) triples. Corpus stats (N, Σdl) are a 1-row broadcast scalar; df is
   * an aggregate of the tiny tf table; top-k per query is a window over
   * ≤ #queries·matched-docs rows. The corpus text never shuffles.
   *
@@ -74,10 +74,16 @@ object Bm25 {
     val stats = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
 
-    // the one corpus-sized pass: explode dies at the broadcast
-    // semi-join unless the token is a query term
+    // the one corpus-sized pass: non-query tokens die INSIDE the array
+    // (a codegen'd literal-set filter in the scan stage), so the
+    // explode emits only matching tokens — the broadcast join then maps
+    // term → query_id over the surviving sliver instead of having every
+    // corpus token materialized as a row on its probe side
+    val allTerms = queries.flatMap(_._2).distinct
     val tf = perDoc
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isInCollection(allTerms)))
+          .as("term"))
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))

@@ -42,15 +42,24 @@ object Bpe {
   /** Head-vocabulary cap for training (freq DESC, word ASC ties). */
   val VocabCap = 4000
 
-  /** The one corpus-sized exchange: (word, freq) for the training-scope
-    * words, capped to the deterministic head vocabulary. */
-  def wordCounts(docs: DataFrame, textCol: String,
-                 cap: Int = VocabCap): DataFrame =
+  /** The one corpus-sized exchange: uncapped (word, freq) over every
+    * in-scope corpus word — the table training and encode both start
+    * from (callers with a staged unigram-count dump pass its filtered
+    * projection to the *FromCounts entry points instead). */
+  def rawWordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextStats.lowerToks(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("word").asc)
-      .limit(cap)
+
+  /** Deterministic head-vocabulary cut (freq DESC, word ASC ties). */
+  def headVocab(words: DataFrame, cap: Int = VocabCap): DataFrame =
+    words.orderBy(col("freq").desc, col("word").asc).limit(cap)
+
+  /** (word, freq) for the training-scope words, capped to the
+    * deterministic head vocabulary. */
+  def wordCounts(docs: DataFrame, textCol: String,
+                 cap: Int = VocabCap): DataFrame =
+    headVocab(rawWordCounts(docs, textCol), cap)
 
   /** (word, freq) → (word, freq, pos, tok): one row per character,
     * 1-based pos — the long form every training/encode round works on. */
@@ -85,12 +94,21 @@ object Bpe {
   /** Learned merges: (round, lhs, rhs, pair_count). Trains [[Rounds]]
     * rounds (early-stops when no adjacent pair remains). */
   def trainMerges(docs: DataFrame, textCol: String,
-                  rounds: Int = Rounds, cap: Int = VocabCap): DataFrame = {
-    val spark = docs.sparkSession
+                  rounds: Int = Rounds, cap: Int = VocabCap): DataFrame =
+    trainMergesFromCounts(rawWordCounts(docs, textCol), rounds, cap)
+
+  /** [[trainMerges]] from a pre-computed (word, freq) table — callers
+    * with a staged corpus unigram dump (the extract-once/read-many
+    * pattern) enter here, so reps measure the merge rounds (the
+    * training plan itself), not a re-derivation of the shared
+    * word-count exchange. */
+  def trainMergesFromCounts(words: DataFrame, rounds: Int = Rounds,
+                            cap: Int = VocabCap): DataFrame = {
+    val spark = words.sparkSession
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
 
     // long form: (word, freq, pos, tok) — vocab-sized from here on
-    var lf = longForm(wordCounts(docs, textCol, cap))
+    var lf = longForm(headVocab(words, cap))
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
@@ -152,14 +170,24 @@ object Bpe {
     * corpus text itself never shuffles. */
   def encodeTokenStats(docs: DataFrame, textCol: String,
                        rounds: Int = Rounds, cap: Int = VocabCap,
-                       topK: Int = EncodeTopK): DataFrame = {
-    val model = trainMerges(docs, textCol, rounds, cap)
+                       topK: Int = EncodeTopK): DataFrame =
+    encodeTokenStatsFromCounts(rawWordCounts(docs, textCol), rounds,
+      cap, topK)
+
+  /** [[encodeTokenStats]] from a pre-computed (word, freq) table —
+    * like [[trainMergesFromCounts]], the entry point for callers with
+    * a staged unigram dump: training and encode then share ONE
+    * materialization of the word table instead of each re-paying the
+    * corpus-sized exchange. */
+  def encodeTokenStatsFromCounts(words: DataFrame, rounds: Int = Rounds,
+                                 cap: Int = VocabCap,
+                                 topK: Int = EncodeTopK): DataFrame = {
+    // one materialization feeds both the head-vocab training cut and
+    // the full-list encode below (words may itself be a derived plan)
+    val corpusWords = words.localCheckpoint(true)
+    val model = trainMergesFromCounts(corpusWords, rounds, cap)
       .orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val corpusWords = docs
-      .select(explode(TextStats.lowerToks(col(textCol))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     var ef = longForm(corpusWords).localCheckpoint(true)
     model.foreach { case (l, r) =>
       ef = mergeOnce(ef, l, r).localCheckpoint(true)

@@ -987,7 +987,7 @@ object GraftQueries {
     // window work, the IVF-centroid pattern; the merge list is the
     // model and the oracle re-derives all 8 rounds in unrolled CTEs).
     "q85_bpe_merges" -> ((s, d) =>
-      graft.ops.Bpe.trainMerges(extractedPagesDocs(s, d), "text")),
+      graft.ops.Bpe.trainMergesFromCounts(bpeWords(s, d))),
 
     // BPE corpus encode (q86): the map-side application pass q85's
     // model promises — the 8 learned merges re-applied to EVERY corpus
@@ -1000,7 +1000,7 @@ object GraftQueries {
     // window passes over the distinct-word long form, and per-doc
     // token counts are a broadcast word→n_tokens join.
     "q86_bpe_encode" -> ((s, d) =>
-      graft.ops.Bpe.encodeTokenStats(extractedPagesDocs(s, d), "text")),
+      graft.ops.Bpe.encodeTokenStatsFromCounts(bpeWords(s, d))),
 
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
@@ -1878,6 +1878,15 @@ object GraftQueries {
        |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src,
        |    regexp_extract(link, '^https?://([^/]+)', 1) AS dst
        |  FROM links0)""".stripMargin
+
+  /** The BPE word table (word, freq): q85/q86's shared corpus-sized
+    * exchange, read off the staged unigram dump (the token-family
+    * extract-once pattern — [[tokenCountsCached]]'s Scaladoc covers why
+    * the oracles are untouched: they re-derive counts from the text). */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    tokenCountsCached(s, d)
+      .filter(col("t").rlike("^[a-z]+$"))
+      .select(col("t").as("word"), col("n_t").as("freq"))
 
   /** The extraction corpus as (doc_id, text) — q32's dedup input. */
   private def extractedPagesDocs(s: SparkSession, d: String): DataFrame =
