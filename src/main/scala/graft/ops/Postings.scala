@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction: block-sharded, delta-encoded posting
+  * lists over the extraction corpus — the index-build rung a web-scale
+  * pipeline runs after extraction (retrieval audits, decontam probes,
+  * anchor/BM25 serving all read postings, not raw text).
+  *
+  * 100 TB shape:
+  *   - postings are sharded by (term, block) where block = doc_id div
+  *     blockDocs — the Lucene-segment analog. A stopword with df in the
+  *     billions never concentrates in one row or one task: every row
+  *     holds at most `blockDocs` ids, so collect_list is bounded by
+  *     construction and the skewed-term failure mode of a naive
+  *     `groupBy(term)` build cannot occur.
+  *   - ONE exchange: per-doc term dedup happens map-side
+  *     (array_distinct before the explode), so the (term, block)
+  *     aggregate is the only shuffle; partial aggregation folds each
+  *     mapper's block-local lists before anything moves.
+  *   - gaps not ids: within a block, sorted doc_ids delta-encode (head
+  *     absolute, then gaps) — the varint-friendly form an index shard
+  *     would serialize. The gaps_md5 digest rides beside the structural
+  *     fields so the oracle value-checks the ENCODING, not just counts.
+  *
+  * All arithmetic is integer (Long ids, Long gaps) and the digest is
+  * md5 over the comma-joined decimal string — bit-identical in Spark
+  * and DuckDB, so the q88 hash compare is rounding-free.
+  */
+object Postings {
+
+  /** Build the (term, block) posting-shard table:
+    * (term, block, n_docs, head_id, last_id, gaps_md5). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            blockDocs: Int = 1024): DataFrame = {
+    require(blockDocs > 0, "blockDocs must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextStats.lowerToks(col(textCol)))).as("term"))
+      .groupBy(col("term"), expr(s"doc_id div $blockDocs").as("block"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("term"), col("block"),
+        size(col("ids")).cast("long").as("n_docs"),
+        element_at(col("ids"), 1).as("head_id"),
+        element_at(col("ids"), -1).as("last_id"),
+        md5(array_join(
+          expr("transform(ids, (x, i) -> CAST(IF(i = 0, x, x - ids[i-1]) AS STRING))"),
+          ",").cast("binary")).as("gaps_md5"))
+  }
+}

@@ -613,6 +613,36 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  def anchorsDumpPath(rows: Int): String =
+    s"/tmp/graft_anchors_cache/g${graft.gen.PageGen.GenVersion}-${graft.html.AnchorHarvest.Version}-rows$rows"
+
+  /** Harvest-once, read-many for the anchor-text surface (q87): the
+    * map-side [[graft.html.AnchorHarvest]] pass over the raw corpus
+    * materializes once per (GenVersion, harvest version, rows), so the
+    * q87 bench row measures the (dst_host, label) aggregate — the
+    * [[formsCached]] pattern. Payload sniff matches the oracle's: html
+    * rows are exactly the payloads whose first byte is '<' (junk rows
+    * are pinned to 0x7f, PDFs to '%'). */
+  def anchorsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = anchorsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+        val harvested = pages.flatMap { case (url, payload) =>
+          if (payload.length == 0 || payload(0) != '<') Iterator.empty
+          else graft.html.AnchorHarvest
+            .anchors(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+            .iterator.map { case (href, lbl) => (url, href, lbl) }
+        }.toDF("url", "link", "label")
+        atomicDump(harvested, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   // =====================================================================
   // Relational operator inventory (oracle-backed)
   // =====================================================================
@@ -1001,6 +1031,38 @@ object GraftQueries {
     // token counts are a broadcast word→n_tokens join.
     "q86_bpe_encode" -> ((s, d) =>
       graft.ops.Bpe.encodeTokenStatsFromCounts(bpeWords(s, d))),
+
+    // anchor-text index (q87): the WAT-style (src, href, label) surface
+    // harvested map-side from the raw payloads (html/AnchorHarvest),
+    // aggregated into the link-text index a web pipeline feeds into
+    // anchor retrieval and query↔doc pair mining — counts and distinct
+    // source hosts per (dst_host, label). The oracle re-derives EVERY
+    // labeled absolute anchor from the RAW page bytes, so the handler's
+    // capture (implicit-close nesting, entity/whitespace contract) is
+    // value-checked end-to-end like q67's href capture. Equivalence on
+    // this corpus: generated absolute hrefs occur only as partner-footer
+    // anchors `<a href="https://HOST/">label</a>` — double-quoted,
+    // href-first, entity-free single-token labels, no nested markup —
+    // so the strict full-element regex sees exactly what the tokenizer
+    // sees. 100 TB shape: harvest is a no-shuffle scan-split pass; the
+    // one exchange groups rows ~100x smaller than the pages.
+    "q87_anchor_text" -> ((s, d) =>
+      anchorsCached(s, d)
+        .select(graft.ops.Hosts.hostOf(col("url")).as("src_host"),
+          graft.ops.Hosts.hostOf(col("link")).as("dst_host"),
+          col("label"))
+        .groupBy(col("dst_host"), col("label"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("src_host")).as("n_src_hosts"))),
+
+    // inverted-index build (q88): block-sharded, delta-encoded posting
+    // lists over the extraction corpus — ops/Postings.scala documents
+    // the 100 TB shape (row width bounded by the block size at ANY df,
+    // per-doc term dedup map-side, one exchange) and the gaps_md5
+    // digest the oracle re-derives so the delta ENCODING is
+    // value-checked, not just the shard counts.
+    "q88_postings" -> ((s, d) =>
+      graft.ops.Postings.build(extractedPagesDocs(s, d), "doc_id", "text", 1024)),
 
     // URL canonicalization: cosmetic crawl variants (scheme/host case,
     // default port, fragment, tracking params, param order, trailing
@@ -1979,6 +2041,7 @@ object GraftQueries {
     tokenCountsCached(spark, sfDir)
     bigramCountsCached(spark, sfDir)
     semCached(spark, sfDir)
+    anchorsCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -2534,6 +2597,56 @@ object GraftQueries {
         s"""(SELECT extracted_text AS text
            |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
            |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // every labeled absolute anchor re-derived from the raw bytes (the
+    // q67 pattern, with the label captured alongside the href)
+    "q87_anchor_text" ->
+      s"""WITH html_pages AS (
+         |  SELECT url, decode(html) AS doc
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+         |  WHERE substr(hex(html), 1, 2) = '3C'),
+         |frags AS (
+         |  SELECT url,
+         |    unnest(regexp_extract_all(doc,
+         |      '<a href="(https?://[^"]+)">([^<]*)</a>', 0)) AS frag
+         |  FROM html_pages),
+         |pairs AS (
+         |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src,
+         |    regexp_extract(frag, 'href="(https?://[^"]+)"', 1) AS link,
+         |    regexp_extract(frag, '>([^<]*)</a>$$', 1) AS label
+         |  FROM frags)
+         |SELECT regexp_extract(link, '^https?://([^/]+)', 1) AS dst_host,
+         |  label,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    // posting shards re-derived with the q66 tokenization, the same
+    // block arithmetic (integer div), and the same head+gaps decimal
+    // string under md5 — a drifting sort, block cut, or delta fails the
+    // digest compare
+    "q88_postings" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |toks AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+         |  FROM docs),
+         |p AS (
+         |  SELECT term, doc_id // 1024 AS block, list_sort(list(doc_id)) AS ids
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT term, block,
+         |  CAST(len(ids) AS BIGINT) AS n_docs,
+         |  ids[1] AS head_id,
+         |  ids[-1] AS last_id,
+         |  md5(array_to_string(
+         |    list_transform(range(1, len(ids) + 1),
+         |      i -> CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i-1] END),
+         |    ',')) AS gaps_md5
+         |FROM p""".stripMargin,
 
     // canonicalization re-derived rule by rule (split_part/list slicing
     // in place of substring_index; same decoration CASE on doc_id % 5)

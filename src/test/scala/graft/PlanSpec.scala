@@ -406,4 +406,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one shuffle:\n${finalSection.take(800)}")
     assert("HashAggregate".r.findAllIn(finalSection).size >= 2)
   }
+
+  test("q88 postings build: one exchange, join-free, no UDF (per-doc dedup map-side)") {
+    // the 100 TB contract from ops/Postings.scala: array_distinct
+    // before the explode keeps the per-doc dedup on the scan split, so
+    // the ONLY shuffle is the (term, block) aggregate — a second
+    // exchange here would mean a corpus-wide distinct crept back in
+    val p = executedPlan(graft.queries.GraftQueries.queries("q88_postings")(spark, d))
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 1,
+      s"expected exactly one shuffle:\n${finalSection.take(800)}")
+    assert(!p.contains("ScalaUDF"), "gap encoding must stay codegen'd builtins")
+    assert(!p.contains("Join"), s"postings build must be join-free:\n${p.take(800)}")
+  }
+
+  test("q87 anchor-text index is aggregate-only over the staged harvest (no UDF, no join)") {
+    // the harvest runs at staging time (anchorsCached); the query is
+    // the (dst_host, label) link-text aggregate with codegen'd host
+    // projections — the q67 shape with a distinct-count second phase
+    val p = executedPlan(graft.queries.GraftQueries.queries("q87_anchor_text")(spark, d))
+    assert(!p.contains("ScalaUDF"), "host keys must stay codegen'd substring_index")
+    assert(!p.contains("Join"), s"anchor index must be join-free:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
