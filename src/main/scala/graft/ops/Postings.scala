@@ -30,22 +30,55 @@ import org.apache.spark.sql.functions._
   */
 object Postings {
 
-  /** Build the (term, block) posting-shard table:
-    * (term, block, n_docs, head_id, last_id, gaps_md5). */
-  def build(docs: DataFrame, idCol: String, textCol: String,
-            blockDocs: Int = 1024): DataFrame = {
+  /** Bump when shard semantics change — keys the postings dump. */
+  val Version = "po1"
+
+  /** The raw (term, block, ids) shard table — ids sorted ascending
+    * within the block. This is the materialized index; [[encode]] is
+    * its serialized view and [[matchAll]] serves queries from it. */
+  def shards(docs: DataFrame, idCol: String, textCol: String,
+             blockDocs: Int = 1024): DataFrame = {
     require(blockDocs > 0, "blockDocs must be positive")
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(TextStats.lowerToks(col(textCol)))).as("term"))
       .groupBy(col("term"), expr(s"doc_id div $blockDocs").as("block"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(col("term"), col("block"),
-        size(col("ids")).cast("long").as("n_docs"),
-        element_at(col("ids"), 1).as("head_id"),
-        element_at(col("ids"), -1).as("last_id"),
-        md5(array_join(
-          expr("transform(ids, (x, i) -> CAST(IF(i = 0, x, x - ids[i-1]) AS STRING))"),
-          ",").cast("binary")).as("gaps_md5"))
+  }
+
+  /** The delta-encoded shard view: (term, block, n_docs, head_id,
+    * last_id, gaps_md5). */
+  def encode(shardTable: DataFrame): DataFrame =
+    shardTable.select(col("term"), col("block"),
+      size(col("ids")).cast("long").as("n_docs"),
+      element_at(col("ids"), 1).as("head_id"),
+      element_at(col("ids"), -1).as("last_id"),
+      md5(array_join(
+        expr("transform(ids, (x, i) -> CAST(IF(i = 0, x, x - ids[i-1]) AS STRING))"),
+        ",").cast("binary")).as("gaps_md5"))
+
+  /** Build the encoded (term, block) posting-shard table in one pass. */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            blockDocs: Int = 1024): DataFrame =
+    encode(shards(docs, idCol, textCol, blockDocs))
+
+  /** Conjunctive (boolean AND) retrieval served from a MATERIALIZED
+    * shard table: doc_ids containing every query term. The term filter
+    * is a literal IN over the shard scan — against a parquet postings
+    * dump it pushes down (`PushedFilters: [In(term, ...)]`,
+    * PlanSpec-gated), so the read is proportional to the query's
+    * posting shards, not the index; the corpus text is never touched.
+    * A filtered shard holds each doc at most once per term, so the
+    * AND is `count(*) = |terms|` per doc after the explode — one
+    * bounded exchange over the probed shards only. */
+  def matchAll(shardTable: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    shardTable
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("term"), explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.distinct.size)
+      .select(col("doc_id"))
   }
 }

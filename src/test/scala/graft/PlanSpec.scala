@@ -420,6 +420,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"postings build must be join-free:\n${p.take(800)}")
   }
 
+  test("q89 boolean retrieval prunes the postings scan to the query terms (pushed IN filter)") {
+    // the serving contract from ops/Postings.matchAll: the read must be
+    // proportional to the query's posting shards — the literal IN over
+    // term has to reach the parquet scan, and the corpus text is never
+    // in the plan at all
+    val p = executedPlan(graft.queries.GraftQueries.queries("q89_bool_retrieval")(spark, d))
+    assert(p.contains("PushedFilters: [") && p.contains("In(term"),
+      s"term IN filter must push into the postings scan:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"index serving must be scan+aggregate only:\n${p.take(800)}")
+  }
+
   test("q87 anchor-text index is aggregate-only over the staged harvest (no UDF, no join)") {
     // the harvest runs at staging time (anchorsCached); the query is
     // the (dst_host, label) link-text aggregate with codegen'd host

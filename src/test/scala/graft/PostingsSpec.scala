@@ -42,6 +42,20 @@ class PostingsSpec extends AnyFunSuite {
     assert(out.keySet.forall { case (_, b) => b == 0L || b == 1L })
   }
 
+  test("matchAll answers conjunctive queries from the shards alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "beta gamma"),
+      (2000L, "alpha beta gamma gamma")).toDF("doc_id", "text")
+    val shards = Postings.shards(docs, "doc_id", "text", blockDocs = 1024)
+    val hits = Postings.matchAll(shards, Seq("alpha", "gamma"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2000L)) // cross-block AND, partial matches dropped
+    assert(Postings.matchAll(shards, Seq("beta")).count() == 4)
+  }
+
   test("digest is parallelism-independent (1 vs 8 shuffle partitions)") {
     import spark.implicits._
     val docs = (0L until 300L)
