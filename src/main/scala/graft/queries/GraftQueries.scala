@@ -1229,6 +1229,28 @@ object GraftQueries {
     "q68_pagerank" -> ((s, d) =>
       graft.ops.HostRank.ranks(hostEdgesAll(s, d))),
 
+    // host-graph HITS hubs & authorities (see ops/Hits): 8 fixed-point
+    // rounds with divide-first L1 normalization — every intermediate
+    // stays ≤ ~256·2e6 regardless of graph size (out-degree is bounded
+    // by the audited MaxOutLinks cap), so BIGINT arithmetic holds at
+    // 10⁹ hosts. The oracle unrolls the same recurrence from the same
+    // constants over edges re-derived from the raw page bytes, like
+    // q68 — both link-analysis scores are value-checked end-to-end
+    // against the crawl bytes, not the out_links column.
+    "q90_hits" -> ((s, d) =>
+      graft.ops.Hits.scores(hostEdgesAll(s, d))),
+
+    // trained quality/language classifier (see ops/Perceptron): the
+    // fastText-classifier rung of a CCNet-style curation pipeline as
+    // full-batch perceptron training in exact integer arithmetic —
+    // per epoch ONE map-side-combinable aggregate (the gradient) and a
+    // broadcast of the F weights back into the next margin expression.
+    // Output is the whole training TRAJECTORY (per-iteration mistake
+    // counts + weights), so the oracle value-checks that the model is
+    // both trained and applied identically, round by round.
+    "q91_perceptron" -> ((s, d) =>
+      graft.ops.Perceptron.train(t(s, d, "documents"))),
+
     // per-doc characteristic terms — the integer-exact core of TF-IDF:
     // rank a doc's terms by (tf desc, df asc, term asc) and keep 5. No
     // floats, no logs — the idf ORDER is the df order, so the ranking
@@ -2932,6 +2954,21 @@ object GraftQueries {
       s"""WITH $linksFromRawSql,
          |edges AS (SELECT DISTINCT src, dst FROM links),
          |${graft.ops.HostRank.oracleSql("edges")}""".stripMargin,
+
+    // fixed-point HITS unrolled from Hits' own constants over the
+    // raw-bytes edge set; divide-first normalization mirrors exactly
+    // (both engines floor non-negative integer division)
+    "q90_hits" ->
+      s"""WITH $linksFromRawSql,
+         |edges AS (SELECT DISTINCT src, dst FROM links),
+         |${graft.ops.Hits.oracleSql("edges")}""".stripMargin,
+
+    // the full-batch perceptron re-derived iteration by iteration from
+    // the SAME stopword tables and constants (Perceptron.oracleSql
+    // emits the SQL from the kernel's own feature projection — the
+    // shared-rule-table pattern): same tokenizer, same margin rule,
+    // same integer gradient, unrolled T rounds
+    "q91_perceptron" -> graft.ops.Perceptron.oracleSql("documents"),
 
     // the as-of join re-derived with DuckDB's native ASOF LEFT JOIN;
     // right-side (key,time) ties resolved the same way joinBackward

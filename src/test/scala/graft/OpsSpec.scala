@@ -574,6 +574,68 @@ class OpsSpec extends AnyFunSuite {
     assert(run(df.repartition(7)) == got)
   }
 
+  test("hits: fixed-point hubs/authorities ≡ driver-side exact reference, bit-identical at any parallelism") {
+    import spark.implicits._
+    // planted graph: h0 is the authority (everyone links to it), h3 is
+    // the hub (links to everything), plus a 2-cycle, duplicate edges,
+    // and a node with no in-links (hub-only)
+    val edges = Seq(
+      ("h1", "h0"), ("h2", "h0"), ("h3", "h0"), ("h4", "h0"),
+      ("h3", "h1"), ("h3", "h2"), ("h3", "h4"),
+      ("h1", "h2"), ("h2", "h1"),
+      ("h4", "h0"))
+    val df = edges.toDF("src", "dst")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Hits.scores(d).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val got = run(df)
+    val want = graft.ops.Hits.referenceScores(edges)
+    assert(got == want)
+    // h0 is the top authority; h3 the top hub; h3 has no in-links so
+    // its authority is 0; h0 has no out-links so its hub score is 0
+    assert(got("h0")._1 == got.values.map(_._1).max)
+    assert(got("h3")._2 == got.values.map(_._2).max)
+    assert(got("h3")._1 == 0L && got("h0")._2 == 0L)
+    // normalization keeps every score within the micros scale
+    assert(got.values.forall { case (a, h) => a <= 2 * graft.ops.Hits.Scale && h <= 2 * graft.ops.Hits.Scale })
+    // Long sums + divide-first norm are order-independent: same bits
+    assert(run(df.repartition(7)) == got)
+  }
+
+  test("perceptron: full-batch integer training ≡ driver-side exact reference; learns the planted separator") {
+    import spark.implicits._
+    // planted corpus: English docs are stopword-dense, German docs
+    // carry German function words — linearly separable on the
+    // (x_eng, x_deu) features, so the batch perceptron must converge
+    val docs = Seq(
+      ("the cat sat on the mat and it was there", "en"),
+      ("this is the thing that we have from it", "en"),
+      ("all of your said which their when we can", "en"),
+      ("der hund und die katze von dem haus nicht", "de"),
+      ("das ist ein auch werden aus er hat dass", "de"),
+      ("sie nach wird bei einer um am sind noch", "de")).toDF("text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Perceptron.train(d).collect()
+        .map(r => (r.getLong(0), (r.getLong(2), Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))))
+        .toMap
+    val got = run(docs)
+    // driver-side reference over the same feature projection
+    val feats = docs.select(graft.ops.Perceptron.features(col("text"), col("lang"))
+      .map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val want = graft.ops.Perceptron.referenceTrain(feats.toSeq)
+      .zipWithIndex.map { case ((m, w), i) => (i + 1L, (m, w)) }.toMap
+    assert(got == want)
+    // iteration 1 starts from w=0: every margin is 0 ⇒ all rows are
+    // gradient support; by the last round the planted separator is
+    // learned (English stopword weight positive, German negative)
+    assert(got(1L)._1 == 6L)
+    val wFinal = got(graft.ops.Perceptron.Iters.toLong)._2
+    assert(wFinal(2) > 0L && wFinal(3) < 0L)
+    // Long gradient sums are order-independent: same bits at any split
+    assert(run(docs.repartition(5)) == got)
+  }
+
   test("as-of join: backward-inclusive match, tie-break, and unmatched-null semantics") {
     import spark.implicits._
     import java.sql.Timestamp
