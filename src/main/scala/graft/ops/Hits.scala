@@ -55,6 +55,20 @@ object Hits {
       .select(col("host"), expr("v div nrm").as("v"))
   }
 
+  /** One HITS half-step: propagate `scores` across `edges` from the
+    * `from` endpoint onto the `to` endpoint, then L1-normalize. One
+    * equi-join + one partial+final aggregate + the 1-row normalizer
+    * broadcast. Exposed private[graft] so PlanSpec can gate the lazy
+    * one-round shape (the full [[scores]] plan is opaque behind the
+    * eager per-round localCheckpoints). */
+  private[graft] def halfStep(edges: DataFrame, nodes: DataFrame,
+      scores: DataFrame, from: String, to: String): DataFrame =
+    l1norm(nodes.join(
+      edges.join(scores.withColumnRenamed("host", from), from)
+        .groupBy(col(to).as("host")).agg(sum("v").as("s")),
+      Seq("host"), "left")
+      .select(col("host"), coalesce(col("s"), lit(0L)).as("v")))
+
   /** Hub/authority scores after [[Iters]] full rounds over the DISTINCT
     * (src, dst) edge set. Input columns: src, dst. Output:
     * (host, auth_micros, hub_micros). */
@@ -69,18 +83,8 @@ object Hits {
     var auth = nodes.withColumn("v", lit(0L))
     var t = 0
     while (t < Iters) {
-      auth = l1norm(nodes.join(
-        edges.join(hub.withColumnRenamed("host", "src"), "src")
-          .groupBy(col("dst").as("host")).agg(sum("v").as("s")),
-        Seq("host"), "left")
-        .select(col("host"), coalesce(col("s"), lit(0L)).as("v")))
-        .localCheckpoint(true)
-      hub = l1norm(nodes.join(
-        edges.join(auth.withColumnRenamed("host", "dst"), "dst")
-          .groupBy(col("src").as("host")).agg(sum("v").as("s")),
-        Seq("host"), "left")
-        .select(col("host"), coalesce(col("s"), lit(0L)).as("v")))
-        .localCheckpoint(true)
+      auth = halfStep(edges, nodes, hub, "src", "dst").localCheckpoint(true)
+      hub = halfStep(edges, nodes, auth, "dst", "src").localCheckpoint(true)
       t += 1
     }
     nodes

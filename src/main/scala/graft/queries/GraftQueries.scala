@@ -2130,6 +2130,11 @@ object GraftQueries {
       // double broadcast build; one warm pass leaves the bench rows
       // measuring the plan (9.4 s cold vs 1.4 s steady at sf0.1)
       queries("q83_bloom_dedup")(spark, warmSf).count(): Unit
+      // q90/q91 iterate fresh-codegen join/aggregate rounds; their
+      // first-in-JVM reps at sf0.1 measured 11.8 s / 6.5 s vs 4.4 /
+      // 1.1 steady — one sf0.01 pass compiles the kernels untimed
+      queries("q90_hits")(spark, warmSf).count(): Unit
+      queries("q91_perceptron")(spark, warmSf).count(): Unit
     }
   }
 

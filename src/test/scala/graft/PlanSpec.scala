@@ -433,6 +433,43 @@ class PlanSpec extends AnyFunSuite {
       s"index serving must be scan+aggregate only:\n${p.take(800)}")
   }
 
+  test("q90 hits half-step: equi-join + partial/final aggregate, normalizer scalar broadcasts (no cartesian, no UDF)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // gate the LAZY one-round shape (scores() materializes each round
+    // through an eager localCheckpoint, so its final plan is an opaque
+    // RDD scan — same situation as the q36 gate)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val hub = nodes.withColumn("v", lit(graft.ops.Hits.Scale))
+    val p = executedPlan(graft.ops.Hits.halfStep(edges, nodes, hub, "src", "dst"))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row L1 normalizer must broadcast, not cartesian:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected the normalizer scalar as a broadcast join")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "edge-propagation sum must be partial+final (map-side combine)")
+    assert(!p.contains("ScalaUDF"), "fixed-point arithmetic must stay codegen'd")
+  }
+
+  test("q91 perceptron: feature projection is zero-shuffle and UDF-free; gradient is partial+final aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val docs = Seq(("the cat sat", "en"), ("der hund", "de")).toDF("text", "lang")
+    val feat = docs.select(graft.ops.Perceptron.features(col("text"), col("lang"))
+      .map { case (n, c) => c.as(n) }: _*)
+    val fp = executedPlan(feat)
+    assert(!fp.contains("Exchange"), "feature projection must be map-side only")
+    assert(!fp.contains("ScalaUDF"), "stopword hits must stay Catalyst expressions")
+    // the per-epoch gradient: ungrouped Long sums — partial+final, so
+    // the training table contributes map-side partials at any scale
+    val gp = executedPlan(feat.agg(sum(col("y") * col("x_bias")).as("d_bias"),
+      sum(col("y") * col("x_eng")).as("d_eng")))
+    assert(gp.split("HashAggregate").length - 1 >= 2,
+      "gradient must be partial+final HashAggregate")
+  }
+
   test("q87 anchor-text index is aggregate-only over the staged harvest (no UDF, no join)") {
     // the harvest runs at staging time (anchorsCached); the query is
     // the (dst_host, label) link-text aggregate with codegen'd host
