@@ -118,6 +118,115 @@ object PageRaster {
   val AdvYSkew = CellH + 4
   val MaxRowsSkew: Int = (Height - 2 * Margin) / AdvYSkew
 
+  // --- planted-form surface (q92 blob detection / SURVEY missing #1's
+  // contour family: form_detector.py:265-371 finds rectangular contours
+  // and checkbox-sized squares on pixels; this surface plants both) ---
+
+  /** Version token for the form-surface dump keying. */
+  val FormVersion = "form-1"
+
+  /** Text rows on the form surface: capped so the band below stays free
+    * for planted boxes/checkboxes (text ends at y=4+12·7=88; planted
+    * elements start at y=96 — an 8 px moat no 1-px dilation can cross). */
+  val FormTextRows = 12
+  val BoxW = 34; val BoxH = 12; val BoxY = 96; val BoxX0 = 6; val BoxPitch = 38
+  val CbSide = 7; val CbY = 120; val CbX0 = 8; val CbPitch = 16
+
+  /** Planted element counts — pure functions of (page index, page no),
+    * mirrored verbatim by q92's oracle SQL. */
+  def plantedBoxes(idx: Long, pageNo: Int): Int = ((idx + pageNo) % 3).toInt
+  def plantedCheckboxes(idx: Long, pageNo: Int): Int = ((idx + pageNo) % 4).toInt
+  def plantedChecked(idx: Long, k: Int): Boolean = (idx + k) % 2 == 0
+
+  /** Render the FORM surface: the page text (capped at [[FormTextRows]]
+    * rows) plus planted hollow form boxes and checkboxes whose counts /
+    * checked states are pure functions of (idx, pageNo) — so the
+    * detector's output is verifiable from the url alone. */
+  def rasterizeForm(pageText: String, idx: Long, pageNo: Int): Array[Byte] = {
+    val px = Array.fill[Byte](Width * Height)(Paper)
+    val lines = pageText.split("\n", -1)
+    var r = 0
+    while (r < lines.length && r < FormTextRows) {
+      val line = lines(r)
+      var c = 0
+      val n = math.min(line.length, MaxCols)
+      while (c < n) {
+        if (!line.charAt(c).isWhitespace) {
+          val x0 = Margin + c * AdvX
+          val y0 = Margin + r * AdvY
+          var dy = 0
+          while (dy < CellH) {
+            var dx = 0
+            while (dx < CellW) { px((y0 + dy) * Width + (x0 + dx)) = Ink; dx += 1 }
+            dy += 1
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    def hollowRect(x0: Int, y0: Int, w: Int, h: Int): Unit = {
+      var x = x0
+      while (x < x0 + w) { px(y0 * Width + x) = Ink; px((y0 + h - 1) * Width + x) = Ink; x += 1 }
+      var y = y0
+      while (y < y0 + h) { px(y * Width + x0) = Ink; px(y * Width + (x0 + w - 1)) = Ink; y += 1 }
+    }
+    def fillRect(x0: Int, y0: Int, w: Int, h: Int): Unit = {
+      var y = y0
+      while (y < y0 + h) {
+        var x = x0
+        while (x < x0 + w) { px(y * Width + x) = Ink; x += 1 }
+        y += 1
+      }
+    }
+    var k = 0
+    val nb = plantedBoxes(idx, pageNo)
+    while (k < nb) { hollowRect(BoxX0 + k * BoxPitch, BoxY, BoxW, BoxH); k += 1 }
+    k = 0
+    val nc = plantedCheckboxes(idx, pageNo)
+    while (k < nc) {
+      val x0 = CbX0 + k * CbPitch
+      if (plantedChecked(idx, k)) fillRect(x0, CbY, CbSide, CbSide)
+      else hollowRect(x0, CbY, CbSide, CbSide)
+      k += 1
+    }
+    val flipped = new Array[Byte](px.length)
+    var y = 0
+    while (y < Height) {
+      System.arraycopy(px, y * Width, flipped, (Height - 1 - y) * Width, Width)
+      y += 1
+    }
+    MediaOps.encodeBmp(Width, Height, 1, flipped)
+  }
+
+  /** The form surface's WORD ground truth as arithmetic (the [[inkCells]]
+    * pattern): each maximal non-whitespace run within the painted grid
+    * becomes one expected word blob (x, y, w, h, inkPx) — the pixel
+    * detector must recover exactly these boxes after its 1-px dilation
+    * merges a run's glyphs. */
+  def expectedWordBoxes(pageText: String): Array[(Int, Int, Int, Int, Int)] = {
+    val out = Array.newBuilder[(Int, Int, Int, Int, Int)]
+    val lines = pageText.split("\n", -1)
+    var r = 0
+    while (r < lines.length && r < FormTextRows) {
+      val line = lines(r)
+      val n = math.min(line.length, MaxCols)
+      var c = 0
+      while (c < n) {
+        if (!line.charAt(c).isWhitespace) {
+          var c1 = c
+          while (c1 + 1 < n && !line.charAt(c1 + 1).isWhitespace) c1 += 1
+          val chars = c1 - c + 1
+          out += ((Margin + c * AdvX, Margin + r * AdvY,
+            (chars - 1) * AdvX + CellW, CellH, chars * CellW * CellH))
+          c = c1 + 1
+        } else c += 1
+      }
+      r += 1
+    }
+    out.result()
+  }
+
   def rasterizeSkewed(pageText: String, angleCentiDeg: Int): Array[Byte] = {
     val th = math.toRadians(angleCentiDeg / 100.0)
     val cosA = math.cos(th); val sinA = math.sin(th)

@@ -400,6 +400,50 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** Blob-detection dump (q92 / the reference's contour family,
+    * form_detector.py:265-371): every pdf page re-rendered on the
+    * PLANTED-FORM surface (text + hollow form boxes + checkboxes whose
+    * counts/checked states are pure functions of the url), then the
+    * pixel detector ([[graft.pdf.Blobs]]: dilate → 4-connected CC →
+    * classify) runs LIVE and its per-blob table dumps here together
+    * with the page's TEXT-derived word ground truth — two independent
+    * derivations (pixels vs text arithmetic) that q92 compares, with
+    * the oracle re-deriving the aggregation and asserting the match. */
+  def blobsDumpPath(rows: Int): String =
+    s"/tmp/graft_blobs_cache/g${graft.gen.PageGen.GenVersion}-${graft.pdf.PageRaster.FormVersion}-${graft.pdf.Blobs.Version}-rows$rows"
+
+  def blobsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = blobsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val pages = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+        val blobRows = pages.flatMap { case (url, payload) =>
+          if (payload.length < 4 || payload(0) != '%' || payload(1) != 'P') Iterator.empty
+          else graft.pdf.PdfParser.extract(payload) match {
+            case Left(_) => Iterator.empty
+            case Right(res) =>
+              val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+              res.pageTexts.iterator.zipWithIndex.flatMap { case (t, i) =>
+                val expected = graft.pdf.PageRaster.expectedWordBoxes(t)
+                val expDigest = graft.pdf.Blobs.digest(
+                  expected.toSeq.map { case (x, y, w, h, _) => (y, x, w, h) })
+                graft.pdf.Blobs.detect(
+                  graft.pdf.PageRaster.rasterizeForm(t, idx, i)).iterator
+                  .map(b => (url, i, b.kind, b.x, b.y, b.w, b.h, b.inkPx,
+                    b.checked, expected.length, expDigest))
+              }
+          }
+        }.toDF("url", "page_no", "kind", "x", "y", "w", "h", "ink_px",
+          "checked", "n_words_expected", "words_digest_expected")
+        atomicDump(blobRows, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -1875,6 +1919,43 @@ object GraftQueries {
           (abs(col("median_centi") - planted) <= 50).as("recovered_ok"))
     }),
 
+    // blob detection over the planted-form raster (the reference's
+    // contour pipeline, form_detector.py:265-371): the pixel detector's
+    // dumped blob table is aggregated per page and verified against TWO
+    // independent truths — word boxes re-derived from the page TEXT
+    // (digest + count, dumped beside the blobs), and planted box/
+    // checkbox counts re-derived from the URL. All four match columns
+    // are TRUE in the oracle (the q53/q79 boolean-invariant pattern), so
+    // a drifting CC/classify kernel fails the hash compare.
+    "q92_blob_detect" -> ((s, d) => {
+      val b = blobsCached(s, d)
+      val idx = expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)")
+      val nCb = col("n_checkboxes")
+      b.groupBy(col("url"), col("page_no").cast("int").as("page_no"))
+        .agg(
+          sum(when(col("kind") === "word", 1L).otherwise(0L)).as("n_words"),
+          sum(when(col("kind") === "box", 1L).otherwise(0L)).as("n_boxes"),
+          sum(when(col("kind") === "checkbox", 1L).otherwise(0L)).as("n_checkboxes"),
+          sum(when(col("checked"), 1L).otherwise(0L)).as("n_checked"),
+          sum(col("ink_px").cast("long")).as("ink_px"),
+          expr("""md5(cast(array_join(transform(
+                 |  array_sort(collect_list(CASE WHEN kind = 'word'
+                 |    THEN struct(y, x, w, h) END)),
+                 |  b -> concat_ws(':', b.y, b.x, b.w, b.h)), ';') as binary))"""
+            .stripMargin).as("words_digest"),
+          max(col("n_words_expected")).cast("long").as("n_words_exp"),
+          max(col("words_digest_expected")).as("words_digest_exp"))
+        .select(col("url"), col("page_no"), col("n_words"), col("n_boxes"),
+          col("n_checkboxes"), col("n_checked"), col("ink_px"), col("words_digest"),
+          (col("words_digest") === col("words_digest_exp") &&
+            col("n_words") === col("n_words_exp")).as("words_match"),
+          (col("n_boxes") === (idx + col("page_no")) % 3).as("boxes_match"),
+          (nCb === (idx + col("page_no")) % 4).as("checkboxes_match"),
+          (col("n_checked") === when(idx % 2 === 0,
+            expr("(n_checkboxes + 1) div 2")).otherwise(expr("n_checkboxes div 2")))
+            .as("checked_match"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -2097,6 +2178,7 @@ object GraftQueries {
     pqCached(spark, sfDir)
     rasterCached(spark, sfDir)
     deskewCached(spark, sfDir)
+    blobsCached(spark, sfDir)
     vlmCached(spark, sfDir)
     ivfadcCached(spark, sfDir)
     tokenCountsCached(spark, sfDir)
@@ -3324,6 +3406,24 @@ object GraftQueries {
          |       ELSE CAST(0.0 AS DOUBLE) END AS corrected_centi,
          |  TRUE AS recovered_ok
          |FROM m""".stripMargin,
+
+    // blob detection re-derived relationally from the dumped blob table
+    // (counts, ink, the sorted word-box digest); the four match columns
+    // are TRUE by assertion — Spark's real pixel-vs-text and pixel-vs-
+    // planted comparisons must agree or the row hash-mismatches
+    "q92_blob_detect" ->
+      s"""SELECT url, CAST(page_no AS INTEGER) AS page_no,
+         |  count(*) FILTER (WHERE kind = 'word') AS n_words,
+         |  count(*) FILTER (WHERE kind = 'box') AS n_boxes,
+         |  count(*) FILTER (WHERE kind = 'checkbox') AS n_checkboxes,
+         |  count(*) FILTER (WHERE checked) AS n_checked,
+         |  CAST(sum(ink_px) AS BIGINT) AS ink_px,
+         |  md5(coalesce(string_agg(concat_ws(':', y, x, w, h), ';'
+         |    ORDER BY y, x, w, h) FILTER (WHERE kind = 'word'), '')) AS words_digest,
+         |  TRUE AS words_match, TRUE AS boxes_match,
+         |  TRUE AS checkboxes_match, TRUE AS checked_match
+         |FROM read_parquet('${blobsDumpPath(oracleRows)}/*.parquet')
+         |GROUP BY 1, 2""".stripMargin,
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

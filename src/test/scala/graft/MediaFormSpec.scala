@@ -187,6 +187,36 @@ class MediaFormSpec extends AnyFunSuite {
     assert(math.abs(s.getDouble(0) - 1.0) < 1e-9 && math.abs(s.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("blobs: planted form surface recovered from pixels alone") {
+    import graft.pdf.{Blobs, PageRaster}
+    // idx=5, page 1: (5+1)%3 = 0 boxes, (5+1)%4 = 2 checkboxes,
+    // checked iff (5+k)%2==0 → k=1 only → 1 checked
+    val text = "ab cd\nx  yz\n\n   q"
+    val blobs = Blobs.detect(PageRaster.rasterizeForm(text, 5L, 1)).toSeq
+    val words = blobs.filter(_.kind == "word")
+    val boxes = blobs.filter(_.kind == "box")
+    val cbs = blobs.filter(_.kind == "checkbox")
+    val expected = PageRaster.expectedWordBoxes(text).toSeq
+    assert(words.size == expected.size && expected.size == 5)
+    assert(words.map(b => (b.y, b.x, b.w, b.h)).sorted ==
+      expected.map { case (x, y, w, h, _) => (y, x, w, h) }.sorted)
+    // word ink counts survive dilation (measured on original ink)
+    assert(words.map(_.inkPx).sum == expected.map(_._5).sum)
+    assert(boxes.isEmpty && cbs.size == 2 && cbs.count(_.checked) == 1)
+    // idx=4, page 2: (4+2)%3 = 0... use idx=3, page 1: boxes (3+1)%3=1,
+    // checkboxes (3+1)%4=0 — hollow box classified, never "checked"
+    val b2 = Blobs.detect(PageRaster.rasterizeForm("", 3L, 1)).toSeq
+    assert(b2.count(_.kind == "box") == 1 && b2.forall(!_.checked))
+    val box = b2.find(_.kind == "box").get
+    assert((box.x, box.y, box.w, box.h) ==
+      (PageRaster.BoxX0, PageRaster.BoxY, PageRaster.BoxW, PageRaster.BoxH))
+    // hollow rect ink = perimeter
+    assert(box.inkPx == 2 * PageRaster.BoxW + 2 * (PageRaster.BoxH - 2))
+    // digest is order-insensitive and hex-stable
+    assert(Blobs.digest(Seq((2, 1, 3, 5), (1, 9, 3, 5))) ==
+      Blobs.digest(Seq((1, 9, 3, 5), (2, 1, 3, 5))))
+  }
+
   test("media: frame sampling fan-out") {
     val img = MediaOps.encodeImage(8, 8, 1, Array.tabulate(1000)(_.toByte))
     val frames = MediaOps.sampleFrames(img, frameBytes = 100, stride = 2)
