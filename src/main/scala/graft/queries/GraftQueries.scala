@@ -1956,6 +1956,32 @@ object GraftQueries {
             .as("checked_match"))
     }),
 
+    // robots.txt crawl compliance (RFC 9309): per-host robots TEXT is
+    // generated deterministically, parsed by the REAL parser (group
+    // selection: exact product token beats `*`, decoy groups, comments,
+    // case-insensitive keys, empty-Disallow), and every url is decided
+    // by generic longest-match. 100 TB shape: the parsed rule table is
+    // a per-host ARRAY broadcast to a map-side join — the decision is
+    // a higher-order filter/array_max over ≤4 rules per row, no
+    // url-level shuffle anywhere. The oracle re-derives every decision
+    // in closed form from md5(host), so parser or matcher drift fails
+    // the hash compare.
+    "q93_robots" -> ((s, d) => {
+      import s.implicits._
+      val urls = s.read.parquet(pagesPath(s, d)).select(col("url"),
+        expr("split_part(url, '/', 3)").as("host"),
+        expr("regexp_extract(url, '^https://[^/]+(/.*)$', 1)").as("path"))
+      val ruleLists = urls.select("host").distinct().as[String]
+        .map(h => (h, graft.sources.Robots.ruleTable(h)))
+        .toDF("host", "rules")
+      urls.join(broadcast(ruleLists), Seq("host"), "left")
+        .select(col("url"), col("host"),
+          expr("array_max(filter(rules, r -> startswith(path, r.p)))").as("m"))
+        .select(col("url"), col("host"),
+          coalesce(col("m.a") === 1, lit(true)).as("allowed"),
+          coalesce(col("m.p"), lit("")).as("matched_rule"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -3424,6 +3450,43 @@ object GraftQueries {
          |  TRUE AS checkboxes_match, TRUE AS checked_match
          |FROM read_parquet('${blobsDumpPath(oracleRows)}/*.parquet')
          |GROUP BY 1, 2""".stripMargin,
+
+    // robots decisions re-derived in CLOSED FORM from md5(host): the
+    // rule family (first md5 hex digit mod 4) determines the merged
+    // graftbot rule set, and the longest-match outcome per family
+    // collapses to a starts_with CASE — the Scala parser/matcher under
+    // test never leak into this SQL, so any drift (wrong group picked,
+    // tie broken toward disallow, empty-Disallow treated as a rule)
+    // flips a decision and fails the hash compare
+    "q93_robots" ->
+      s"""WITH u AS (
+         |  SELECT url,
+         |    split_part(url, '/', 3) AS host,
+         |    regexp_extract(url, '^https://[^/]+(/.*)$$', 1) AS path
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |f AS (
+         |  SELECT url, host, path,
+         |    CAST(('0x' || substr(md5(host), 1, 1)) AS INT) % 4 AS fam
+         |  FROM u)
+         |SELECT url, host,
+         |  CASE fam
+         |    WHEN 0 THEN TRUE
+         |    WHEN 1 THEN NOT starts_with(path, '/page/1')
+         |    WHEN 2 THEN TRUE
+         |    ELSE starts_with(path, '/page/2')
+         |  END AS allowed,
+         |  CASE fam
+         |    WHEN 0 THEN ''
+         |    WHEN 1 THEN CASE WHEN starts_with(path, '/page/1')
+         |                     THEN '/page/1' ELSE '' END
+         |    WHEN 2 THEN CASE WHEN starts_with(path, '/page/')
+         |                     THEN '/page/' ELSE '/' END
+         |    ELSE CASE WHEN starts_with(path, '/page/2')
+         |              THEN '/page/2'
+         |              WHEN starts_with(path, '/page/')
+         |              THEN '/page/' ELSE '' END
+         |  END AS matched_rule
+         |FROM f""".stripMargin,
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

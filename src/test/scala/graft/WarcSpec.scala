@@ -283,4 +283,49 @@ class WarcSpec extends AnyFunSuite {
       assert(extracted(g.page.url) == direct, s"warc path diverges for ${g.page.url}")
     }
   }
+
+  test("robots: RFC 9309 group selection, merging, and longest-match") {
+    import graft.sources.Robots
+    import graft.sources.Robots.Rule
+    // exact product token beats `*`; decoy group ignored; keys
+    // case-insensitive; comments stripped; empty Disallow = no rule
+    val txt =
+      """# preamble
+        |Sitemap: https://h/sitemap.xml
+        |User-agent: evilbot
+        |Disallow: /
+        |
+        |User-agent: *
+        |DISALLOW: /all/
+        |
+        |User-agent: graftbot # us
+        |Crawl-delay: 3
+        |Allow: /a/b/
+        |disallow: /a/
+        |Disallow:
+        |
+        |User-agent: graftbot
+        |Disallow: /merged/
+        |""".stripMargin
+    val rules = Robots.parse(txt, "graftbot")
+    assert(rules.toSet == Set(Rule(5, 1, "/a/b/"), Rule(3, 0, "/a/"),
+      Rule(8, 0, "/merged/")), s"got $rules")
+    assert(Robots.decide(rules, "/a/x") == (false, "/a/"))
+    assert(Robots.decide(rules, "/a/b/x") == (true, "/a/b/")) // longest wins
+    assert(Robots.decide(rules, "/merged/x") == (false, "/merged/"))
+    assert(Robots.decide(rules, "/elsewhere") == (true, ""))
+    // length tie between allow and disallow -> allow wins
+    assert(Robots.decide(Seq(Rule(3, 0, "/t/"), Rule(3, 1, "/t/")), "/t/x")
+      == (true, "/t/"))
+    // no graftbot group -> `*` group applies; no group at all -> allow
+    assert(Robots.parse(txt, "otherbot") == Seq(Rule(5, 0, "/all/")))
+    assert(Robots.parse("User-agent: evilbot\nDisallow: /", "graftbot").isEmpty)
+    // shared-agent group header: two UA lines, one rule block
+    val shared = Robots.parse(
+      "User-agent: a\nUser-agent: graftbot\nDisallow: /s/", "graftbot")
+    assert(shared == Seq(Rule(3, 0, "/s/")))
+    // generated families cover all four rule shapes deterministically
+    val fams = (0 until 64).map(i => Robots.family(s"host$i.example.org")).toSet
+    assert(fams == Set(0, 1, 2, 3))
+  }
 }
