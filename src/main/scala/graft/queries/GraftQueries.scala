@@ -444,6 +444,36 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** Per-host sitemap.xml dump (q94 / the discovery side of the crawl
+    * front-end, sibling to q93's robots.txt): one deterministic sitemap
+    * DOCUMENT per crawled host ([[graft.sources.Sitemaps.sitemapXml]] —
+    * a pure function of md5(host), planted with every parser hazard:
+    * comments, namespace decoys, entity-escaped and whitespace-padded
+    * locs, absent lastmod/priority). The dump carries the raw TEXT, so
+    * q94's oracle re-parses the same bytes relationally in DuckDB (the
+    * q48 WARC-roundtrip discipline) — the Scala parser under test never
+    * leaks into the oracle. Host count is bounded (PageGen.NumHosts),
+    * so the dump is broadcast-sized at any corpus scale. */
+  def sitemapsDumpPath(rows: Int): String =
+    s"/tmp/graft_sitemaps_cache/g${graft.gen.PageGen.GenVersion}-${graft.sources.Sitemaps.Version}-rows$rows"
+
+  def sitemapsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = sitemapsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val xmls = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(expr("split_part(url, '/', 3)").as("host")).distinct()
+          .as[String]
+          .map(h => (h, graft.sources.Sitemaps.sitemapXml(h)))
+          .toDF("host", "xml")
+        atomicDump(xmls, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -1982,6 +2012,50 @@ object GraftQueries {
           coalesce(col("m.p"), lit("")).as("matched_rule"))
     }),
 
+    // sitemap crawl-coverage audit (the discovery rung of the crawl
+    // front-end; q93's sibling): per-host sitemap XML is parsed by the
+    // REAL single-pass scanner (graft.sources.Sitemaps.parse — entity
+    // unescape, whitespace-padded locs, comment/namespace-decoy
+    // tolerance, priority default, loc-required) and reconciled against
+    // what the crawl actually fetched: n_gap entries feed the frontier,
+    // n_orphan urls feed link analysis. 100 TB shape: the parsed entry
+    // table is host-bounded (NumHosts x <=30 rows) and BROADCASTS to
+    // the one corpus scan; only (host, bounded-array) rows shuffle —
+    // the url table never shuffles on a url-level key. The oracle
+    // re-parses the dumped XML relationally, so parser drift (decoy
+    // read as loc, missed default, broken unescape) fails the compare.
+    "q94_sitemap" -> ((s, d) => {
+      import s.implicits._
+      val entries = sitemapsCached(s, d).as[(String, String)]
+        .flatMap { case (h, xml) =>
+          graft.sources.Sitemaps.parse(xml)
+            .map(e => (h, e.loc, e.lastmod, e.priorityMicros))
+        }.toDF("host", "loc", "lastmod", "prio")
+      val urls = s.read.parquet(pagesPath(s, d)).select(col("url"),
+        expr("split_part(url, '/', 3)").as("host"))
+      // one pass over the corpus: tag each crawled url with its sitemap
+      // entry (loc embeds the host, so url==loc implies the host match)
+      val crawlAgg = urls
+        .join(broadcast(entries.select(col("loc"))), urls("url") === entries("loc"), "left")
+        .groupBy(col("host"))
+        .agg(sum(when(col("loc").isNull, 1L).otherwise(0L)).as("n_orphan"),
+          sort_array(collect_set(col("loc"))).as("fetched_locs"))
+      val mapAgg = entries.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_entries"),
+          sort_array(collect_list(col("loc"))).as("all_locs"),
+          sum(col("prio")).as("sum_priority_micros"),
+          max(col("lastmod")).as("max_lastmod"))
+      mapAgg.join(crawlAgg, Seq("host"))
+        .select(col("host"), col("n_entries"),
+          (col("n_entries") - size(array_except(col("all_locs"), col("fetched_locs")))
+            .cast("long")).as("n_fetched"),
+          size(array_except(col("all_locs"), col("fetched_locs")))
+            .cast("long").as("n_gap"),
+          col("n_orphan"), col("sum_priority_micros"), col("max_lastmod"),
+          md5(array_join(array_except(col("all_locs"), col("fetched_locs")), ";")
+            .cast("binary")).as("gap_digest"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -2212,6 +2286,7 @@ object GraftQueries {
     semCached(spark, sfDir)
     anchorsCached(spark, sfDir)
     postingsCached(spark, sfDir)
+    sitemapsCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -3487,6 +3562,61 @@ object GraftQueries {
          |              THEN '/page/' ELSE '' END
          |  END AS matched_rule
          |FROM f""".stripMargin,
+
+    // sitemap coverage re-derived by RE-PARSING the dumped XML
+    // relationally (the q48 roundtrip discipline): DuckDB splits the
+    // document into <url> blocks, extracts loc (whitespace-stripped,
+    // entity-unescaped, namespace decoys excluded by the literal-tag
+    // regex), applies the absent-priority default and the loc-required
+    // rule, then recomputes the fetched/gap/orphan reconciliation
+    // against the crawled url table — the Scala parser never leaks in
+    "q94_sitemap" ->
+      s"""WITH s AS (
+         |  SELECT host, xml FROM read_parquet('${sitemapsDumpPath(oracleRows)}/*.parquet')),
+         |b AS (
+         |  SELECT host,
+         |    unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+         |  FROM s),
+         |e0 AS (
+         |  SELECT host,
+         |    regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS rawloc,
+         |    regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+         |    regexp_extract(blk, '<priority>([^<]*)</priority>', 1) AS prio_s
+         |  FROM b),
+         |e AS (
+         |  SELECT host,
+         |    replace(replace(replace(replace(replace(rawloc,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |      '&amp;', '&') AS loc,
+         |    lastmod,
+         |    CASE WHEN prio_s = '' THEN 500000
+         |         ELSE CAST(round(CAST(prio_s AS DOUBLE) * 1000000) AS BIGINT)
+         |    END AS prio
+         |  FROM e0 WHERE rawloc <> ''),
+         |u AS (
+         |  SELECT url, split_part(url, '/', 3) AS host
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |f AS (
+         |  SELECT e.host, e.loc, e.lastmod, e.prio,
+         |    CASE WHEN u.url IS NULL THEN 0 ELSE 1 END AS fetched
+         |  FROM e LEFT JOIN u ON e.loc = u.url),
+         |o AS (
+         |  SELECT u.host, count(*) AS n_orphan
+         |  FROM u LEFT JOIN e ON u.url = e.loc
+         |  WHERE e.loc IS NULL GROUP BY 1),
+         |m AS (
+         |  SELECT host, count(*) AS n_entries,
+         |    CAST(sum(fetched) AS BIGINT) AS n_fetched,
+         |    CAST(count(*) - sum(fetched) AS BIGINT) AS n_gap,
+         |    CAST(sum(prio) AS BIGINT) AS sum_priority_micros,
+         |    max(lastmod) AS max_lastmod,
+         |    md5(coalesce(string_agg(CASE WHEN fetched = 0 THEN loc END, ';'
+         |      ORDER BY loc), '')) AS gap_digest
+         |  FROM f GROUP BY 1)
+         |SELECT m.host, m.n_entries, m.n_fetched, m.n_gap,
+         |  CAST(coalesce(o.n_orphan, 0) AS BIGINT) AS n_orphan,
+         |  m.sum_priority_micros, m.max_lastmod, m.gap_digest
+         |FROM m LEFT JOIN o ON m.host = o.host""".stripMargin,
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

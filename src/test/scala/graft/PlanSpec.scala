@@ -433,6 +433,21 @@ class PlanSpec extends AnyFunSuite {
       s"index serving must be scan+aggregate only:\n${p.take(800)}")
   }
 
+  test("q94 sitemap audit: entry table broadcasts to the one corpus scan (no url-level shuffle, no cartesian)") {
+    // 100 TB shape: the parsed entry table is host-bounded (NumHosts x
+    // <=30 rows); the crawled url table is the corpus. The url==loc tag
+    // join must be a BroadcastHashJoin (corpus side streams), and the
+    // only exchanges are the two host-key aggregates + the final
+    // host-key join — never a shuffle keyed on url/loc
+    val p = executedPlan(graft.queries.GraftQueries.queries("q94_sitemap")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"sitemap entries must broadcast to the url scan:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("hashpartitioning(url") && !p.contains("hashpartitioning(loc"),
+      s"the corpus must never shuffle on a url-level key:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"), "coverage arithmetic must stay codegen'd")
+  }
+
   test("q90 hits half-step: equi-join + partial/final aggregate, normalizer scalar broadcasts (no cartesian, no UDF)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

@@ -328,4 +328,60 @@ class WarcSpec extends AnyFunSuite {
     val fams = (0 until 64).map(i => Robots.family(s"host$i.example.org")).toSet
     assert(fams == Set(0, 1, 2, 3))
   }
+
+  test("sitemaps: protocol parse — hazards, defaults, and the generated document") {
+    import graft.sources.Sitemaps
+    import graft.sources.Sitemaps.Entry
+    // hand-written hazards: comments anywhere, namespace decoy tags,
+    // entity-escaped + whitespace-padded loc, absent lastmod/priority
+    // (defaults), a loc-less <url> block (skipped), unknown tags
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<!-- head comment -->
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <!-- inline -->
+        |    <image:loc>https://cdn/decoy.png</image:loc>
+        |    <loc>
+        |      https://h.example.org/a?x=1&amp;y=2
+        |    </loc>
+        |    <lastmod>2025-03-04</lastmod>
+        |    <changefreq>daily</changefreq>
+        |    <priority>0.8</priority>
+        |  </url>
+        |  <url><loc>https://h.example.org/b</loc></url>
+        |  <url><lastmod>2025-01-01</lastmod></url>
+        |  <url><video:loc>https://cdn/v.mp4</video:loc></url>
+        |</urlset>
+        |""".stripMargin
+    val es = Sitemaps.parse(xml)
+    assert(es == Seq(
+      Entry("https://h.example.org/a?x=1&y=2", "2025-03-04", 800000L),
+      Entry("https://h.example.org/b", "", 500000L)), s"got $es")
+    // double-escape must not double-decode: &amp;lt; -> &lt; (literal)
+    assert(Sitemaps.parse("<url><loc>https://h/x?a=&amp;lt;</loc></url>")
+      .head.loc == "https://h/x?a=&lt;")
+    // generated document: entry count and structure are md5-derivable
+    val host = "site-0007.example.org"
+    val gen = Sitemaps.parse(Sitemaps.sitemapXml(host))
+    val nPage = 12 + Sitemaps.md5Digit(host, 2)
+    val nPromo = 1 + Sitemaps.md5Digit(host, 3) % 3
+    assert(gen.size == nPage + nPromo)
+    val (pages, promos) = gen.partition(_.loc.contains("/page/"))
+    assert(pages.size == nPage && promos.size == nPromo)
+    // arithmetic index set {a + k*s}; every promo loc entity-decoded
+    val a = Sitemaps.md5Digit(host, 0) % 8
+    val s = 1 + Sitemaps.md5Digit(host, 1) % 4
+    val idxs = pages.map(_.loc.split("/page/")(1).toLong)
+    assert(idxs == (0 until nPage).map(k => a + k.toLong * s))
+    assert(promos.forall(p => p.loc.contains("?src=map&v=2")
+      && p.lastmod == "" && p.priorityMicros == 500000L))
+    // absent-priority default on every 7th page entry; 0.x otherwise
+    assert(pages.zipWithIndex.forall { case (e, k) =>
+      if (k % 7 == 0) e.priorityMicros == 500000L
+      else e.priorityMicros == 100000L * (1 + k % 9) })
+    // absent lastmod on every 5th page entry
+    assert(pages.zipWithIndex.forall { case (e, k) =>
+      (k % 5 == 0) == e.lastmod.isEmpty })
+  }
 }
