@@ -2056,6 +2056,30 @@ object GraftQueries {
             .cast("binary")).as("gap_digest"))
     }),
 
+    // redirect-chain resolution (the crawl front-end's 3xx handling;
+    // q93/q94's sibling): a deterministic redirect table (every idx
+    // with idx%16 in 9..15 redirects to idx-1, so chains run up to 7
+    // hops and cross hosts like real 3xx do) is resolved by GENERIC
+    // pointer jumping (ops/Redirects — O(log chain) equi-join rounds,
+    // never a sequential walk, loop-guarded). The oracle resolves the
+    // SAME edge rule with a DuckDB recursive CTE, so a resolver that
+    // under-jumps, over-counts hops, or mis-terminates diverges on
+    // final_url/n_hops and fails the hash compare.
+    "q95_redirects" -> ((s, d) => {
+      val pages = s.read.parquet(pagesPath(s, d)).select(col("url"),
+        expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("idx"))
+      val edges = pages.filter(col("idx") % 16 >= 9)
+        .select(col("idx").as("src"), (col("idx") - 1).as("dst"))
+      val resolved = graft.ops.Redirects.resolve(edges)
+      val finals = pages.select(col("idx").as("f_idx"), col("url").as("final_url"))
+      pages.join(resolved, pages("idx") === resolved("node"), "left")
+        .select(col("url"), coalesce(col("final"), col("idx")).as("f_idx2"),
+          coalesce(col("hops"), lit(0L)).as("n_hops"))
+        .join(finals, col("f_idx2") === col("f_idx"))
+        .select(col("url"), col("final_url"), col("n_hops"),
+          (col("n_hops") > 0).as("redirected"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -3617,6 +3641,25 @@ object GraftQueries {
          |  CAST(coalesce(o.n_orphan, 0) AS BIGINT) AS n_orphan,
          |  m.sum_priority_micros, m.max_lastmod, m.gap_digest
          |FROM m LEFT JOIN o ON m.host = o.host""".stripMargin,
+
+    // redirect chains re-walked SEQUENTIALLY by a DuckDB recursive CTE
+    // over the same deterministic edge rule — the engine's pointer
+    // jumping must agree hop-for-hop with the naive walk
+    "q95_redirects" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT url, CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS idx
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |walk(idx, cur, hops) AS (
+         |  SELECT idx, idx, 0 FROM p
+         |  UNION ALL
+         |  SELECT idx, cur - 1, hops + 1 FROM walk WHERE cur % 16 >= 9),
+         |term AS (
+         |  SELECT idx, cur AS fidx, hops FROM walk WHERE cur % 16 < 9)
+         |SELECT a.url, b.url AS final_url, CAST(t.hops AS BIGINT) AS n_hops,
+         |  t.hops > 0 AS redirected
+         |FROM term t
+         |JOIN p a ON t.idx = a.idx
+         |JOIN p b ON t.fidx = b.idx""".stripMargin,
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

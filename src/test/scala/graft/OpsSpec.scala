@@ -671,6 +671,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("redirects: pointer jumping resolves chains, counts hops, flags loops") {
+    import spark.implicits._
+    // chain 1→2→3→4 (terminal 4), a 2-cycle 10↔11, a self-contained
+    // single hop 20→21, and a chain INTO the cycle 12→10 (unresolvable)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 10L), (20L, 21L), (12L, 10L)).toDF("src", "dst")
+    val out = graft.ops.Redirects.resolve(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val byNode = out.map(t => t._1 -> t).toMap
+    assert(byNode(1L) == (1L, 4L, 3L, true))   // full chain, 3 hops
+    assert(byNode(2L) == (2L, 4L, 2L, true))
+    assert(byNode(3L) == (3L, 4L, 1L, true))
+    assert(byNode(20L) == (20L, 21L, 1L, true))
+    // cycle members and the chain feeding the cycle never resolve
+    assert(!byNode(10L)._4 && !byNode(11L)._4 && !byNode(12L)._4)
+    assert(out.length == 7) // one row per distinct src, no fan-out
+    // empty edge table short-circuits (no jump rounds)
+    assert(graft.ops.Redirects.resolve(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+  }
+
   test("span dedup: cross-doc 10-token spans counted, within-doc-only spans exempt") {
     import spark.implicits._
     import graft.ops.SpanDedup
