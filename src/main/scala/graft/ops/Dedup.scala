@@ -247,6 +247,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric shingle CONTAINMENT over candidate pairs — quote /
+    * inclusion detection (Broder 1997 defines containment alongside
+    * resemblance): symmetric jaccard misses a short document embedded
+    * verbatim in a much longer one (the union is dominated by the long
+    * side), but C(A→B) = |sh(A)∩sh(B)| / |sh(A)| reads 1.0 regardless
+    * of the size ratio. Same verify shape and scale posture as
+    * [[jaccardVerify]]: semi-join the corpus down to pair members, two
+    * hash joins bring the texts, the kernel is map-side. Emits both
+    * directions plus the dominant one; a pair is kept when EITHER
+    * direction clears `threshold`. shingleHashes returns a non-empty
+    * distinct set even for empty text, so denominators are never 0. */
+  def containmentVerify(candidates: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val memberIds = candidates.select(col("a_id").as("id"))
+      .union(candidates.select(col("b_id").as("id")))
+      .distinct()
+    val texts = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+      .join(memberIds, Seq("id"), "left_semi")
+    val joined = candidates
+      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), Seq("a_id"))
+      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .as[(String, String, String, String)]
+    joined.mapPartitions { it =>
+      it.map { case (a, b, ta, tb) =>
+        val sa = shingleHashes(ta, shingleN)
+        val sb = shingleHashes(tb, shingleN)
+        val hs = new java.util.HashSet[Long]()
+        sa.foreach(hs.add)
+        var inter = 0
+        sb.foreach { h => if (hs.contains(h)) inter += 1 }
+        (a, b, inter.toDouble / sa.length, inter.toDouble / sb.length)
+      }
+    }.toDF("a_id", "b_id", "cont_a_in_b", "cont_b_in_a")
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .withColumn("direction",
+        when(col("cont_a_in_b") >= col("cont_b_in_a"), "a_in_b").otherwise("b_in_a"))
+  }
+
   def jaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val sa = new java.util.HashSet[Long]()

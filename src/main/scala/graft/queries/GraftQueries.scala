@@ -1620,6 +1620,18 @@ object GraftQueries {
       Dedup.jaccardVerify(candsCached(s, d), t(s, d, "documents"),
         "doc_id", "text", shingleN = 3, threshold = 0.7)),
 
+    // dedup #4b: asymmetric CONTAINMENT over the same LSH candidates —
+    // quote/inclusion detection (Broder's containment next to q22's
+    // resemblance): a short doc embedded in a long one reads ~1.0 here
+    // while its jaccard stays under q22's threshold. Candidates come
+    // from the shared MinHash dump (honest caveat in the Scaladoc: LSH
+    // banded on resemblance is the blocking stage; one-sided sketches
+    // would widen recall for extreme size ratios). Oracle re-derives
+    // both directions from string shingle sets over (dump ⋈ documents).
+    "q96_containment" -> ((s, d) =>
+      Dedup.containmentVerify(candsCached(s, d), t(s, d, "documents"),
+        "doc_id", "text", shingleN = 3, threshold = 0.6)),
+
     // similarity search: brute-force cosine top-k (baseline; ranked on
     // exact cosine, rounded for output — DuckDB oracle mirrors both)
     "q23_ann_brute" -> ((s, d) => {
@@ -3857,6 +3869,39 @@ object GraftQueries {
     "q20_minhash_pairs" -> jaccardVerifyOracle(shingleN = 2, threshold = 0.8),
 
     "q22_ngram_jaccard" -> jaccardVerifyOracle(shingleN = 3, threshold = 0.7),
+
+    // containment re-derived from string shingle sets over the same
+    // candidate dump: both directions + the dominant one, kept when
+    // either clears the threshold — same IEEE small-int division on
+    // both engines, so the doubles compare bit-exact
+    "q96_containment" -> {
+      val shingleN = 3
+      val terms = (0 until shingleN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= $shingleN THEN
+         |      list_distinct(list_transform(
+         |        generate_series(1, len(toks) - ${shingleN - 1}), i -> $terms))
+         |    ELSE [array_to_string(toks, ' ')] END AS sh
+         |  FROM toks)
+         |SELECT a_id, b_id, cont_a_in_b, cont_b_in_a,
+         |  CASE WHEN cont_a_in_b >= cont_b_in_a THEN 'a_in_b'
+         |       ELSE 'b_in_a' END AS direction
+         |FROM (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) AS DOUBLE) AS cont_a_in_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(b.sh) AS DOUBLE) AS cont_b_in_a
+         |  FROM read_parquet('${candsDumpPath(oracleRows)}/*.parquet') c
+         |  JOIN sh a ON CAST(a.doc_id AS VARCHAR) = c.a_id
+         |  JOIN sh b ON CAST(b.doc_id AS VARCHAR) = c.b_id)
+         |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6""".stripMargin
+    },
 
     "q49_engine_routing" -> {
       import graft.core.EngineSelector

@@ -671,6 +671,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 5)
   }
 
+  test("containment: embedded quote reads 1.0 where jaccard stays low; direction picked") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val tail = (1 to 40).map(i => s"filler$i word$i extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                 // short doc
+      (2L, s"$quote $tail"),       // long doc that BEGINS with the quote
+      (3L, "completely unrelated text about apples and oranges")
+    ).toDF("doc_id", "text")
+    val cands = Seq(("1", "2"), ("1", "3")).toDF("a_id", "b_id")
+    val out = Dedup.containmentVerify(cands, docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+    // only the (1,2) pair survives; every trigram of the quote appears
+    // contiguously at the head of doc 2 -> containment exactly 1.0
+    assert(out.length == 1)
+    val (a, b, cab, cba, dir) = out.head
+    assert(a == "1" && b == "2" && cab == 1.0 && dir == "a_in_b")
+    assert(cba < 0.2, s"long side must NOT read contained: $cba")
+    // ...while symmetric jaccard on the same pair stays under q22's bar
+    val j = Dedup.jaccard(Dedup.shingleHashes(quote, 3),
+      Dedup.shingleHashes(s"$quote $tail", 3))
+    assert(j < 0.2, s"jaccard should miss this inclusion: $j")
+  }
+
   test("redirects: pointer jumping resolves chains, counts hops, flags loops") {
     import spark.implicits._
     // chain 1→2→3→4 (terminal 4), a 2-cycle 10↔11, a self-contained
