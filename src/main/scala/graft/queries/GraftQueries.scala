@@ -474,6 +474,59 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** Charset-sniff dump (q97 / the encoding-detection rung of the crawl
+    * front-end): every html payload is deterministically re-encoded into
+    * a charset variant (page-index mod 6 — plain UTF-8, UTF-8 BOM,
+    * UTF-16LE/BE with BOMs, windows-1252 under both declaration styles),
+    * the REAL sniffer ([[graft.html.CharsetSniff]] — BOM → meta prescan
+    * → strict UTF-8 validation → 1252 fallback) runs on the variant
+    * bytes, and the verdict dumps beside the first 192 payload bytes as
+    * hex plus the md5 of the decoded text. q97's oracle re-derives the
+    * verdict from the hex head (BOM prefixes, declaration byte patterns)
+    * and the roundtrip gate from the pages parquet — nothing is
+    * asserted TRUE. Map-side only: the variant bytes never leave the
+    * scan task; only the fixed-width verdict row shuffles to the dump. */
+  def charsetDumpPath(rows: Int): String =
+    s"/tmp/graft_charset_cache/g${graft.gen.PageGen.GenVersion}-cs${graft.html.CharsetSniff.Version}-rows$rows"
+
+  def charsetCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = charsetDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val sniffed = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.flatMap { case (url, html) =>
+              if (html.length == 0 || html(0) != '<') Iterator.empty
+              else {
+                val idx = url.substring(url.lastIndexOf('/') + 1).toLong
+                val variant = (idx % 6).toInt
+                val payload = graft.html.CharsetSniff.encodeVariant(html, variant)
+                val sn = graft.html.CharsetSniff.sniff(payload)
+                val decoded = graft.html.CharsetSniff.decode(payload, sn)
+                md.reset()
+                val dig = md.digest(decoded.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                val headHex = {
+                  val n = math.min(192, payload.length)
+                  val sb = new java.lang.StringBuilder(n * 2)
+                  var i = 0
+                  while (i < n) { sb.append(f"${payload(i) & 0xFF}%02X"); i += 1 }
+                  sb.toString
+                }
+                Iterator((url, variant, headHex, sn.charset, sn.decl,
+                  dig.map(b => f"$b%02x").mkString))
+              }
+            }
+          }.toDF("url", "variant", "head_hex", "detected", "decl", "decoded_md5")
+        atomicDump(sniffed, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -2092,6 +2145,40 @@ object GraftQueries {
           (col("n_hops") > 0).as("redirected"))
     }),
 
+    // charset sniffing (the encoding-detection rung of the crawl
+    // front-end; q93/q94/q95's sibling): every html payload is
+    // deterministically re-encoded into a charset variant (idx mod 6),
+    // the REAL sniffer (graft/html/CharsetSniff — BOM → meta prescan →
+    // strict UTF-8 validation → windows-1252 fallback) decides, and the
+    // decoded text round-trips. NOTHING is asserted TRUE: the oracle
+    // re-derives the verdict from the dumped head bytes (BOM prefixes,
+    // declaration byte patterns in hex space) and the roundtrip gate by
+    // re-building the expected text from the pages parquet — a sniffer
+    // that misses a BOM, reads the wrong declaration, or a decoder that
+    // corrupts a byte fails the hash compare row-for-row. 100 TB shape:
+    // sniff+decode are map-side per-row byte scans on the dump stage;
+    // this query is one broadcast-free equi-join on url.
+    "q97_charset" -> ((s, d) => {
+      val dump = charsetCached(s, d)
+      val pages = s.read.parquet(pagesPath(s, d)).select(col("url"), col("html"))
+      // the meta tags contain no single quotes, so they embed verbatim
+      // in the SQL literals below (double quotes are plain characters
+      // inside a single-quoted SQL string)
+      val v4 = graft.html.CharsetSniff.MetaV4
+      val v5 = graft.html.CharsetSniff.MetaV5
+      val expected = when(col("variant") === 4,
+          expr(s"""replace(cast(html as string), '<head>', '<head>$v4')"""))
+        .when(col("variant") === 5,
+          expr(s"""replace(cast(html as string), '<head>', '<head>$v5')"""))
+        .otherwise(col("html").cast("string"))
+      dump.join(pages, Seq("url"))
+        .select(col("url"), col("variant"), col("detected"), col("decl"),
+          (col("variant") ===
+            expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long) % 6")
+          ).as("variant_ok"),
+          (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -2323,6 +2410,7 @@ object GraftQueries {
     anchorsCached(spark, sfDir)
     postingsCached(spark, sfDir)
     sitemapsCached(spark, sfDir)
+    charsetCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -3672,6 +3760,51 @@ object GraftQueries {
          |FROM term t
          |JOIN p a ON t.idx = a.idx
          |JOIN p b ON t.fidx = b.idx""".stripMargin,
+
+    // charset verdicts re-derived from the dumped head BYTES in hex
+    // space (BOM prefixes; declaration patterns hex-encoded so no
+    // lossy blob→text cast touches non-UTF-8 heads) and the roundtrip
+    // gate re-built from the pages parquet — Spark's detected/decl/
+    // roundtrip columns must agree byte-for-byte or the row hash
+    // diverges. The one arm the head can't witness — strict UTF-8
+    // validation rejecting a payload — is CharsetSpec territory (this
+    // corpus plants no invalid-UTF-8 html).
+    "q97_charset" -> {
+      def hexAscii(t: String): String =
+        t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          .map(b => f"${b & 0xFF}%02X").mkString
+      val hexA = hexAscii("charset=\"windows-1252\"")
+      val hexB = hexAscii("charset=windows-1252")
+      val hexU = hexAscii("charset=\"utf-8\"")
+      val v4 = graft.html.CharsetSniff.MetaV4
+      val v5 = graft.html.CharsetSniff.MetaV5
+      s"""WITH d AS (
+         |  SELECT * FROM read_parquet('${charsetDumpPath(oracleRows)}/*.parquet')),
+         |p AS (
+         |  SELECT url, decode(html) AS txt
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+         |  WHERE substr(hex(html), 1, 2) = '3C')
+         |SELECT d.url, d.variant,
+         |  CASE WHEN head_hex LIKE 'EFBBBF%' THEN 'utf-8-bom'
+         |       WHEN head_hex LIKE 'FFFE%' THEN 'utf-16le'
+         |       WHEN head_hex LIKE 'FEFF%' THEN 'utf-16be'
+         |       WHEN position('$hexA' IN head_hex) > 0
+         |         OR position('$hexB' IN head_hex) > 0 THEN 'windows-1252'
+         |       ELSE 'utf-8' END AS detected,
+         |  CASE WHEN head_hex LIKE 'EFBBBF%' OR head_hex LIKE 'FFFE%'
+         |         OR head_hex LIKE 'FEFF%' THEN NULL
+         |       WHEN position('$hexA' IN head_hex) > 0
+         |         OR position('$hexB' IN head_hex) > 0 THEN 'windows-1252'
+         |       WHEN position('$hexU' IN head_hex) > 0 THEN 'utf-8'
+         |       ELSE NULL END AS decl,
+         |  (d.variant = CAST(regexp_extract(d.url, '/page/([0-9]+)$$', 1) AS BIGINT) % 6)
+         |    AS variant_ok,
+         |  (d.decoded_md5 = md5(
+         |    CASE WHEN d.variant = 4 THEN replace(p.txt, '<head>', '<head>$v4')
+         |         WHEN d.variant = 5 THEN replace(p.txt, '<head>', '<head>$v5')
+         |         ELSE p.txt END)) AS roundtrip_ok
+         |FROM d JOIN p USING (url)""".stripMargin
+    },
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

@@ -448,6 +448,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "coverage arithmetic must stay codegen'd")
   }
 
+  test("q97 charset audit: one equi-join, verdict arithmetic codegen'd (no cartesian, no UDF)") {
+    // the sniff/decode kernel runs in the DUMP stage (map-side,
+    // payload never shuffles); the query itself must be a single
+    // url equi-join between the verdict dump and the pages scan with
+    // all comparison columns codegen'd — a ScalaUDF or a nested-loop
+    // here would mean the kernel leaked into the per-query path
+    val p = executedPlan(graft.queries.GraftQueries.queries("q97_charset")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"),
+      "verdict comparisons must stay codegen'd (md5/replace/regexp are builtins)")
+  }
+
   test("q90 hits half-step: equi-join + partial/final aggregate, normalizer scalar broadcasts (no cartesian, no UDF)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
