@@ -527,6 +527,42 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** Head-metadata dump (q98 / the WAT metadata-record surface, sibling
+    * to q87's anchor harvest): the [[graft.html.HeadMeta]] scanner runs
+    * map-side over every html payload and its per-page record (title,
+    * lang attribute, doctype flag, script/style/meta tag counts) dumps
+    * here. The q98 oracle re-derives EVERY field from the raw page
+    * bytes with regexes — the scanner under test never leaks into the
+    * oracle. */
+  def headMetaDumpPath(rows: Int): String =
+    s"/tmp/graft_headmeta_cache/g${graft.gen.PageGen.GenVersion}-hm${graft.html.HeadMeta.Version}-rows$rows"
+
+  def headMetaCached(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = headMetaDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val metas = spark.read.parquet(pagesPath(spark, sfDir))
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+          .mapPartitions { it =>
+            it.flatMap { case (url, html) =>
+              if (html.length == 0 || html(0) != '<') Iterator.empty
+              else {
+                val m = graft.html.HeadMeta.scan(
+                  new String(html, java.nio.charset.StandardCharsets.UTF_8))
+                Iterator((url, m.title, m.langAttr, m.hasDoctype,
+                  m.nScript, m.nStyle, m.nMeta))
+              }
+            }
+          }.toDF("url", "title", "lang_attr", "has_doctype",
+            "n_script", "n_style", "n_meta")
+        atomicDump(metas, path)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** Corpus token/bigram count tables (the extract-once/read-many
     * pattern applied to the token family): q70's collocation join,
     * q72's exact recount, and q74's LM training all consume the same
@@ -2179,6 +2215,23 @@ object GraftQueries {
           (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
     }),
 
+    // WAT head-metadata records (q87's sibling — the metadata half of
+    // the WAT sidecar: Title, html lang attribute, doctype, tag-family
+    // counts). The scanner runs in the dump stage (map-side, one
+    // forward scan per row); this query joins the record table to the
+    // pages scan once to cross-check the declared lang attribute
+    // against the crawl-reported lang column. The oracle re-derives
+    // every field from the raw page BYTES with regexes, so a scanner
+    // that mis-slices the title, misses a tag open, or over-counts
+    // (e.g. <metadata> as <meta>) fails the hash compare row-for-row.
+    "q98_head_meta" -> ((s, d) => {
+      val pages = s.read.parquet(pagesPath(s, d)).select(col("url"), col("lang"))
+      headMetaCached(s, d).join(pages, Seq("url"))
+        .select(col("url"), col("title"), col("lang_attr"), col("has_doctype"),
+          col("n_script"), col("n_style"), col("n_meta"),
+          (col("lang_attr") === col("lang")).as("lang_match"))
+    }),
+
     // VLM client analog (the reference's one previously-inexecutable
     // module, vlm/client.py + detector.py:148-199): the staged ledger
     // is the REAL client loop's output (prompt selection, bounded
@@ -2411,6 +2464,7 @@ object GraftQueries {
     postingsCached(spark, sfDir)
     sitemapsCached(spark, sfDir)
     charsetCached(spark, sfDir)
+    headMetaCached(spark, sfDir)
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -3805,6 +3859,38 @@ object GraftQueries {
          |         ELSE p.txt END)) AS roundtrip_ok
          |FROM d JOIN p USING (url)""".stripMargin
     },
+
+    // every WAT metadata field re-derived from the raw page bytes with
+    // regexes — the HeadMeta scanner never leaks into the oracle.
+    // Regex↔scanner equivalence on this corpus (the linksFromRawSql
+    // argument): markup keywords never appear inside text, comments or
+    // attribute values; <title> pairs are single, lowercase and
+    // element-free; the doctype is literal `<!DOCTYPE` at byte 0 when
+    // present; lang attributes are double-quoted on the first <html>
+    // tag only. The scanner's extra generality (case-insensitivity,
+    // whitespace-before-doctype, quote edge cases) is CharsetSpec-style
+    // unit-test territory in HeadMetaSpec.
+    "q98_head_meta" ->
+      s"""WITH p AS (
+         |  SELECT url, lang, decode(html) AS doc
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+         |  WHERE substr(hex(html), 1, 2) = '3C')
+         |SELECT url,
+         |  trim(regexp_replace(coalesce(
+         |    regexp_extract(doc, '<title>([^<]*)</title>', 1), ''),
+         |    '\\s+', ' ', 'g')) AS title,
+         |  coalesce(regexp_extract(doc, '<html[^>]* lang="([^"]*)"', 1), '')
+         |    AS lang_attr,
+         |  starts_with(doc, '<!DOCTYPE') AS has_doctype,
+         |  CAST(len(regexp_extract_all(doc, '<script[\\s>/]')) AS INTEGER)
+         |    AS n_script,
+         |  CAST(len(regexp_extract_all(doc, '<style[\\s>/]')) AS INTEGER)
+         |    AS n_style,
+         |  CAST(len(regexp_extract_all(doc, '<meta[\\s>/]')) AS INTEGER)
+         |    AS n_meta,
+         |  (coalesce(regexp_extract(doc, '<html[^>]* lang="([^"]*)"', 1), '')
+         |    = lang) AS lang_match
+         |FROM p""".stripMargin,
 
     // the ENTIRE vlm client ledger re-derived from md5(img) over the
     // raster dump + the shared prompt/label tables (VlmPrompts/StubVlm

@@ -460,6 +460,15 @@ class PlanSpec extends AnyFunSuite {
       "verdict comparisons must stay codegen'd (md5/replace/regexp are builtins)")
   }
 
+  test("q98 head-metadata audit: one equi-join over the staged records (no cartesian, no UDF)") {
+    // the HeadMeta scanner runs in the dump stage; the query is the
+    // record table joined once to the pages scan for the lang
+    // cross-check — projection arithmetic must stay codegen'd
+    val p = executedPlan(graft.queries.GraftQueries.queries("q98_head_meta")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"), "record comparisons must stay codegen'd")
+  }
+
   test("q90 hits half-step: equi-join + partial/final aggregate, normalizer scalar broadcasts (no cartesian, no UDF)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
