@@ -2215,6 +2215,46 @@ object GraftQueries {
           (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
     }),
 
+    // crawl-frontier scoring (the capstone of the crawl front-end
+    // family — what a scheduler actually consumes): the sitemap GAP
+    // set (q94's discovery output) is gated by robots compliance
+    // (q93's decision rule) and ranked per host by declared priority,
+    // then recency, then loc — the top 3 per host feed the fetcher.
+    // 100 TB shape: the corpus is scanned ONCE with the entry table
+    // broadcast (only matched locs — bounded by the sitemap size —
+    // ever shuffle); everything after the gap set is sitemap-bounded
+    // (NumHosts × ≤30 rows), so the window is trivially small at any
+    // corpus scale. The oracle re-parses the dumped XML, re-derives
+    // the robots families in closed form from md5(host), and re-ranks
+    // — parser, matcher, or ranking drift all fail the hash compare.
+    "q99_frontier" -> ((s, d) => {
+      import s.implicits._
+      val entries = sitemapsCached(s, d).as[(String, String)]
+        .flatMap { case (h, xml) =>
+          graft.sources.Sitemaps.parse(xml)
+            .map(e => (h, e.loc, e.lastmod, e.priorityMicros))
+        }.toDF("host", "loc", "lastmod", "prio")
+      val urls = s.read.parquet(pagesPath(s, d)).select(col("url"))
+      val fetched = urls
+        .join(broadcast(entries.select(col("loc"))), urls("url") === entries("loc"))
+        .select(col("loc")).distinct()
+      val gaps = entries.join(fetched, Seq("loc"), "left_anti")
+        .withColumn("path", expr("regexp_extract(loc, '^https://[^/]+(/.*)$', 1)"))
+      val ruleLists = entries.select("host").distinct().as[String]
+        .map(h => (h, graft.sources.Robots.ruleTable(h))).toDF("host", "rules")
+      val gated = gaps.join(broadcast(ruleLists), Seq("host"), "left")
+        .select(col("host"), col("loc"), col("lastmod"), col("prio"),
+          expr("array_max(filter(rules, r -> startswith(path, r.p)))").as("m"))
+        .select(col("host"), col("loc"), col("lastmod"), col("prio"),
+          coalesce(col("m.a") === 1, lit(true)).as("allowed"))
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("prio").desc, col("lastmod").desc, col("loc").asc)
+      gated.filter(col("allowed"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("host"), col("loc"), col("prio"), col("lastmod"), col("rank"))
+    }),
+
     // WAT head-metadata records (q87's sibling — the metadata half of
     // the WAT sidecar: Title, html lang attribute, doctype, tag-family
     // counts). The scanner runs in the dump stage (map-side, one
@@ -3859,6 +3899,63 @@ object GraftQueries {
          |         ELSE p.txt END)) AS roundtrip_ok
          |FROM d JOIN p USING (url)""".stripMargin
     },
+
+    // the frontier re-derived end to end: sitemap entries re-parsed
+    // from the dumped XML (q94's relational parser), the gap set via
+    // anti-join to the pages parquet, robots families re-derived in
+    // closed form from md5(host) (q93's rule), and the per-host
+    // ranking re-run — so drift in the Scala parser, the rule matcher,
+    // OR the ranking order diverges row-for-row
+    "q99_frontier" ->
+      s"""WITH s AS (
+         |  SELECT host, xml FROM read_parquet('${sitemapsDumpPath(oracleRows)}/*.parquet')),
+         |b AS (
+         |  SELECT host,
+         |    unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS blk
+         |  FROM s),
+         |e0 AS (
+         |  SELECT host,
+         |    regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS rawloc,
+         |    regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+         |    regexp_extract(blk, '<priority>([^<]*)</priority>', 1) AS prio_s
+         |  FROM b),
+         |e AS (
+         |  SELECT host,
+         |    replace(replace(replace(replace(replace(rawloc,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+         |      '&amp;', '&') AS loc,
+         |    lastmod,
+         |    CASE WHEN prio_s = '' THEN 500000
+         |         ELSE CAST(round(CAST(prio_s AS DOUBLE) * 1000000) AS BIGINT)
+         |    END AS prio
+         |  FROM e0 WHERE rawloc <> ''),
+         |u AS (
+         |  SELECT url FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')),
+         |g AS (
+         |  SELECT e.host, e.loc, e.lastmod, e.prio,
+         |    regexp_extract(e.loc, '^https://[^/]+(/.*)$$', 1) AS path,
+         |    CAST(('0x' || substr(md5(e.host), 1, 1)) AS INT) % 4 AS fam
+         |  FROM e LEFT JOIN u ON e.loc = u.url WHERE u.url IS NULL),
+         |a AS (
+         |  -- q93's closed form extended to NON-/page/ paths (sitemap
+         |  -- promos), which the crawled-url rule never exercises:
+         |  -- fam 2's 'Disallow: /' catches them (only '/page/' is
+         |  -- allowed back), while fam 3's graftbot group has no
+         |  -- matching rule at all -> allowed by RFC 9309 default
+         |  SELECT host, loc, prio, lastmod FROM g
+         |  WHERE CASE fam
+         |    WHEN 0 THEN TRUE
+         |    WHEN 1 THEN NOT starts_with(path, '/page/1')
+         |    WHEN 2 THEN starts_with(path, '/page/')
+         |    ELSE (NOT starts_with(path, '/page/')
+         |          OR starts_with(path, '/page/2')) END),
+         |k AS (
+         |  SELECT host, loc, prio, lastmod,
+         |    ROW_NUMBER() OVER (PARTITION BY host
+         |      ORDER BY prio DESC, lastmod DESC, loc ASC) AS rank
+         |  FROM a)
+         |SELECT host, loc, prio, lastmod, CAST(rank AS INTEGER) AS rank
+         |FROM k WHERE rank <= 3""".stripMargin,
 
     // every WAT metadata field re-derived from the raw page bytes with
     // regexes — the HeadMeta scanner never leaks into the oracle.

@@ -469,6 +469,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "record comparisons must stay codegen'd")
   }
 
+  test("q99 frontier: entry table broadcasts to the one corpus scan; ranking is sitemap-bounded (no cartesian)") {
+    // the corpus contributes ONE scan with the (bounded) entry table
+    // broadcast; the gap anti-join, robots gate and per-host window
+    // all run on sitemap-sized data — the corpus must never shuffle
+    // on a url-level key
+    val p = executedPlan(graft.queries.GraftQueries.queries("q99_frontier")(spark, d))
+    assert(p.contains("BroadcastHashJoin"),
+      s"sitemap entries must broadcast to the url scan:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("hashpartitioning(url"),
+      s"the corpus must never shuffle on a url-level key:\n${p.take(1200)}")
+  }
+
   test("q90 hits half-step: equi-join + partial/final aggregate, normalizer scalar broadcasts (no cartesian, no UDF)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
