@@ -82,6 +82,55 @@ object GraftQueries {
     }
     path
   }
+  /** Deterministic WET fixture (q100 — the extracted-text sidecar,
+    * completing the WARC/WAT/WET triple): the same 1-in-20 url subset
+    * as the WARC fixture, successfully-extracted rows only, written as
+    * .warc.wet.gz segments by the production writer (Wet.writeSegments)
+    * once per (generator, extraction, WET version, rows). q100 reads it
+    * back through the production parser and aggregates; the oracle
+    * computes the SAME aggregate straight from the extraction dump —
+    * equality proves the write→gzip→parse roundtrip preserved every
+    * url, language tag, timestamp millisecond and text byte. */
+  def wetDumpPath(rows: Int): String =
+    s"/tmp/graft_wet_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-wet${graft.sources.Wet.Version}-rows$rows"
+
+  private def wetCached(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = wetDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_DONE").exists()) {
+        import java.nio.file._
+        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+        deleteRecursively(new java.io.File(tmp))
+        val subset = extractedCached(spark, sfDir)
+          .filter(expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long) % 20 = 0")
+            && col("error").isNull)
+          .select(col("url"), col("warc_ts"), col("lang"),
+            col("extracted_text").as("text"))
+          .as[graft.sources.Wet.WetRecord]
+        graft.sources.Wet.writeSegments(subset, tmp, compress = true)
+        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
+        val dest = Paths.get(path)
+        try {
+          Files.createDirectories(dest.getParent)
+          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
+            else {
+              deleteRecursively(dest.toFile)
+              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+                deleteRecursively(new java.io.File(tmp))
+              }
+            }
+        }
+      }
+    }
+    path
+  }
+
   def extractedPages(spark: SparkSession, sfDir: String): DataFrame = {
     // extraction is CPU-bound per byte: shrink scan splits so local-mode
     // parallelism isn't starved by a handful of 128 MB splits (at real
@@ -2215,6 +2264,26 @@ object GraftQueries {
           (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
     }),
 
+    // WET sidecar roundtrip (S5/S6's text-artifact sibling — q48 is the
+    // payload WARC, q98 the WAT metadata table, this the WET conversion
+    // records): the production writer emits .warc.wet.gz segments from
+    // the extraction dump's 1-in-20 subset, the production parser reads
+    // them back, and the aggregate (counts, text chars, timestamp sum,
+    // an md5-slice text key) must equal the oracle's aggregate computed
+    // STRAIGHT from the extraction dump — any byte lost or altered in
+    // write→gzip→parse shifts text_key_sum and fails the hash compare.
+    "q100_wet_roundtrip" -> ((s, d) => {
+      val dir = wetCached(s, d)
+      graft.sources.Wet.readRecords(s, dir).toDF()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("url")).as("n_urls"),
+          sum(length(col("text")).cast("long")).as("text_chars"),
+          sum(expr("unix_millis(warc_ts)")).as("ts_millis_sum"),
+          sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+            .as("text_key_sum"))
+    }),
+
     // crawl-frontier scoring (the capstone of the crawl front-end
     // family — what a scheduler actually consumes): the sitemap GAP
     // set (q94's discovery output) is gated by robots compliance
@@ -3899,6 +3968,21 @@ object GraftQueries {
          |         ELSE p.txt END)) AS roundtrip_ok
          |FROM d JOIN p USING (url)""".stripMargin
     },
+
+    // the WET roundtrip's ground truth: the same subset aggregated
+    // straight from the extraction dump — the writer/parser under test
+    // never touch this SQL
+    "q100_wet_roundtrip" ->
+      s"""SELECT lang, count(*) AS n,
+         |  count(DISTINCT url) AS n_urls,
+         |  CAST(sum(length(extracted_text)) AS BIGINT) AS text_chars,
+         |  CAST(sum(epoch_ms(warc_ts)) AS BIGINT) AS ts_millis_sum,
+         |  CAST(sum(CAST(('0x' || substr(md5(extracted_text), 1, 8)) AS BIGINT))
+         |    AS BIGINT) AS text_key_sum
+         |FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |WHERE CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) % 20 = 0
+         |  AND error IS NULL
+         |GROUP BY lang""".stripMargin,
 
     // the frontier re-derived end to end: sitemap entries re-parsed
     // from the dumped XML (q94's relational parser), the gap set via

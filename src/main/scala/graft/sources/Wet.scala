@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.Timestamp
+import java.time.format.DateTimeFormatter
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** WET sidecar — Common Crawl's extracted-text distribution format:
+  * a WARC container of `WARC-Type: conversion` records whose body is
+  * the plain UTF-8 extracted text of one page. With q48's raw WARC
+  * segments (payload archive) and q98's WAT metadata records, this
+  * completes the WARC/WAT/WET artifact triple a crawl pipeline
+  * publishes (the reference's analog is the extracted-text record it
+  * commits per document version, `ocrworker/tasks.py`).
+  *
+  * Same segment discipline as [[Warc.writeSegments]]: one segment per
+  * partition, every record its own gzip member when compressed,
+  * _-prefixed attempt-suffixed temps + ATOMIC_MOVE so crashed or
+  * speculative writers never corrupt a live segment. WET carries no
+  * CDX sidecar (matching the Common Crawl convention — text consumers
+  * scan; random access goes through the WARC's index).
+  *
+  * Roundtrip contract (q100): writer → gzip → parser preserves every
+  * url, language tag, timestamp millisecond and text BYTE — the DuckDB
+  * oracle aggregates the same subset straight from the extraction dump
+  * and the sums (including an md5-slice text key) must match exactly.
+  */
+object Wet {
+
+  /** Bump to invalidate fixture dirs derived from this writer/parser. */
+  val Version = 1
+
+  final case class WetRecord(url: String, warc_ts: Timestamp,
+                             lang: String, text: String)
+
+  private val warcDate = DateTimeFormatter.ISO_INSTANT
+
+  private def headerSafe(s: String): String = {
+    val v = Option(s).getOrElse("")
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c != '\r' && c != '\n' && c >= ' ') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One conversion record. The body is the raw UTF-8 text (newlines
+    * included verbatim — Content-Length delimits, nothing escapes). */
+  def recordBytes(r: WetRecord): Array[Byte] = {
+    val body = Option(r.text).getOrElse("").getBytes(UTF_8)
+    val head = ("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: ${headerSafe(r.url)}\r\n" +
+      s"WARC-Date: ${warcDate.format(r.warc_ts.toInstant)}\r\n" +
+      s"WARC-Identified-Content-Language: ${headerSafe(r.lang)}\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes(UTF_8)
+    val out = new Array[Byte](head.length + body.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** Write records as WET segments, one per partition (Warc.writeSegments
+    * discipline: per-record gzip members, invisible temps, atomic move,
+    * O(#partitions) driver traffic). */
+  def writeSegments(recs: Dataset[WetRecord], dir: String,
+                    compress: Boolean = false): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_tmp-"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    import recs.sparkSession.implicits._
+    val ext = if (compress) ".warc.wet.gz" else ".warc.wet"
+    val doGzip = compress
+    recs.mapPartitions { it =>
+      val rs = it.toSeq
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val segName = f"segment-$pid%05d$ext"
+        val out = new java.io.ByteArrayOutputStream()
+        rs.foreach { r =>
+          val rec = recordBytes(r)
+          out.write(if (doGzip) Warc.gzip(rec) else rec)
+        }
+        val target = java.nio.file.Paths.get(dir, segName)
+        val tmp = target.resolveSibling(
+          "_tmp-" + target.getFileName.toString + "." + tc.taskAttemptId())
+        try {
+          java.nio.file.Files.write(tmp, out.toByteArray)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+        Iterator.single(pid)
+      }
+    }.collect()
+    ()
+  }
+
+  /** Parse one (possibly multi-member-gzipped) WET segment. */
+  def parseSegment(bytes: Array[Byte]): Seq[WetRecord] = {
+    val raw = if (bytes.length >= 2 &&
+      (bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
+      Warc.gunzip(bytes) else bytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[WetRecord]
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val start = find(raw, "WARC/", i)
+      if (start < 0) { i = n }
+      else {
+        val headEnd = find(raw, "\r\n\r\n", start)
+        if (headEnd < 0) { i = n }
+        else {
+          val headers = new String(raw, start, headEnd - start, UTF_8)
+            .linesIterator.flatMap { line =>
+              val k = line.indexOf(':')
+              if (k <= 0) None
+              else Some(line.take(k).trim.toLowerCase -> line.drop(k + 1).trim)
+            }.toMap
+          val bodyStart = headEnd + 4
+          headers.get("content-length").flatMap(_.toIntOption) match {
+            case Some(len) if len >= 0 && bodyStart + len <= n =>
+              if (headers.getOrElse("warc-type", "") == "conversion") {
+                val uri = headers.getOrElse("warc-target-uri", "")
+                val ts = try {
+                  Timestamp.from(java.time.Instant.parse(
+                    headers.getOrElse("warc-date", "")))
+                } catch { case _: Exception => new Timestamp(0) }
+                val lang = headers.getOrElse("warc-identified-content-language", "")
+                out += WetRecord(uri, ts, lang,
+                  new String(raw, bodyStart, len, UTF_8))
+              }
+              i = bodyStart + len
+            case _ => i = bodyStart // malformed length: resync on next WARC/
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read a directory of .warc.wet / .warc.wet.gz segments into a typed
+    * Dataset — one task per segment file, parse map-side (the Warc
+    * reader's scan shape: at Common-Crawl scale each ~1 GB segment is
+    * one input split; nothing shuffles). */
+  def readRecords(spark: SparkSession, dir: String): Dataset[WetRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.wet*")
+      .load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap(parseSegment _)
+  }
+
+  private def find(b: Array[Byte], p: String, from: Int): Int = {
+    val pb = p.getBytes(UTF_8)
+    val n = b.length
+    var i = math.max(from, 0)
+    while (i <= n - pb.length) {
+      var k = 0
+      while (k < pb.length && b(i + k) == pb(k)) k += 1
+      if (k == pb.length) return i
+      i += 1
+    }
+    -1
+  }
+}
