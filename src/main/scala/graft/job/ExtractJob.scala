@@ -139,6 +139,28 @@ object ExtractJob {
     } finally SnapshotStore.releaseLock(outRoot)
   }
 
+  /** Publish the WET sidecar for ONE committed snapshot: its
+    * successfully-extracted rows as .warc.wet.gz conversion records
+    * under `<wetRoot>/wet-<seq>` — per-increment emission, the Common
+    * Crawl distribution shape (each crawl batch publishes its own WET
+    * beside the WARC). No-op for empty snapshots (resume re-runs), so
+    * an idempotent ExtractCli re-run emits no duplicate sidecar.
+    * Returns the number of records written. Roundtrip fidelity is
+    * value-checked corpus-wide by q100's oracle. */
+  def emitWet(spark: SparkSession, snap: Snapshot, wetRoot: String): Long = {
+    if (snap.rowCount == 0L) return 0L
+    import spark.implicits._
+    val recs = spark.read.parquet(snap.dataDir)
+      .filter(col("error").isNull)
+      .select(col("url"), col("warc_ts"), col("lang"),
+        col("extracted_text").as("text"))
+      .as[graft.sources.Wet.WetRecord]
+    val n = recs.count()
+    graft.sources.Wet.writeSegments(recs, s"$wetRoot/wet-${snap.sequence}",
+      compress = true)
+    n
+  }
+
   /** Raw-WARC run with FILE-MANIFEST resume — the same O(#segments)
     * bookkeeping the parquet path uses (round-3 VERDICT "missing" #1:
     * the WARC path previously leaned on the row-level anti-join net
@@ -493,17 +515,26 @@ object ExtractJob {
 
 /** spark-submit entry point (the analog of the reference CLI,
   * /root/reference/ocrworker/cli/ocr.py:12-33):
-  *   runMain graft.job.ExtractCli <pagesParquet> <outRoot> [numPartitions]
+  *   runMain graft.job.ExtractCli <pagesParquet> <outRoot> [numPartitions] [--wet <dir>]
+  * `--wet` publishes the snapshot's WET sidecar (extracted-text
+  * conversion records) under `<dir>/wet-<seq>` after the commit.
   */
 object ExtractCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ExtractCli <pagesParquet> <outRoot> [numPartitions]")
+    require(args.length >= 2, "usage: ExtractCli <pagesParquet> <outRoot> [numPartitions] [--wet <dir>]")
     val spark = GraftSession.local()
-    val parts = if (args.length > 2) args(2).toInt else 0
+    val wetIdx = args.indexOf("--wet")
+    val positional = if (wetIdx >= 0) args.take(wetIdx) else args
+    val parts = if (positional.length > 2) positional(2).toInt else 0
     val snap = ExtractJob.run(spark, args(0), args(1), numPartitions = parts)
     println(s"committed snapshot seq=${snap.sequence} rows=${snap.rowCount} " +
       s"errors=${snap.partitions.map(_.errorCount).sum} partitions=${snap.partitions.size}")
     println(SnapshotStore.readManifest(args(1), snap.sequence))
+    if (wetIdx >= 0) {
+      require(wetIdx + 1 < args.length, "--wet requires a directory argument")
+      val n = ExtractJob.emitWet(spark, snap, args(wetIdx + 1))
+      println(s"emitted WET sidecar records=$n dir=${args(wetIdx + 1)}/wet-${snap.sequence}")
+    }
     spark.stop()
   }
 }

@@ -2574,6 +2574,7 @@ object GraftQueries {
     sitemapsCached(spark, sfDir)
     charsetCached(spark, sfDir)
     headMetaCached(spark, sfDir)
+    wetCached(spark, sfDir): Unit
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run

@@ -31,6 +31,28 @@ class ExtractJobSpec extends AnyFunSuite {
 
   val N = 400
 
+  test("WET sidecar emission: per-snapshot records match the snapshot, resume emits nothing") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 120, s"$dir/pages", partitions = 3)
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out", numPartitions = 3)
+    val n = ExtractJob.emitWet(spark, snap, s"$dir/wet")
+    val back = graft.sources.Wet.readRecords(spark, s"$dir/wet/wet-${snap.sequence}")
+      .collect().sortBy(_.url)
+    assert(back.length == n)
+    // records must equal the snapshot's clean rows field-for-field
+    val expect = spark.read.parquet(snap.dataDir)
+      .filter("error IS NULL")
+      .selectExpr("url", "warc_ts", "lang", "extracted_text AS text")
+      .as[graft.sources.Wet.WetRecord](
+        org.apache.spark.sql.Encoders.product[graft.sources.Wet.WetRecord])
+      .collect().sortBy(_.url)
+    assert(back.toSeq == expect.toSeq)
+    // idempotent resume commits a 0-row snapshot -> emitWet is a no-op
+    val snap2 = ExtractJob.run(spark, s"$dir/pages", s"$dir/out", numPartitions = 3)
+    assert(ExtractJob.emitWet(spark, snap2, s"$dir/wet") == 0L)
+    assert(!new java.io.File(s"$dir/wet/wet-${snap2.sequence}").exists())
+  }
+
   test("byte-identity: distributed == single-threaded oracle, per url") {
     val dir = tmp()
     ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 7)
