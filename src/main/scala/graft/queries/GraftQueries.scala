@@ -131,6 +131,80 @@ object GraftQueries {
     path
   }
 
+  /** Deterministic snapshot-CHAIN fixture (q101 — S10/W2 promoted from
+    * test-only to oracle-backed): a real ExtractJob chain with every
+    * shape the store commits — two file-granular increments, a 0-row
+    * resume, and a compaction that replaces the live dirs — built once
+    * per (generator, extraction version, rows) through the production
+    * entry points. q101 audits the manifest artifacts themselves:
+    * Spark and DuckDB each parse the v*.json files independently, so a
+    * malformed manifest (bad counts, broken partitions array, wrong
+    * parent/replaces bookkeeping) diverges between the two parsers. */
+  def chainDumpPath(rows: Int): String =
+    s"/tmp/graft_chain_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-rows$rows"
+
+  def chainRowsFor(sfDir: String): Int =
+    math.max(graft.gen.PageGen.rowsForDir(sfDir) / 20, 500)
+
+  private def chainCached(spark: SparkSession, sfDir: String): String = {
+    val rows = chainRowsFor(sfDir)
+    val path = chainDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_DONE").exists()) {
+        import java.nio.file._
+        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+        deleteRecursively(new java.io.File(tmp))
+        ExtractJob.generatePages(spark, rows, s"$tmp/pages", partitions = 8)
+        // increment 1: hold back half the input files (the
+        // file-granular resume treats files as the unit of work)
+        val pagesDir = new java.io.File(s"$tmp/pages")
+        val files = pagesDir.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+        val hold = new java.io.File(s"$tmp/hold"); hold.mkdirs()
+        val held = files.drop(files.length / 2)
+        held.foreach(f => Files.move(f.toPath,
+          new java.io.File(hold, f.getName).toPath))
+        ExtractJob.run(spark, s"$tmp/pages", s"$tmp/out", numPartitions = 8)
+        // increment 2: the held files arrive; resume scans ONLY them
+        held.foreach(f => Files.move(new java.io.File(hold, f.getName).toPath,
+          new java.io.File(pagesDir, f.getName).toPath))
+        ExtractJob.run(spark, s"$tmp/pages", s"$tmp/out", numPartitions = 8)
+        // no-op resume: a 0-row snapshot with an empty partitions array
+        ExtractJob.run(spark, s"$tmp/pages", s"$tmp/out", numPartitions = 8)
+        // compaction: one clustered dir replacing the live chain
+        ExtractJob.compact(spark, s"$tmp/out"): Unit
+        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
+        val dest = Paths.get(path)
+        try {
+          Files.createDirectories(dest.getParent)
+          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
+            else {
+              deleteRecursively(dest.toFile)
+              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+                deleteRecursively(new java.io.File(tmp))
+              }
+            }
+        }
+      }
+    }
+    s"$path/out"
+  }
+
+  /** The manifest schema pinned explicitly: JSON inference over a file
+    * set that mixes empty and populated `partitions` arrays would
+    * otherwise degrade the element type. */
+  private val ManifestSchema =
+    "sequence LONG, parent LONG, extraction_version STRING, routing STRING, " +
+      "replaces LONG, data_dir STRING, row_count LONG, " +
+      "partitions ARRAY<STRUCT<partition_id: LONG, row_count: LONG, " +
+      "error_count: LONG, warc_ts_min: LONG, warc_ts_max: LONG>>, " +
+      "input_files ARRAY<STRING>"
+
   def extractedPages(spark: SparkSession, sfDir: String): DataFrame = {
     // extraction is CPU-bound per byte: shrink scan splits so local-mode
     // parallelism isn't starved by a handful of 128 MB splits (at real
@@ -2264,6 +2338,26 @@ object GraftQueries {
           (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
     }),
 
+    // snapshot-chain manifest audit (S10/W2 as a driver-visible query):
+    // the fixture chain is built through the PRODUCTION entry points
+    // (two file-granular increments, a 0-row resume, a compaction);
+    // Spark and the oracle then parse the committed v*.json manifest
+    // artifacts independently and compute the same per-snapshot ledger
+    // (counts, partition roll-ups, warc_ts coverage, parent/replaces
+    // bookkeeping). A store that writes a malformed or inconsistent
+    // manifest diverges between the two parsers row-for-row.
+    "q101_snapshot_audit" -> ((s, d) => {
+      val out = chainCached(s, d)
+      s.read.schema(ManifestSchema).json(s"$out/snapshots/v*.json")
+        .select(col("sequence"), col("parent"), col("replaces"), col("row_count"),
+          size(col("partitions")).as("n_parts"),
+          expr("aggregate(partitions, 0L, (a, p) -> a + p.row_count)").as("part_rows"),
+          expr("aggregate(partitions, 0L, (a, p) -> a + p.error_count)").as("err_sum"),
+          expr("array_min(transform(partitions, p -> p.warc_ts_min))").as("ts_min"),
+          expr("array_max(transform(partitions, p -> p.warc_ts_max))").as("ts_max"),
+          size(col("input_files")).as("n_inputs"))
+    }),
+
     // WET sidecar roundtrip (S5/S6's text-artifact sibling — q48 is the
     // payload WARC, q98 the WAT metadata table, this the WET conversion
     // records): the production writer emits .warc.wet.gz segments from
@@ -2575,6 +2669,7 @@ object GraftQueries {
     charsetCached(spark, sfDir)
     headMetaCached(spark, sfDir)
     wetCached(spark, sfDir): Unit
+    chainCached(spark, sfDir): Unit
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -3969,6 +4064,23 @@ object GraftQueries {
          |         ELSE p.txt END)) AS roundtrip_ok
          |FROM d JOIN p USING (url)""".stripMargin
     },
+
+    // the same manifest artifacts parsed by DuckDB's independent JSON
+    // reader — the store's writer is the only code both sides share
+    // (as the artifact under test)
+    "q101_snapshot_audit" ->
+      s"""SELECT sequence, parent, replaces, row_count,
+         |  CAST(len(partitions) AS INTEGER) AS n_parts,
+         |  CAST(coalesce(list_sum(list_transform(partitions, p -> p.row_count)), 0)
+         |    AS BIGINT) AS part_rows,
+         |  CAST(coalesce(list_sum(list_transform(partitions, p -> p.error_count)), 0)
+         |    AS BIGINT) AS err_sum,
+         |  CAST(list_min(list_transform(partitions, p -> p.warc_ts_min)) AS BIGINT)
+         |    AS ts_min,
+         |  CAST(list_max(list_transform(partitions, p -> p.warc_ts_max)) AS BIGINT)
+         |    AS ts_max,
+         |  CAST(len(input_files) AS INTEGER) AS n_inputs
+         |FROM read_json_auto('${chainDumpPath(math.max(oracleRows / 20, 500))}/out/snapshots/v*.json')""".stripMargin,
 
     // the WET roundtrip's ground truth: the same subset aggregated
     // straight from the extraction dump — the writer/parser under test
