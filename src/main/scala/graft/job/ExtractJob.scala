@@ -143,22 +143,57 @@ object ExtractJob {
     * successfully-extracted rows as .warc.wet.gz conversion records
     * under `<wetRoot>/wet-<seq>` — per-increment emission, the Common
     * Crawl distribution shape (each crawl batch publishes its own WET
-    * beside the WARC). No-op for empty snapshots (resume re-runs), so
-    * an idempotent ExtractCli re-run emits no duplicate sidecar.
-    * Returns the number of records written. Roundtrip fidelity is
-    * value-checked corpus-wide by q100's oracle. */
-  def emitWet(spark: SparkSession, snap: Snapshot, wetRoot: String): Long = {
-    if (snap.rowCount == 0L) return 0L
+    * beside the WARC). No-op for empty snapshots (resume re-runs) and
+    * for dirs whose `_WET_DONE` marker already committed, so a re-run
+    * never duplicates a sidecar; a marker-LESS dir with segments is a
+    * crashed partial emission and is re-emitted over (Wet.writeSegments
+    * sweeps stale segments first). Returns the number of records
+    * written — counted by the write job itself, not a second scan.
+    * Roundtrip fidelity is value-checked corpus-wide by q100's oracle. */
+  def emitWet(spark: SparkSession, snap: Snapshot, wetRoot: String): Long =
+    emitWetFor(spark, snap.sequence, snap.dataDir, snap.rowCount, wetRoot)
+
+  private def emitWetFor(spark: SparkSession, seq: Int, dataDir: String,
+                         rowCount: Long, wetRoot: String): Long = {
+    if (rowCount == 0L) return 0L
+    val dir = s"$wetRoot/wet-$seq"
+    if (graft.sources.Wet.isComplete(dir)) return 0L
     import spark.implicits._
-    val recs = spark.read.parquet(snap.dataDir)
+    val recs = spark.read.parquet(dataDir)
       .filter(col("error").isNull)
       .select(col("url"), col("warc_ts"), col("lang"),
         col("extracted_text").as("text"))
       .as[graft.sources.Wet.WetRecord]
-    val n = recs.count()
-    graft.sources.Wet.writeSegments(recs, s"$wetRoot/wet-${snap.sequence}",
-      compress = true)
-    n
+    graft.sources.Wet.writeSegments(recs, dir, compress = true)
+  }
+
+  /** WET catch-up: emit the sidecar for EVERY committed snapshot that
+    * is missing one — the repair path for a crash that landed between
+    * snapshot commit and sidecar emission (the resume re-run commits a
+    * 0-row snapshot, so per-snapshot emission alone would leave the
+    * crashed snapshot's WET lost forever). Compaction snapshots are
+    * skipped: their rows are verbatim rewrites of increments that
+    * already shipped their own sidecars. An increment whose data dir
+    * was expired post-compaction can no longer be reconstructed —
+    * that is reported loudly, never silently skipped. */
+  def emitWetMissing(spark: SparkSession, outRoot: String,
+                     wetRoot: String): Long = {
+    val cur = SnapshotStore.currentSequence(outRoot)
+    var total = 0L
+    var seq = 1
+    while (seq <= cur) {
+      val (dataDir, rows, replaces) = SnapshotStore.snapshotInfo(outRoot, seq)
+      if (replaces == 0L && rows > 0L &&
+          !graft.sources.Wet.isComplete(s"$wetRoot/wet-$seq")) {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir)))
+          System.err.println(s"[graft] WET catch-up: snapshot v$seq data dir " +
+            s"$dataDir no longer exists (expired after compaction) — its " +
+            "sidecar cannot be reconstructed")
+        else total += emitWetFor(spark, seq, dataDir, rows, wetRoot)
+      }
+      seq += 1
+    }
+    total
   }
 
   /** Raw-WARC run with FILE-MANIFEST resume — the same O(#segments)
@@ -522,18 +557,31 @@ object ExtractJob {
 object ExtractCli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ExtractCli <pagesParquet> <outRoot> [numPartitions] [--wet <dir>]")
-    val spark = GraftSession.local()
+    // --wet is validated (and its directory created) BEFORE the run: a
+    // malformed invocation must fail in milliseconds, not after hours
+    // of extraction have already committed a snapshot.
     val wetIdx = args.indexOf("--wet")
-    val positional = if (wetIdx >= 0) args.take(wetIdx) else args
+    val wetDir: Option[String] =
+      if (wetIdx < 0) None
+      else {
+        require(wetIdx + 1 < args.length && !args(wetIdx + 1).startsWith("--"),
+          "--wet requires a directory argument")
+        val d = args(wetIdx + 1)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        Some(d)
+      }
+    val positional = if (wetIdx >= 0) args.patch(wetIdx, Nil, 2) else args
     val parts = if (positional.length > 2) positional(2).toInt else 0
+    val spark = GraftSession.local()
     val snap = ExtractJob.run(spark, args(0), args(1), numPartitions = parts)
     println(s"committed snapshot seq=${snap.sequence} rows=${snap.rowCount} " +
       s"errors=${snap.partitions.map(_.errorCount).sum} partitions=${snap.partitions.size}")
     println(SnapshotStore.readManifest(args(1), snap.sequence))
-    if (wetIdx >= 0) {
-      require(wetIdx + 1 < args.length, "--wet requires a directory argument")
-      val n = ExtractJob.emitWet(spark, snap, args(wetIdx + 1))
-      println(s"emitted WET sidecar records=$n dir=${args(wetIdx + 1)}/wet-${snap.sequence}")
+    // catch-up form: covers the just-committed snapshot AND any earlier
+    // snapshot whose emission a previous run crashed out of.
+    wetDir.foreach { d =>
+      val n = ExtractJob.emitWetMissing(spark, args(1), d)
+      println(s"emitted WET sidecar records=$n root=$d (all missing snapshots)")
     }
     spark.stop()
   }

@@ -125,6 +125,16 @@ object SnapshotStore {
     writeAtomic(Paths.get(root, "version-hint.text"), snap.sequence.toString.getBytes(UTF_8))
   }
 
+  /** (dataDir, rowCount, replaces) of snapshot `seq`, straight from its
+    * manifest — the per-snapshot handle sidecar emitters (WET catch-up)
+    * need without re-running dataDirs' whole-chain walk. */
+  def snapshotInfo(root: String, seq: Int): (String, Long, Long) = {
+    val m = readManifest(root, seq)
+    (parseStringField(m, "data_dir"),
+      parseLongField(m, "row_count"),
+      parseLongField(m, "replaces"))
+  }
+
   def readManifest(root: String, seq: Int): String = {
     new String(Files.readAllBytes(Paths.get(root, "snapshots", s"v$seq.json")), UTF_8)
   }

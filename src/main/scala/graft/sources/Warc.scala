@@ -112,7 +112,10 @@ object Warc {
           case None =>
             i = bodyStart
           case Some(len) =>
-            if (bodyStart + len > n) {
+            // Overflow-safe form of `bodyStart + len > n`: a corrupt
+            // length near 2^31 would wrap the sum negative and sneak
+            // past the bound, crashing copyOfRange instead of resyncing.
+            if (len > n - bodyStart) {
               // Body extends past the segment end: either the segment is
               // genuinely truncated (resync finds no further magic and
               // the scan ends) or THIS record's length was corrupted but
@@ -160,7 +163,7 @@ object Warc {
   def parseSegment(bytes: Array[Byte]): Seq[Page] =
     parseSegmentIterator(bytes).toSeq
 
-  private def parseHeaders(s: String): Map[String, String] =
+  private[sources] def parseHeaders(s: String): Map[String, String] =
     s.linesIterator.flatMap { line =>
       val idx = line.indexOf(':')
       if (idx > 0) Some(line.substring(0, idx).toLowerCase(java.util.Locale.ROOT)
@@ -168,11 +171,14 @@ object Warc {
       else None
     }.toMap
 
-  private def parseDate(s: String): Timestamp =
-    try new Timestamp(Instant.parse(s).toEpochMilli)
+  /** Full-precision (Timestamp.from, not toEpochMilli): the WET writer
+    * emits the timestamp's complete instant, so the shared parser must
+    * not truncate sub-millisecond digits on the way back. */
+  private[sources] def parseDate(s: String): Timestamp =
+    try Timestamp.from(Instant.parse(s))
     catch { case _: Exception => new Timestamp(0L) }
 
-  private def findBytes(b: Array[Byte], p: String, from: Int): Int = {
+  private[sources] def findBytes(b: Array[Byte], p: String, from: Int): Int = {
     val pb = p.getBytes(ISO_8859_1)
     val n = b.length
     var i = math.max(0, from)
@@ -183,6 +189,24 @@ object Warc {
       i += 1
     }
     -1
+  }
+
+  /** The segment-commit protocol, shared by the WARC and WET writers:
+    * write to an underscore-prefixed, attempt-suffixed temp (invisible
+    * to Spark's file index AND to a concurrent speculative retry of the
+    * same partition), then ATOMIC_MOVE over the target — readers only
+    * ever see absent or complete segments, never a torn write. Keep
+    * every fix to this discipline HERE so the two writers can't drift. */
+  private[sources] def atomicWrite(target: java.nio.file.Path,
+                                   bytes: Array[Byte], attemptTag: Long): Unit = {
+    val tmp = target.resolveSibling(
+      "_tmp-" + target.getFileName.toString + "." + attemptTag)
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
   // ---- Spark surface ------------------------------------------------------
@@ -308,26 +332,12 @@ object Warc {
         // so a speculative/zombie retry of the same partition never
         // interleaves writes into a live temp; the ATOMIC_MOVE makes
         // last-finisher-wins safe since both attempts carry equal bytes.
-        val tmp = target.resolveSibling(
-          "_tmp-" + target.getFileName.toString + "." + tc.taskAttemptId())
-        try {
-          java.nio.file.Files.write(tmp, bytes)
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally java.nio.file.Files.deleteIfExists(tmp)
+        atomicWrite(target, bytes, tc.taskAttemptId())
         // the CDX sidecar commits AFTER its segment (readers treat the
         // index as advisory: segment present + cdx missing = scan path
         // still works; cdx present + segment missing cannot happen)
         val cdxTarget = target.resolveSibling(segName.stripSuffix(ext) + ".cdx")
-        val cdxTmp = cdxTarget.resolveSibling(
-          "_tmp-" + cdxTarget.getFileName.toString + "." + tc.taskAttemptId())
-        try {
-          java.nio.file.Files.write(cdxTmp, cdx.toString.getBytes(UTF_8))
-          java.nio.file.Files.move(cdxTmp, cdxTarget,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally java.nio.file.Files.deleteIfExists(cdxTmp)
+        atomicWrite(cdxTarget, cdx.toString.getBytes(UTF_8), tc.taskAttemptId())
         Iterator.single(pid)
       }
     }.collect()

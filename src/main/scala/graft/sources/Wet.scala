@@ -13,12 +13,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * publishes (the reference's analog is the extracted-text record it
   * commits per document version, `ocrworker/tasks.py`).
   *
-  * Same segment discipline as [[Warc.writeSegments]]: one segment per
-  * partition, every record its own gzip member when compressed,
-  * _-prefixed attempt-suffixed temps + ATOMIC_MOVE so crashed or
-  * speculative writers never corrupt a live segment. WET carries no
-  * CDX sidecar (matching the Common Crawl convention — text consumers
-  * scan; random access goes through the WARC's index).
+  * Same segment discipline as [[Warc.writeSegments]] — the commit
+  * protocol itself is the SHARED [[Warc.atomicWrite]], so a fix there
+  * covers both writers. WET carries no CDX sidecar (matching the
+  * Common Crawl convention — text consumers scan; random access goes
+  * through the WARC's index) but does commit a `_WET_DONE` marker
+  * AFTER the last segment lands: the marker is the emission's commit
+  * record (readers of a marker-less dir may be looking at a crashed,
+  * partial emission) and carries the record count for audit.
   *
   * Roundtrip contract (q100): writer → gzip → parser preserves every
   * url, language tag, timestamp millisecond and text BYTE — the DuckDB
@@ -29,6 +31,10 @@ object Wet {
 
   /** Bump to invalidate fixture dirs derived from this writer/parser. */
   val Version = 1
+
+  /** Completion marker: present ⇔ an emission into the dir ran to the
+    * end; its body is the record count written. */
+  val DoneMarker = "_WET_DONE"
 
   final case class WetRecord(url: String, warc_ts: Timestamp,
                              lang: String, text: String)
@@ -67,19 +73,30 @@ object Wet {
     out
   }
 
-  /** Write records as WET segments, one per partition (Warc.writeSegments
-    * discipline: per-record gzip members, invisible temps, atomic move,
-    * O(#partitions) driver traffic). */
+  /** True iff `dir` holds a COMPLETE emission (its [[DoneMarker]]
+    * committed). A dir with segments but no marker is a crashed,
+    * possibly partial emission — safe to re-emit over. */
+  def isComplete(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, DoneMarker))
+
+  /** Write records as WET segments, one per partition (the
+    * [[Warc.atomicWrite]] discipline: per-record gzip members,
+    * invisible temps, atomic move, O(#partitions) driver traffic).
+    * Entry SWEEPS any pre-existing segments and the marker — a
+    * re-emission with fewer partitions must not leave stale
+    * higher-numbered segments for readers to merge in — and exit
+    * commits the [[DoneMarker]]. Returns the record count written. */
   def writeSegments(recs: Dataset[WetRecord], dir: String,
-                    compress: Boolean = false): Unit = {
+                    compress: Boolean = false): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("_tmp-"))
+      .filter(f => f.getName.startsWith("_tmp-") ||
+        f.getName.startsWith("segment-") || f.getName == DoneMarker)
       .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
     import recs.sparkSession.implicits._
     val ext = if (compress) ".warc.wet.gz" else ".warc.wet"
     val doGzip = compress
-    recs.mapPartitions { it =>
+    val counts = recs.mapPartitions { it =>
       val rs = it.toSeq
       if (rs.isEmpty) Iterator.empty
       else {
@@ -91,19 +108,16 @@ object Wet {
           val rec = recordBytes(r)
           out.write(if (doGzip) Warc.gzip(rec) else rec)
         }
-        val target = java.nio.file.Paths.get(dir, segName)
-        val tmp = target.resolveSibling(
-          "_tmp-" + target.getFileName.toString + "." + tc.taskAttemptId())
-        try {
-          java.nio.file.Files.write(tmp, out.toByteArray)
-          java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } finally java.nio.file.Files.deleteIfExists(tmp)
-        Iterator.single(pid)
+        Warc.atomicWrite(java.nio.file.Paths.get(dir, segName),
+          out.toByteArray, tc.taskAttemptId())
+        Iterator.single(rs.size.toLong)
       }
     }.collect()
-    ()
+    val n = counts.sum
+    // marker last: its presence certifies every segment above landed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, DoneMarker), s"$n\n".getBytes(UTF_8))
+    n
   }
 
   /** Parse one (possibly multi-member-gzipped) WET segment. */
@@ -115,27 +129,24 @@ object Wet {
     var i = 0
     val n = raw.length
     while (i < n) {
-      val start = find(raw, "WARC/", i)
+      val start = Warc.findBytes(raw, "WARC/", i)
       if (start < 0) { i = n }
       else {
-        val headEnd = find(raw, "\r\n\r\n", start)
+        val headEnd = Warc.findBytes(raw, "\r\n\r\n", start)
         if (headEnd < 0) { i = n }
         else {
-          val headers = new String(raw, start, headEnd - start, UTF_8)
-            .linesIterator.flatMap { line =>
-              val k = line.indexOf(':')
-              if (k <= 0) None
-              else Some(line.take(k).trim.toLowerCase -> line.drop(k + 1).trim)
-            }.toMap
+          val headers =
+            Warc.parseHeaders(new String(raw, start, headEnd - start, UTF_8))
           val bodyStart = headEnd + 4
           headers.get("content-length").flatMap(_.toIntOption) match {
-            case Some(len) if len >= 0 && bodyStart + len <= n =>
+            // `len <= n - bodyStart`, NOT `bodyStart + len <= n`: a
+            // corrupt length near 2^31 wraps the sum negative and would
+            // sneak past the bound, crashing the String ctor instead of
+            // resyncing like every other malformed record.
+            case Some(len) if len >= 0 && len <= n - bodyStart =>
               if (headers.getOrElse("warc-type", "") == "conversion") {
                 val uri = headers.getOrElse("warc-target-uri", "")
-                val ts = try {
-                  Timestamp.from(java.time.Instant.parse(
-                    headers.getOrElse("warc-date", "")))
-                } catch { case _: Exception => new Timestamp(0) }
+                val ts = Warc.parseDate(headers.getOrElse("warc-date", ""))
                 val lang = headers.getOrElse("warc-identified-content-language", "")
                 out += WetRecord(uri, ts, lang,
                   new String(raw, bodyStart, len, UTF_8))
@@ -160,18 +171,5 @@ object Wet {
       .load(dir)
       .select("content").as[Array[Byte]]
       .flatMap(parseSegment _)
-  }
-
-  private def find(b: Array[Byte], p: String, from: Int): Int = {
-    val pb = p.getBytes(UTF_8)
-    val n = b.length
-    var i = math.max(from, 0)
-    while (i <= n - pb.length) {
-      var k = 0
-      while (k < pb.length && b(i + k) == pb(k)) k += 1
-      if (k == pb.length) return i
-      i += 1
-    }
-    -1
   }
 }

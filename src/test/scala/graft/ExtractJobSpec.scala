@@ -53,6 +53,41 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/wet/wet-${snap2.sequence}").exists())
   }
 
+  test("WET re-emission sweeps stale segments; catch-up repairs a crashed emission") {
+    import graft.sources.Wet
+    val dir = tmp()
+    import spark.implicits._
+    def recs(n: Int, parts: Int, tag: String) =
+      spark.range(0, n, 1, parts).map(i => Wet.WetRecord(
+        s"https://h/$tag/$i", new java.sql.Timestamp(1000L + i), "eng", s"text-$tag-$i"))
+    // first emission: 8 partitions -> segment-00000..00007 + marker
+    assert(Wet.writeSegments(recs(8, 8, "old"), s"$dir/w") == 8L)
+    assert(Wet.isComplete(s"$dir/w"))
+    // re-emission with FEWER partitions must not leave stale segments
+    // for readers to merge in
+    assert(Wet.writeSegments(recs(4, 2, "new"), s"$dir/w") == 4L)
+    val back = Wet.readRecords(spark, s"$dir/w").collect().map(_.url).sorted
+    assert(back.toSeq == (0 until 4).map(i => s"https://h/new/$i"))
+
+    // crash-between-commit-and-emission: snapshot committed, sidecar
+    // missing (or partial: segments without the marker) -> the resume
+    // re-run commits 0 rows, so only the catch-up can repair it
+    ExtractJob.generatePages(spark, 60, s"$dir/pages", partitions = 3)
+    val snap = ExtractJob.run(spark, s"$dir/pages", s"$dir/out", numPartitions = 3)
+    val n1 = ExtractJob.emitWetMissing(spark, s"$dir/out", s"$dir/wet")
+    assert(n1 > 0L)
+    // simulate the crash: marker gone, one segment gone
+    val wetDir = new java.io.File(s"$dir/wet/wet-${snap.sequence}")
+    assert(new java.io.File(wetDir, Wet.DoneMarker).delete())
+    assert(wetDir.listFiles().filter(_.getName.startsWith("segment-")).head.delete())
+    val n2 = ExtractJob.emitWetMissing(spark, s"$dir/out", s"$dir/wet")
+    assert(n2 == n1) // full re-emission of the incomplete dir
+    val repaired = Wet.readRecords(spark, s"$dir/wet/wet-${snap.sequence}").count()
+    assert(repaired == n1)
+    // and once complete, catch-up is a no-op
+    assert(ExtractJob.emitWetMissing(spark, s"$dir/out", s"$dir/wet") == 0L)
+  }
+
   test("byte-identity: distributed == single-threaded oracle, per url") {
     val dir = tmp()
     ExtractJob.generatePages(spark, N, s"$dir/pages", partitions = 7)

@@ -55,6 +55,23 @@ class WetSpec extends AnyFunSuite {
     assert(Wet.parseSegment(broken ++ good).map(_.url) == Seq("https://h/ok"))
   }
 
+  test("a corrupt near-2^31 Content-Length resyncs instead of crashing") {
+    // bodyStart + len overflows Int: the old `bodyStart + len <= n` guard
+    // wrapped negative and admitted the record, crashing the String ctor.
+    val big = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://h/corrupt\r\n" +
+      "Content-Length: 2147483000\r\n\r\n").getBytes("UTF-8")
+    val good = Wet.recordBytes(rec("https://h/after", 6L, "eng", "survives"))
+    assert(Wet.parseSegment(big ++ good).map(_.url) == Seq("https://h/after"))
+    // same corrupt shape through the WARC response parser
+    val bigWarc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h/corrupt\r\n" +
+      "Content-Length: 2147483000\r\n\r\n").getBytes("UTF-8")
+    val goodWarc = Warc.recordBytes(graft.core.Page(
+      "https://h/after2", new Timestamp(7L), "x".getBytes("UTF-8"), "", "eng"))
+    assert(Warc.parseSegment(bigWarc ++ goodWarc).map(_.url) == Seq("https://h/after2"))
+  }
+
   test("non-conversion records are skipped, their bodies consumed exactly") {
     val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n" +
       "info-body\r\n\r\n").getBytes("UTF-8")
