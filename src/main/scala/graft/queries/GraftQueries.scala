@@ -2358,6 +2358,25 @@ object GraftQueries {
           size(col("input_files")).as("n_inputs"))
     }),
 
+    // extraction QA (the swap-in validation rung a NEW extraction
+    // version must pass before replacing the incumbent): token-level
+    // agreement between the re-extraction and the text column the
+    // crawl table already carries — Cleaneval-style bag-intersection
+    // P/R/F1 per host, floor-micros integer arithmetic so the oracle
+    // re-derives every row bit-for-bit. The input-hint text field is a
+    // degraded raw snippet (CC-style), so agreement is genuinely
+    // partial and host-dependent — a regression in the extractor moves
+    // these numbers. Scale shape in ExtractQa's Scaladoc (two map-side
+    // combinable (url, token) groupBys whose join reuses their
+    // partitioning; run over a sample at full scale).
+    "q102_extract_qa" -> ((s, d) => {
+      val ext = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(col("url"), col("extracted_text"))
+      val ref = s.read.parquet(pagesPath(s, d)).select(col("url"), col("text"))
+      graft.ops.ExtractQa.tokenAgreement(ext, ref)
+    }),
+
     // WET sidecar roundtrip (S5/S6's text-artifact sibling — q48 is the
     // payload WARC, q98 the WAT metadata table, this the WET conversion
     // records): the production writer emits .warc.wet.gz segments from
@@ -4081,6 +4100,50 @@ object GraftQueries {
          |    AS ts_max,
          |  CAST(len(input_files) AS INTEGER) AS n_inputs
          |FROM read_json_auto('${chainDumpPath(math.max(oracleRows / 20, 500))}/out/snapshots/v*.json')""".stripMargin,
+
+    // extraction QA re-derived end to end: the same \s+ token split
+    // (the q14 convention), per-(url, token) bag counts on both sides,
+    // Σ min() overlap, and the identical floor divisions — any drift
+    // in tokenization, bag semantics, or the integer micros fails the
+    // hash compare
+    "q102_extract_qa" ->
+      s"""WITH ext AS (
+         |  SELECT url,
+         |    list_filter(string_split_regex(extracted_text, '\\s+'), x -> x <> '') AS toks
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'
+         |), ref AS (
+         |  SELECT url,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM read_parquet('${pagesDumpPath(oracleRows)}/*.parquet')
+         |  WHERE text <> ''
+         |), ec AS (
+         |  SELECT url, tok, count(*) AS c FROM ext, unnest(toks) AS u(tok) GROUP BY 1, 2
+         |), rc AS (
+         |  SELECT url, tok, count(*) AS c FROM ref, unnest(toks) AS u(tok) GROUP BY 1, 2
+         |), ov AS (
+         |  SELECT ec.url, CAST(sum(least(ec.c, rc.c)) AS BIGINT) AS common
+         |  FROM ec JOIN rc ON ec.url = rc.url AND ec.tok = rc.tok GROUP BY 1
+         |), per AS (
+         |  SELECT e.url, CAST(len(e.toks) AS BIGINT) AS n_ext,
+         |         CAST(len(r.toks) AS BIGINT) AS n_ref,
+         |         coalesce(o.common, 0) AS common
+         |  FROM ext e JOIN ref r ON e.url = r.url LEFT JOIN ov o ON e.url = o.url
+         |)
+         |SELECT split_part(url, '/', 3) AS host,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_ext) AS BIGINT) AS ext_toks,
+         |  CAST(sum(n_ref) AS BIGINT) AS ref_toks,
+         |  CAST(sum(common) AS BIGINT) AS common_toks,
+         |  CAST(sum((2000000 * common) // (n_ext + n_ref)) AS BIGINT)
+         |    AS macro_f1_micros_sum,
+         |  CAST(CASE WHEN sum(n_ext) = 0 THEN 0
+         |    ELSE (1000000 * sum(common)) // sum(n_ext) END AS BIGINT)
+         |    AS micro_p_micros,
+         |  CAST((1000000 * sum(common)) // sum(n_ref) AS BIGINT) AS micro_r_micros,
+         |  CAST((2000000 * sum(common)) // (sum(n_ext) + sum(n_ref)) AS BIGINT)
+         |    AS micro_f1_micros
+         |FROM per GROUP BY 1""".stripMargin,
 
     // the WET roundtrip's ground truth: the same subset aggregated
     // straight from the extraction dump — the writer/parser under test

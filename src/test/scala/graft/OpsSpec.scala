@@ -1024,4 +1024,32 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
     assert(again == rows)
   }
+
+  test("extractQa token agreement: bag semantics, floor micros, per-host rollup") {
+    import spark.implicits._
+    val ext = Seq(
+      ("https://a.example/1", "x y y z"),
+      ("https://a.example/2", "p q"),
+      ("https://b.example/1", "y y")
+    ).toDF("url", "extracted_text")
+    val ref = Seq(
+      ("https://a.example/1", "x  y\nw"), // mixed whitespace: \s+ split
+      ("https://a.example/2", ""),        // empty incumbent -> excluded
+      ("https://b.example/1", "y y y")    // bag overlap: min(2,3) = 2, not set-3
+    ).toDF("url", "text")
+    val out = graft.ops.ExtractQa.tokenAgreement(ext, ref)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a.example")
+    assert(a.getAs[Long]("n_docs") == 1L) // the empty-ref doc is gone
+    assert(a.getAs[Long]("ext_toks") == 4L && a.getAs[Long]("ref_toks") == 3L)
+    assert(a.getAs[Long]("common_toks") == 2L) // x:1 + y:min(2,1)
+    assert(a.getAs[Long]("macro_f1_micros_sum") == 571428L) // floor(4e6/7)
+    assert(a.getAs[Long]("micro_p_micros") == 500000L)
+    assert(a.getAs[Long]("micro_r_micros") == 666666L)
+    assert(a.getAs[Long]("micro_f1_micros") == 571428L)
+    val b = out("b.example")
+    assert(b.getAs[Long]("common_toks") == 2L)
+    assert(b.getAs[Long]("micro_f1_micros") == 800000L) // 2e6*2/(2+3)
+    assert(b.getAs[Long]("macro_f1_micros_sum") == 800000L)
+  }
 }

@@ -247,6 +247,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "url filter must not use interpreted parse_url")
   }
 
+  test("q102 extract qa: equi-joins only, no cartesian, no UDF") {
+    val df = graft.queries.GraftQueries.queries("q102_extract_qa")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"qa joins are equi-joins:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop join:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "tokenization must stay codegen'd (split builtin)")
+  }
+
   test("q83 bloom dedup: corpus sides broadcast, no cartesian, no UDF") {
     // the 100 TB contract: the corpus collapses to the distinct
     // position set (≤ 2^20 ints) and the distinct key set, BOTH
