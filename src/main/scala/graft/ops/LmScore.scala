@@ -114,4 +114,67 @@ object LmScore {
        |  CAST(sum(p_micros) AS BIGINT) AS sum_p_micros,
        |  CAST(sum(p_micros) // count(*) AS BIGINT) AS avg_p_micros
        |FROM scored GROUP BY doc_id""".stripMargin
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    * language, rank documents by LM score and cut the corpus into
+    * fluency tertiles — "head" is the most-fluent third (lowest
+    * perplexity = highest avg bigram probability here), the slice
+    * CCNet ships to LM training first.
+    *
+    * Thresholds are EXACT order statistics, not interpolated
+    * percentiles: t1 = the k1-th largest score (k1 = ceil(n/3)),
+    * t2 = the k2-th largest (k2 = ceil(2n/3)); a doc is head when
+    * score ≥ t1, middle when t2 ≤ score < t1, else tail. Ties at a
+    * threshold go to the better bucket on BOTH engines (pure integer
+    * compares — an interpolated float percentile would hash-diverge at
+    * the boundary).
+    *
+    * Scale shape (100 TB): avg_p_micros lives in [0, 1_000_000], so the
+    * per-(lang, score) histogram this builds is BOUNDED at ~1e6 rows
+    * per language no matter the corpus size — exact corpus-wide
+    * thresholds with no global sort and no sampling compromise
+    * (CCNet itself samples; the bounded-domain trick makes exactness
+    * free). One map-side-combinable groupBy builds the histogram, one
+    * window cumsum over the bounded table ranks it, the per-language
+    * threshold row BROADCASTS back, and the corpus streams map-side
+    * through the bucket compare. The only corpus-sized exchange is the
+    * final (lang, bucket) roll-up — skinny and combinable.
+    *
+    * @param perDoc (lang, score, weight) — one row per document; score
+    *               an integer micros fluency (higher = more fluent),
+    *               weight summed per bucket (e.g. n_bigrams → token
+    *               mass per tertile, the number CCNet reports)
+    */
+  def tertileBuckets(perDoc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = perDoc.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+    val desc = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // cum = #docs with score >= this row's score (scores distinct per lang)
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(desc))
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("k1", expr("(n + 2) div 3"))
+      .withColumn("k2", expr("(2 * n + 2) div 3"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= col("k1"), col("score"))).as("t1_micros"),
+        max(when(col("cum") >= col("k2"), col("score"))).as("t2_micros"))
+    perDoc
+      .join(broadcast(thr), Seq("lang"))
+      .withColumn("bucket",
+        when(col("score") >= col("t1_micros"), lit("head"))
+          .when(col("score") >= col("t2_micros"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("weight")).as("weight_sum"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"),
+        max(col("t1_micros")).as("t1_micros"),
+        max(col("t2_micros")).as("t2_micros"))
+  }
 }

@@ -1671,6 +1671,27 @@ object GraftQueries {
       graft.ops.LmScore.score(extractedPagesDocs(s, d), "doc_id", "text",
         precomputedBi = Some(bigramCountsCached(s, d)))),
 
+    // CCNet's head/middle/tail fluency tertiles per language (Wenzek
+    // et al. §4.3) over the q74 LM scores: thresholds are EXACT k-th
+    // order statistics from the bounded (lang, score) histogram
+    // (avg_p_micros ∈ [0, 1e6], so the histogram never exceeds ~1e6
+    // rows per language at ANY corpus size — exactness without a
+    // global sort), broadcast back, bucket assigned map-side. Docs
+    // with < 2 tokens have no LM score and are absent on both engines.
+    "q103_ppl_buckets" -> ((s, d) => {
+      val scored = graft.ops.LmScore.score(extractedPagesDocs(s, d), "doc_id", "text",
+        precomputedBi = Some(bigramCountsCached(s, d)))
+      val langs = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(
+          expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)").as("doc_id"),
+          col("lang"))
+      graft.ops.LmScore.tertileBuckets(
+        scored.join(langs, "doc_id")
+          .select(col("lang"), col("avg_p_micros").as("score"),
+            col("n_bigrams").as("weight")))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -3448,6 +3469,51 @@ object GraftQueries {
            |        extracted_text AS t
            |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
            |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // the tertile split re-derived end to end: the LM re-trained and
+    // re-scored (q74's SQL as a subquery), the same bounded histogram,
+    // the same window cumsum, the same ceil-division ranks and the
+    // same tie-goes-to-the-better-bucket compares — all integer
+    "q103_ppl_buckets" ->
+      s"""WITH sc AS (
+         |  SELECT * FROM (
+         |${graft.ops.LmScore.scoreSql(
+        s"""(SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+           |        extracted_text AS t
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin)}
+         |  )
+         |), lg AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id, lang
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'
+         |), per AS (
+         |  SELECT lg.lang, sc.avg_p_micros AS score, sc.n_bigrams AS weight
+         |  FROM sc JOIN lg USING (doc_id)
+         |), hist AS (
+         |  SELECT lang, score, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT lang, score, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM hist
+         |), thr AS (
+         |  SELECT lang,
+         |    max(CASE WHEN cum >= (n + 2) // 3 THEN score END) AS t1,
+         |    max(CASE WHEN cum >= (2 * n + 2) // 3 THEN score END) AS t2
+         |  FROM cum GROUP BY 1
+         |)
+         |SELECT per.lang,
+         |  CASE WHEN score >= t1 THEN 'head'
+         |       WHEN score >= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(weight) AS BIGINT) AS weight_sum,
+         |  CAST(min(score) AS BIGINT) AS min_score,
+         |  CAST(max(score) AS BIGINT) AS max_score,
+         |  CAST(max(t1) AS BIGINT) AS t1_micros,
+         |  CAST(max(t2) AS BIGINT) AS t2_micros
+         |FROM per JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin,
 
     // the Hamilton allocation + smallest-md5 member rule re-derived in
     // pure integer SQL; the oracle ranks with the naive single window,

@@ -1025,6 +1025,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("lm tertile buckets: exact order-statistic thresholds, tie-inclusive head") {
+    import spark.implicits._
+    // en: n=7 -> k1=3, k2=5 -> t1 = 3rd largest = 8, t2 = 5th = 6
+    val en = Seq(10L, 9L, 8L, 7L, 6L, 5L, 4L).map(sc => ("en", sc, sc * 10))
+    // de: three-way tie at the top -> both thresholds land on 5,
+    // middle is empty, ties all go to head
+    val de = Seq(5L, 5L, 5L, 1L).map(sc => ("de", sc, 1L))
+    val perDoc = (en ++ de).toDF("lang", "score", "weight")
+    val out = graft.ops.LmScore.tertileBuckets(perDoc)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("en", "head")).getAs[Long]("n_docs") == 3L)
+    assert(out(("en", "head")).getAs[Long]("weight_sum") == 270L)
+    assert(out(("en", "middle")).getAs[Long]("n_docs") == 2L)
+    assert(out(("en", "middle")).getAs[Long]("min_score") == 6L)
+    assert(out(("en", "tail")).getAs[Long]("n_docs") == 2L)
+    assert(out(("en", "tail")).getAs[Long]("t1_micros") == 8L)
+    assert(out(("en", "tail")).getAs[Long]("t2_micros") == 6L)
+    assert(out(("de", "head")).getAs[Long]("n_docs") == 3L)
+    assert(!out.contains(("de", "middle")))
+    assert(out(("de", "tail")).getAs[Long]("n_docs") == 1L)
+    assert(out(("de", "head")).getAs[Long]("t1_micros") == 5L)
+    assert(out(("de", "head")).getAs[Long]("t2_micros") == 5L)
+  }
+
   test("extractQa token agreement: bag semantics, floor micros, per-host rollup") {
     import spark.implicits._
     val ext = Seq(

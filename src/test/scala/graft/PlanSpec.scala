@@ -247,6 +247,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!hasParseUrl(df), "url filter must not use interpreted parse_url")
   }
 
+  test("q103 ppl buckets: thresholds broadcast, no cartesian, no UDF") {
+    val df = graft.queries.GraftQueries.queries("q103_ppl_buckets")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "bucket assignment must stay codegen'd")
+    assert(p.contains("BroadcastHashJoin"), "per-lang thresholds must broadcast")
+  }
+
   test("q102 extract qa: equi-joins only, no cartesian, no UDF") {
     val df = graft.queries.GraftQueries.queries("q102_extract_qa")(spark, d)
     val p = executedPlan(df)
