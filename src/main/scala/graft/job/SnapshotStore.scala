@@ -69,12 +69,23 @@ object SnapshotStore {
       val dir = parseStringField(m, "data_dir")
       val rows = parseLongField(m, "row_count")
       if (rows > 0 && dir.nonEmpty) {
-        if (!Files.exists(Paths.get(dir)))
-          throw new IllegalStateException(
+        // Relocation tolerance: manifests record the data_dir as
+        // written at commit time, so a store that was MOVED wholesale
+        // (cache promotion, table rename, volume migration) carries
+        // stale absolute paths. The layout is canonical —
+        // <root>/data/<basename> — so resolve against the CURRENT root
+        // before declaring the dir lost; only then is it genuinely
+        // expired/deleted and the read must fail loudly.
+        val relocated = Paths.get(root, "data",
+          Paths.get(dir).getFileName.toString).toString
+        val resolved =
+          if (Files.exists(Paths.get(dir))) dir
+          else if (Files.exists(Paths.get(relocated))) relocated
+          else throw new IllegalStateException(
             s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
               "expired or externally deleted; reads below a compaction boundary require " +
               "the replaced dirs to still exist")
-        out += dir
+        out += resolved
       }
       if (parseLongField(m, "replaces") > 0) stop = true else i -= 1
     }
@@ -300,12 +311,15 @@ object SnapshotStore {
       val dir = parseStringField(m, "data_dir")
       val rows = parseLongField(m, "row_count")
       if (rows > 0 && dir.nonEmpty && parseLongField(m, "replaces") == 0L) {
-        if (!Files.exists(Paths.get(dir)))
-          throw new IllegalStateException(
-            s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
-              "expired or externally deleted; incremental reads over expired snapshots " +
-              "must restart from a full scan at the compaction boundary")
-        Some(dir)
+        // same relocation resolution as [[dataDirs]]
+        val relocated = Paths.get(root, "data",
+          Paths.get(dir).getFileName.toString).toString
+        if (Files.exists(Paths.get(dir))) Some(dir)
+        else if (Files.exists(Paths.get(relocated))) Some(relocated)
+        else throw new IllegalStateException(
+          s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
+            "expired or externally deleted; incremental reads over expired snapshots " +
+            "must restart from a full scan at the compaction boundary")
       } else None
     }
   }

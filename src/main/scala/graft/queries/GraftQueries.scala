@@ -195,6 +195,73 @@ object GraftQueries {
     s"$path/out"
   }
 
+  /** Deterministic crawl-over-crawl fixture (q104): TWO production
+    * snapshot stores over an overlapping url space — the monthly-crawl
+    * shape (each Common-Crawl-style crawl is its own table) with every
+    * diff class planted: crawl A covers the first 90% of the url
+    * space; crawl B covers the full space minus every idx ≡ 3 (mod 11)
+    * (pages GONE from the web), re-crawling every idx ≡ 0 (mod 7) with
+    * an appended update paragraph (pages CHANGED), so B also holds the
+    * last 10% as NEW urls. Both stores are committed through
+    * ExtractJob.run — the diff query consumes real snapshot tables,
+    * not hand-made parquet. */
+  def crawlDiffDumpPath(rows: Int): String =
+    s"/tmp/graft_crawldiff_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-rows$rows"
+
+  /** The re-crawl mutation: long enough that the density classifier
+    * keeps it as content (a short trailing fragment could be vetoed as
+    * boilerplate, which would silently empty the "changed" class —
+    * OpsSpec pins all four classes non-empty). */
+  private val UpdatePara =
+    "<p>This page was revised after the previous crawl with substantial " +
+      "additional reporting and corrections to the original article text " +
+      "so the extracted content digest necessarily differs between the " +
+      "two crawl snapshots of this url.</p>"
+
+  private def crawlDiffCached(spark: SparkSession, sfDir: String): String = {
+    val rows = chainRowsFor(sfDir)
+    val path = crawlDiffDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_DONE").exists()) {
+        import java.nio.file._
+        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+        deleteRecursively(new java.io.File(tmp))
+        ExtractJob.generatePages(spark, rows, s"$tmp/pages", partitions = 8)
+        val pages = spark.read.parquet(s"$tmp/pages")
+          .withColumn("idx",
+            expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)"))
+        pages.filter(col("idx") < rows * 9L / 10).drop("idx")
+          .write.parquet(s"$tmp/pagesA")
+        pages.filter(col("idx") % 11 =!= 3)
+          .withColumn("html",
+            when(col("idx") % 7 === 0,
+              concat(col("html"), lit(UpdatePara.getBytes("UTF-8"))))
+              .otherwise(col("html")))
+          .drop("idx")
+          .write.parquet(s"$tmp/pagesB")
+        ExtractJob.run(spark, s"$tmp/pagesA", s"$tmp/outA", numPartitions = 8)
+        ExtractJob.run(spark, s"$tmp/pagesB", s"$tmp/outB", numPartitions = 8)
+        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
+        val dest = Paths.get(path)
+        try {
+          Files.createDirectories(dest.getParent)
+          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
+            else {
+              deleteRecursively(dest.toFile)
+              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+                deleteRecursively(new java.io.File(tmp))
+              }
+            }
+        }
+      }
+    }
+    path
+  }
+
   /** The manifest schema pinned explicitly: JSON inference over a file
     * set that mixes empty and populated `partitions` arrays would
     * otherwise degrade the element type. */
@@ -1716,6 +1783,38 @@ object GraftQueries {
             col("n_bigrams").as("weight")))
     }),
 
+    // crawl-over-crawl diff (the monthly-recrawl audit every CC-style
+    // pipeline runs): two PRODUCTION snapshot stores over an
+    // overlapping url space, full-outer-joined on url by extraction
+    // digest — new / gone / changed / unchanged per host plus a churn
+    // rate in floor micros. Scale shape: only (url, 32-char digest)
+    // rows reach the one equi-join exchange (text never shuffles; at
+    // real scale both crawl tables are url-bucketed so the join is a
+    // co-located merge), then a combinable per-host roll-up.
+    "q104_crawl_diff" -> ((s, d) => {
+      val root = crawlDiffCached(s, d)
+      def side(out: String, dig: String) =
+        ExtractJob.readExtracted(s, s"$root/$out")
+          .filter(col("error").isNull)
+          .select(col("url"), md5(col("extracted_text").cast("binary")).as(dig))
+      side("outA", "dig_a")
+        .join(side("outB", "dig_b"), Seq("url"), "full_outer")
+        .withColumn("status",
+          when(col("dig_a").isNull, lit("new"))
+            .when(col("dig_b").isNull, lit("gone"))
+            .when(col("dig_a") =!= col("dig_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .groupBy(graft.ops.Hosts.hostOf(col("url")).as("host"))
+        .agg(
+          count(lit(1)).as("n_urls"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "gone", 1L).otherwise(0L)).as("n_gone"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+        .withColumn("churn_micros",
+          expr("1000000L * (n_new + n_gone + n_changed) div n_urls"))
+    }),
+
     // S11 JSON sidecar, parse form: the events table's props column is
     // a JSON string (the reference's sidecar payload); extract a typed
     // field and roll up. get_json_object is Catalyst-native (one parse
@@ -2735,6 +2834,7 @@ object GraftQueries {
     headMetaCached(spark, sfDir)
     wetCached(spark, sfDir): Unit
     chainCached(spark, sfDir): Unit
+    crawlDiffCached(spark, sfDir): Unit
     // JIT warm-up for the dedup-verify kernel (shingle hashing +
     // jaccard + the two-join pipeline): one pass at sf0.01 (~1% of the
     // bench corpus), same rationale as the flagship's 10k-doc warm run
@@ -3544,6 +3644,37 @@ object GraftQueries {
          |  CAST(max(t1) AS BIGINT) AS t1_micros,
          |  CAST(max(t2) AS BIGINT) AS t2_micros
          |FROM per JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin,
+
+    // the crawl diff re-derived from the two stores' raw snapshot
+    // parquet: same digest, same full-outer url join, same status
+    // classification, same floor-micros churn — a wrong diff class or
+    // a dropped url on either side fails the hash compare
+    "q104_crawl_diff" ->
+      s"""WITH a AS (
+         |  SELECT url, md5(extracted_text) AS dig_a
+         |  FROM read_parquet('${crawlDiffDumpPath(math.max(oracleRows / 20, 500))}/outA/data/snap-*/*.parquet')
+         |  WHERE error IS NULL
+         |), b AS (
+         |  SELECT url, md5(extracted_text) AS dig_b
+         |  FROM read_parquet('${crawlDiffDumpPath(math.max(oracleRows / 20, 500))}/outB/data/snap-*/*.parquet')
+         |  WHERE error IS NULL
+         |), j AS (
+         |  SELECT coalesce(a.url, b.url) AS url, dig_a, dig_b
+         |  FROM a FULL JOIN b ON a.url = b.url
+         |)
+         |SELECT split_part(url, '/', 3) AS host,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(sum(CASE WHEN dig_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(sum(CASE WHEN dig_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+         |  CAST(sum(CASE WHEN dig_a IS NOT NULL AND dig_b IS NOT NULL
+         |                 AND dig_a <> dig_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN dig_a = dig_b THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  CAST((1000000 * (sum(CASE WHEN dig_a IS NULL THEN 1 ELSE 0 END)
+         |                 + sum(CASE WHEN dig_b IS NULL THEN 1 ELSE 0 END)
+         |                 + sum(CASE WHEN dig_a IS NOT NULL AND dig_b IS NOT NULL
+         |                            AND dig_a <> dig_b THEN 1 ELSE 0 END)))
+         |       // count(*) AS BIGINT) AS churn_micros
+         |FROM j GROUP BY 1""".stripMargin,
 
     // the Hamilton allocation + smallest-md5 member rule re-derived in
     // pure integer SQL; the oracle ranks with the naive single window,

@@ -344,6 +344,25 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(!new java.io.File(ExtractJob.signatureDir(s"$dir2/out", s2.sequence)).exists())
   }
 
+  test("store relocation: a moved table reads via root-relative data dirs") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 80, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val n = ExtractJob.readExtracted(spark, s"$dir/out").count()
+    // move the whole store: manifests still record the OLD absolute
+    // data_dir; reads must resolve <newRoot>/data/<basename> instead
+    val moved = tmp() + "/relocated"
+    Files.move(java.nio.file.Paths.get(s"$dir/out"),
+      java.nio.file.Paths.get(moved))
+    assert(ExtractJob.readExtracted(spark, moved).count() == n)
+    assert(ExtractJob.readChanges(spark, moved, 0, 1).count() == n)
+    // a genuinely missing dir still fails loudly after relocation
+    SnapshotStore.deleteRecursively(s"$moved/data")
+    intercept[IllegalStateException] {
+      ExtractJob.readExtracted(spark, moved).count()
+    }
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")

@@ -1049,6 +1049,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(("de", "head")).getAs[Long]("t2_micros") == 5L)
   }
 
+  test("crawl diff: all four classes planted, churn arithmetic, url conservation") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.GraftQueries.queries("q104_crawl_diff")(spark, d).collect()
+    assert(rows.nonEmpty)
+    def tot(c: String) = rows.map(_.getAs[Long](c)).sum
+    assert(tot("n_new") > 0, "planted new urls missing")
+    assert(tot("n_gone") > 0, "planted gone urls missing")
+    assert(tot("n_changed") > 0,
+      "planted re-crawl mutation did not survive extraction")
+    assert(tot("n_unchanged") > 0)
+    rows.foreach { r =>
+      val (n, nw, g, c, u) = (r.getAs[Long]("n_urls"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_gone"), r.getAs[Long]("n_changed"),
+        r.getAs[Long]("n_unchanged"))
+      assert(nw + g + c + u == n, s"class counts must partition the urls: $r")
+      assert(r.getAs[Long]("churn_micros") == 1000000L * (nw + g + c) / n)
+    }
+  }
+
   test("extractQa token agreement: bag semantics, floor micros, per-host rollup") {
     import spark.implicits._
     val ext = Seq(

@@ -255,6 +255,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-lang thresholds must broadcast")
   }
 
+  test("q104 crawl diff: digest-only url join, no cartesian, no UDF") {
+    val df = graft.queries.GraftQueries.queries("q104_crawl_diff")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"diff join must be an equi-join:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "digest + status must stay codegen'd")
+  }
+
   test("q102 extract qa: equi-joins only, no cartesian, no UDF") {
     val df = graft.queries.GraftQueries.queries("q102_extract_qa")(spark, d)
     val p = executedPlan(df)
