@@ -181,7 +181,19 @@ object Bpe {
     * corpus-sized exchange. */
   def encodeTokenStatsFromCounts(words: DataFrame, rounds: Int = Rounds,
                                  cap: Int = VocabCap,
-                                 topK: Int = EncodeTopK): DataFrame = {
+                                 topK: Int = EncodeTopK): DataFrame =
+    encodedLongForm(words, rounds, cap)
+      .groupBy(col("tok"))
+      .agg(sum(col("freq")).as("occurrences"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("occurrences").desc, col("tok").asc)
+      .limit(topK)
+
+  /** Every distinct word fully tokenized under the trained merges:
+    * (word, freq, pos, tok) — the shared tail of [[encodeTokenStats]]
+    * and [[encodeWordLengthsFromCounts]]. */
+  private def encodedLongForm(words: DataFrame, rounds: Int,
+                              cap: Int): DataFrame = {
     // one materialization feeds both the head-vocab training cut and
     // the full-list encode below (words may itself be a derived plan)
     val corpusWords = words.localCheckpoint(true)
@@ -192,12 +204,17 @@ object Bpe {
     model.foreach { case (l, r) =>
       ef = mergeOnce(ef, l, r).localCheckpoint(true)
     }
-    ef.groupBy(col("tok"))
-      .agg(sum(col("freq")).as("occurrences"),
-        countDistinct(col("word")).as("n_words"))
-      .orderBy(col("occurrences").desc, col("tok").asc)
-      .limit(topK)
+    ef
   }
+
+  /** (word, n_tokens): each distinct word's token count under the
+    * trained merges — the word→length model a fertility audit joins
+    * against per-language usage (model-sized output: one row per
+    * distinct word, the same cardinality training already paid). */
+  def encodeWordLengthsFromCounts(words: DataFrame, rounds: Int = Rounds,
+                                  cap: Int = VocabCap): DataFrame =
+    encodedLongForm(words, rounds, cap)
+      .groupBy(col("word")).agg(count(lit(1)).as("n_tokens"))
 
   /** The training CTE chain shared by [[trainSql]] and [[encodeSql]]:
     * head-vocab word count (w0), its long form (lf0), and per-round
@@ -276,7 +293,18 @@ object Bpe {
     * early-stopped round leaves b$r empty, so its pair subqueries read
     * NULL and the coalesce makes the round a no-op in both engines. */
   def encodeSql(docsRel: String, rounds: Int = Rounds,
-                cap: Int = VocabCap, topK: Int = EncodeTopK): String = {
+                cap: Int = VocabCap, topK: Int = EncodeTopK): String =
+    s"""WITH ${encodePrefixCtes(docsRel, rounds, cap)}
+       |SELECT tok, CAST(sum(freq) AS BIGINT) AS occurrences,
+       |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |FROM ef$rounds
+       |GROUP BY 1 ORDER BY occurrences DESC, tok ASC LIMIT $topK""".stripMargin
+
+  /** The full CTE prefix shared by [[encodeSql]] and [[fertilitySql]]:
+    * training chain + full-corpus word count (cw) + per-round encode
+    * CTEs, ending with ef$rounds (every word fully tokenized). */
+  private def encodePrefixCtes(docsRel: String, rounds: Int,
+                               cap: Int): String = {
     val encodeCtes = (1 to rounds).map { r =>
       s"""ep$r AS MATERIALIZED (
          |  SELECT word, freq, pos, tok,
@@ -301,7 +329,7 @@ object Bpe {
          |    CASE WHEN mark THEN tok || nxt ELSE tok END AS tok
          |  FROM ed$r WHERE NOT dropped)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${trainCteBlock(docsRel, rounds, cap)},
+    s"""${trainCteBlock(docsRel, rounds, cap)},
        |cw AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(list_filter(
@@ -314,10 +342,33 @@ object Bpe {
        |    CAST(unnest(range(1, len(cs) + 1)) AS BIGINT) AS pos,
        |    unnest(cs) AS tok
        |  FROM (SELECT word, freq, string_split_regex(word, '') AS cs FROM cw)),
-       |$encodeCtes
-       |SELECT tok, CAST(sum(freq) AS BIGINT) AS occurrences,
-       |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
-       |FROM ef$rounds
-       |GROUP BY 1 ORDER BY occurrences DESC, tok ASC LIMIT $topK""".stripMargin
+       |$encodeCtes""".stripMargin
   }
+
+  /** DuckDB mirror of the q105 fertility audit: re-trains the merges,
+    * re-tokenizes every distinct word (the [[encodeSql]] chain), then
+    * re-derives the per-language usage weights and every floor
+    * division. `docsRel` must provide (lang, text). */
+  def fertilitySql(docsRel: String, rounds: Int = Rounds,
+                   cap: Int = VocabCap): String =
+    s"""WITH ${encodePrefixCtes(docsRel, rounds, cap)},
+       |wl AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM ef$rounds GROUP BY 1),
+       |lw AS MATERIALIZED (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest(list_filter(
+       |          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+       |        FROM $docsRel)
+       |  WHERE regexp_full_match(word, '[a-z]+')
+       |  GROUP BY 1, 2)
+       |SELECT lang,
+       |  CAST(sum(freq) AS BIGINT) AS n_words,
+       |  CAST(sum(freq * n_tokens) AS BIGINT) AS n_toks,
+       |  CAST(sum(freq * len(word)) AS BIGINT) AS n_chars,
+       |  CAST((1000000 * sum(freq * n_tokens)) // sum(freq) AS BIGINT)
+       |    AS fertility_micros,
+       |  CAST((1000000 * sum(freq * len(word))) // sum(freq * n_tokens) AS BIGINT)
+       |    AS chars_per_token_micros
+       |FROM lw JOIN wl USING (word) GROUP BY 1""".stripMargin
 }

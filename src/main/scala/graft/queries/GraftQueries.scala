@@ -819,6 +819,26 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  /** (word, n_tokens): every distinct word's tokenized length under
+    * the trained q85 merges — the BPE model surface, materialized once
+    * (train-once/apply-many; the chain itself stays q85/q86's measured
+    * work). The q105 oracle re-trains and re-tokenizes from the raw
+    * text, so a stale dump fails the value compare. */
+  def bpeWordLengthsDumpPath(rows: Int): String =
+    s"/tmp/graft_tok_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.TextStats.Version}-bpewl-rows$rows"
+
+  def bpeWordLengthsCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = bpeWordLengthsDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(
+          graft.ops.Bpe.encodeWordLengthsFromCounts(bpeWords(spark, sfDir)),
+          path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** SemDeDup dumps (q77): cell assignments under the deterministic
     * coarse quantizer, the floor-micros cell centroids, and the
     * within-cell candidate pairs (the paper's blocking — pair search
@@ -1429,6 +1449,33 @@ object GraftQueries {
     // token counts are a broadcast word→n_tokens join.
     "q86_bpe_encode" -> ((s, d) =>
       graft.ops.Bpe.encodeTokenStatsFromCounts(bpeWords(s, d))),
+
+    // tokenizer fertility per language (the standard tokenizer-eval
+    // metric: tokens per word and chars per token under the TRAINED
+    // q85 merges — a language whose fertility balloons is being
+    // under-served by the vocab, the signal multilingual tokenizer
+    // papers gate on). The word→n_tokens model is model-sized (one
+    // row per distinct word, the cardinality training already paid);
+    // per-language usage joins against it on word and rolls up
+    // map-side-combinably — the corpus text never reshuffles beyond
+    // the (lang, word) count it already pays for the vocab family.
+    "q105_bpe_fertility" -> ((s, d) => {
+      val wl = bpeWordLengthsCached(s, d)
+      val lw = extractedCached(s, d)
+        .filter(col("error").isNull && col("payload_kind") === "html")
+        .select(col("lang"),
+          explode(graft.ops.TextStats.lowerToks(col("extracted_text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+      lw.join(wl, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("freq") * col("n_tokens")).as("n_toks"),
+          sum(col("freq") * length(col("word"))).as("n_chars"))
+        .withColumn("fertility_micros", expr("1000000L * n_toks div n_words"))
+        .withColumn("chars_per_token_micros",
+          expr("1000000L * n_chars div n_toks"))
+    }),
 
     // anchor-text index (q87): the WAT-style (src, href, label) surface
     // harvested map-side from the raw payloads (html/AnchorHarvest),
@@ -2826,6 +2873,7 @@ object GraftQueries {
     tokenCountsCached(spark, sfDir)
     bigramCountsCached(spark, sfDir)
     lmScoresCached(spark, sfDir)
+    bpeWordLengthsCached(spark, sfDir)
     semCached(spark, sfDir)
     anchorsCached(spark, sfDir)
     postingsCached(spark, sfDir)
@@ -2871,6 +2919,7 @@ object GraftQueries {
       // sf0.1 — same C2 story, same fix
       queries("q102_extract_qa")(spark, warmSf).count(): Unit
       queries("q103_ppl_buckets")(spark, warmSf).count(): Unit
+      queries("q105_bpe_fertility")(spark, warmSf).count(): Unit
     }
   }
 
@@ -3398,6 +3447,15 @@ object GraftQueries {
     "q86_bpe_encode" ->
       graft.ops.Bpe.encodeSql(
         s"""(SELECT extracted_text AS text
+           |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+           |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
+
+    // the fertility audit re-derived end to end: merges re-trained,
+    // every distinct word re-tokenized, per-language usage re-counted,
+    // every floor division repeated — all integer
+    "q105_bpe_fertility" ->
+      graft.ops.Bpe.fertilitySql(
+        s"""(SELECT lang, extracted_text AS text
            |   FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
            |   WHERE error IS NULL AND payload_kind = 'html')""".stripMargin),
 

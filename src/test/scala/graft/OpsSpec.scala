@@ -1049,6 +1049,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out(("de", "head")).getAs[Long]("t2_micros") == 5L)
   }
 
+  test("bpe word lengths: tokenized length per word under trained merges") {
+    import spark.implicits._
+    // pairs: (a,b) freq 2+2=4 wins round 1 -> merge "ab"
+    val words = Seq(("ab", 2L), ("abab", 1L), ("ba", 3L)).toDF("word", "freq")
+    val out = graft.ops.Bpe.encodeWordLengthsFromCounts(words, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 1L, "abab" -> 2L, "ba" -> 2L))
+  }
+
   test("crawl diff: all four classes planted, churn arithmetic, url conservation") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.queries.GraftQueries.queries("q104_crawl_diff")(spark, d).collect()

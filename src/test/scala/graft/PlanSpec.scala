@@ -255,6 +255,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-lang thresholds must broadcast")
   }
 
+  test("q105 bpe fertility: equi-join on word, no cartesian, no UDF") {
+    val df = graft.queries.GraftQueries.queries("q105_bpe_fertility")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"fertility join must be an equi-join:\n${p.take(800)}")
+    assert(!p.contains("ScalaUDF"), "tokenize + rollup must stay codegen'd")
+  }
+
   test("q104 crawl diff: digest-only url join, no cartesian, no UDF") {
     val df = graft.queries.GraftQueries.queries("q104_crawl_diff")(spark, d)
     val p = executedPlan(df)
