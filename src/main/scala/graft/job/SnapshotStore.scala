@@ -347,7 +347,15 @@ object SnapshotStore {
     val dirs = (1 to r).flatMap { i =>
       val m = readManifest(root, i)
       val dir = parseStringField(m, "data_dir")
-      if (dir.nonEmpty && parseLongField(m, "row_count") > 0) Some(dir) else None
+      if (dir.nonEmpty && parseLongField(m, "row_count") > 0) {
+        // same relocation resolution as [[dataDirs]]: on a MOVED store
+        // the recorded absolute path is stale, and deleting it would
+        // silently reclaim nothing while the relocated dir keeps
+        // serving below-boundary reads expiry promised to invalidate
+        val relocated = Paths.get(root, "data",
+          Paths.get(dir).getFileName.toString).toString
+        Some(if (Files.exists(Paths.get(dir))) dir else relocated)
+      } else None
     }.distinct
     dirs.foreach(deleteRecursively)
     dirs

@@ -363,6 +363,22 @@ class ExtractJobSpec extends AnyFunSuite {
     }
   }
 
+  test("store relocation: expiry reclaims the relocated dirs, not the stale paths") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 80, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.compact(spark, s"$dir/out")
+    val moved = tmp() + "/relocated"
+    Files.move(java.nio.file.Paths.get(s"$dir/out"),
+      java.nio.file.Paths.get(moved))
+    val deleted = SnapshotStore.expireReplaced(moved)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith(moved)),
+      s"expiry must resolve against the moved root: $deleted")
+    assert(!new java.io.File(s"$moved/data/snap-1").exists())
+    // the compacted dir still serves reads at/above the boundary
+    assert(ExtractJob.readExtracted(spark, moved).count() == 80)
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")
