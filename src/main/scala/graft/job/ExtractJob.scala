@@ -185,11 +185,13 @@ object ExtractJob {
       val (dataDir, rows, replaces) = SnapshotStore.snapshotInfo(outRoot, seq)
       if (replaces == 0L && rows > 0L &&
           !graft.sources.Wet.isComplete(s"$wetRoot/wet-$seq")) {
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dataDir)))
-          System.err.println(s"[graft] WET catch-up: snapshot v$seq data dir " +
-            s"$dataDir no longer exists (expired after compaction) — its " +
-            "sidecar cannot be reconstructed")
-        else total += emitWetFor(spark, seq, dataDir, rows, wetRoot)
+        SnapshotStore.resolveDataDir(outRoot, dataDir) match {
+          case None =>
+            System.err.println(s"[graft] WET catch-up: snapshot v$seq data dir " +
+              s"$dataDir no longer exists (expired after compaction) — its " +
+              "sidecar cannot be reconstructed")
+          case Some(d) => total += emitWetFor(spark, seq, d, rows, wetRoot)
+        }
       }
       seq += 1
     }

@@ -69,23 +69,10 @@ object SnapshotStore {
       val dir = parseStringField(m, "data_dir")
       val rows = parseLongField(m, "row_count")
       if (rows > 0 && dir.nonEmpty) {
-        // Relocation tolerance: manifests record the data_dir as
-        // written at commit time, so a store that was MOVED wholesale
-        // (cache promotion, table rename, volume migration) carries
-        // stale absolute paths. The layout is canonical —
-        // <root>/data/<basename> — so resolve against the CURRENT root
-        // before declaring the dir lost; only then is it genuinely
-        // expired/deleted and the read must fail loudly.
-        val relocated = Paths.get(root, "data",
-          Paths.get(dir).getFileName.toString).toString
-        val resolved =
-          if (Files.exists(Paths.get(dir))) dir
-          else if (Files.exists(Paths.get(relocated))) relocated
-          else throw new IllegalStateException(
-            s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
-              "expired or externally deleted; reads below a compaction boundary require " +
-              "the replaced dirs to still exist")
-        out += resolved
+        out += resolveDataDir(root, dir).getOrElse(throw new IllegalStateException(
+          s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
+            "expired or externally deleted; reads below a compaction boundary require " +
+            "the replaced dirs to still exist"))
       }
       if (parseLongField(m, "replaces") > 0) stop = true else i -= 1
     }
@@ -144,6 +131,25 @@ object SnapshotStore {
     (parseStringField(m, "data_dir"),
       parseLongField(m, "row_count"),
       parseLongField(m, "replaces"))
+  }
+
+  /** Relocation-tolerant data-dir resolution, the ONE policy every
+    * consumer (reads, incremental reads, expiry, sidecar catch-up)
+    * shares: manifests record the data_dir as written at commit time,
+    * so a store that was MOVED or COPIED wholesale (cache promotion,
+    * table rename, volume migration) carries stale absolute paths. The
+    * layout is canonical — <root>/data/<basename> — so the dir under
+    * the CURRENT root wins whenever it exists; the recorded path is
+    * only trusted as a fallback (a store that genuinely keeps data
+    * outside root/data). Preferring the current root also means a
+    * copy-based migration never reads from — or lets expiry DELETE —
+    * the source table's dirs. None = genuinely missing everywhere. */
+  def resolveDataDir(root: String, dir: String): Option[String] = {
+    val relocated = Paths.get(root, "data",
+      Paths.get(dir).getFileName.toString).toString
+    if (Files.exists(Paths.get(relocated))) Some(relocated)
+    else if (Files.exists(Paths.get(dir))) Some(dir)
+    else None
   }
 
   def readManifest(root: String, seq: Int): String = {
@@ -311,15 +317,10 @@ object SnapshotStore {
       val dir = parseStringField(m, "data_dir")
       val rows = parseLongField(m, "row_count")
       if (rows > 0 && dir.nonEmpty && parseLongField(m, "replaces") == 0L) {
-        // same relocation resolution as [[dataDirs]]
-        val relocated = Paths.get(root, "data",
-          Paths.get(dir).getFileName.toString).toString
-        if (Files.exists(Paths.get(dir))) Some(dir)
-        else if (Files.exists(Paths.get(relocated))) Some(relocated)
-        else throw new IllegalStateException(
+        Some(resolveDataDir(root, dir).getOrElse(throw new IllegalStateException(
           s"snapshot v$i at $root commits $rows rows but its data dir $dir is missing — " +
             "expired or externally deleted; incremental reads over expired snapshots " +
-            "must restart from a full scan at the compaction boundary")
+            "must restart from a full scan at the compaction boundary")))
       } else None
     }
   }
@@ -347,15 +348,12 @@ object SnapshotStore {
     val dirs = (1 to r).flatMap { i =>
       val m = readManifest(root, i)
       val dir = parseStringField(m, "data_dir")
-      if (dir.nonEmpty && parseLongField(m, "row_count") > 0) {
-        // same relocation resolution as [[dataDirs]]: on a MOVED store
-        // the recorded absolute path is stale, and deleting it would
-        // silently reclaim nothing while the relocated dir keeps
-        // serving below-boundary reads expiry promised to invalidate
-        val relocated = Paths.get(root, "data",
-          Paths.get(dir).getFileName.toString).toString
-        Some(if (Files.exists(Paths.get(dir))) dir else relocated)
-      } else None
+      if (dir.nonEmpty && parseLongField(m, "row_count") > 0)
+        // current-root-first resolution: a moved store reclaims its
+        // OWN dirs, and a copy-migrated store never deletes the
+        // source table's data (already-gone dirs have nothing to do)
+        resolveDataDir(root, dir)
+      else None
     }.distinct
     dirs.foreach(deleteRecursively)
     dirs

@@ -131,6 +131,36 @@ object GraftQueries {
     path
   }
 
+  /** Crash-safe build-once scaffold for DIRECTORY fixtures (the q101 /
+    * q104 chain and crawl-diff stores): build under a pid-suffixed tmp
+    * dir, certify with _DONE, then ATOMIC_MOVE into place — a loser of
+    * the cross-process race deletes its tmp; a corrupt leftover
+    * (no _DONE) is replaced. One copy of the race handling, shared by
+    * every fixture cache. */
+  private def buildCachedDir(path: String)(build: String => Unit): Unit = {
+    import java.nio.file._
+    if (new java.io.File(s"$path/_DONE").exists()) return
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid()
+    deleteRecursively(new java.io.File(tmp))
+    build(tmp)
+    Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
+    val dest = Paths.get(path)
+    try {
+      Files.createDirectories(dest.getParent)
+      Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+        if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
+        else {
+          deleteRecursively(dest.toFile)
+          try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
+            deleteRecursively(new java.io.File(tmp))
+          }
+        }
+    }
+  }
+
   /** Deterministic snapshot-CHAIN fixture (q101 — S10/W2 promoted from
     * test-only to oracle-backed): a real ExtractJob chain with every
     * shape the store commits — two file-granular increments, a 0-row
@@ -150,10 +180,8 @@ object GraftQueries {
     val rows = chainRowsFor(sfDir)
     val path = chainDumpPath(rows)
     genLock.synchronized {
-      if (!new java.io.File(s"$path/_DONE").exists()) {
+      buildCachedDir(path) { tmp =>
         import java.nio.file._
-        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
-        deleteRecursively(new java.io.File(tmp))
         ExtractJob.generatePages(spark, rows, s"$tmp/pages", partitions = 8)
         // increment 1: hold back half the input files (the
         // file-granular resume treats files as the unit of work)
@@ -174,22 +202,6 @@ object GraftQueries {
         ExtractJob.run(spark, s"$tmp/pages", s"$tmp/out", numPartitions = 8)
         // compaction: one clustered dir replacing the live chain
         ExtractJob.compact(spark, s"$tmp/out"): Unit
-        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
-        val dest = Paths.get(path)
-        try {
-          Files.createDirectories(dest.getParent)
-          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
-        } catch {
-          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
-            else {
-              deleteRecursively(dest.toFile)
-              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-                deleteRecursively(new java.io.File(tmp))
-              }
-            }
-        }
       }
     }
     s"$path/out"
@@ -206,7 +218,7 @@ object GraftQueries {
     * ExtractJob.run — the diff query consumes real snapshot tables,
     * not hand-made parquet. */
   def crawlDiffDumpPath(rows: Int): String =
-    s"/tmp/graft_crawldiff_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-rows$rows"
+    s"/tmp/graft_crawldiff_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-v2-rows$rows"
 
   /** The re-crawl mutation: long enough that the density classifier
     * keeps it as content (a short trailing fragment could be vetoed as
@@ -222,41 +234,30 @@ object GraftQueries {
     val rows = chainRowsFor(sfDir)
     val path = crawlDiffDumpPath(rows)
     genLock.synchronized {
-      if (!new java.io.File(s"$path/_DONE").exists()) {
-        import java.nio.file._
-        val tmp = path + ".tmp-" + ProcessHandle.current().pid()
-        deleteRecursively(new java.io.File(tmp))
+      buildCachedDir(path) { tmp =>
         ExtractJob.generatePages(spark, rows, s"$tmp/pages", partitions = 8)
         val pages = spark.read.parquet(s"$tmp/pages")
           .withColumn("idx",
             expr("cast(regexp_extract(url, '/page/([0-9]+)$', 1) as long)"))
         pages.filter(col("idx") < rows * 9L / 10).drop("idx")
           .write.parquet(s"$tmp/pagesA")
+        // re-crawl mutation hits HTML payloads only: appending markup
+        // after a PDF's %%EOF corrupts the end-of-file xref scan and
+        // would flip a planted "changed" page into an extraction error
+        // (classified "gone"); junk payloads (first byte 0x7f) are
+        // byte-noise either way. Prefix test mirrors the mimetype
+        // sniff's dispatch.
+        val isHtml = expr("substring(html, 1, 5) != cast('%PDF-' as binary)") &&
+          expr("substring(html, 1, 1) != X'7F'")
         pages.filter(col("idx") % 11 =!= 3)
           .withColumn("html",
-            when(col("idx") % 7 === 0,
+            when(col("idx") % 7 === 0 && isHtml,
               concat(col("html"), lit(UpdatePara.getBytes("UTF-8"))))
               .otherwise(col("html")))
           .drop("idx")
           .write.parquet(s"$tmp/pagesB")
         ExtractJob.run(spark, s"$tmp/pagesA", s"$tmp/outA", numPartitions = 8)
         ExtractJob.run(spark, s"$tmp/pagesB", s"$tmp/outB", numPartitions = 8)
-        Files.write(Paths.get(tmp, "_DONE"), Array.emptyByteArray)
-        val dest = Paths.get(path)
-        try {
-          Files.createDirectories(dest.getParent)
-          Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
-        } catch {
-          case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-            if (Files.exists(dest.resolve("_DONE"))) deleteRecursively(new java.io.File(tmp))
-            else {
-              deleteRecursively(dest.toFile)
-              try Files.move(Paths.get(tmp), dest, StandardCopyOption.ATOMIC_MOVE)
-              catch { case _: FileAlreadyExistsException | _: DirectoryNotEmptyException =>
-                deleteRecursively(new java.io.File(tmp))
-              }
-            }
-        }
       }
     }
     path

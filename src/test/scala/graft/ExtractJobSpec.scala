@@ -379,6 +379,30 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(ExtractJob.readExtracted(spark, moved).count() == 80)
   }
 
+  test("store copy-migration: expiry reclaims the copy's dirs, source table untouched") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 80, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    ExtractJob.compact(spark, s"$dir/out")
+    // copy-based migration: source stays live until cutover
+    val copied = tmp() + "/copied"
+    val src = java.nio.file.Paths.get(s"$dir/out")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val t = java.nio.file.Paths.get(copied).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    val deleted = SnapshotStore.expireReplaced(copied)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith(copied)),
+      s"expiry on the copy must never touch the source table: $deleted")
+    assert(new java.io.File(s"$dir/out/data/snap-1").exists(),
+      "source table's replaced dir must survive expiry of the copy")
+    assert(!new java.io.File(s"$copied/data/snap-1").exists())
+    assert(ExtractJob.readExtracted(spark, copied).count() == 80)
+    assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 80)
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")
