@@ -1049,6 +1049,78 @@ class OpsSpec extends AnyFunSuite {
     assert(out(("de", "head")).getAs[Long]("t2_micros") == 5L)
   }
 
+  test("lm tertile buckets ≡ brute-force reference on seeded random inputs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242L)
+    (1 to 5).foreach { _ =>
+      val langs = (1 to (1 + rng.nextInt(3))).map(i => s"l$i")
+      val docs = langs.flatMap { lang =>
+        (1 to (1 + rng.nextInt(40))).map(_ =>
+          (lang, rng.nextInt(21).toLong, 1L + rng.nextInt(5)))
+      }
+      // reference: per lang, sort desc, exact k-th order statistics,
+      // ties to the better bucket
+      val expected = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+        val sorted = ds.map(_._2).sorted(Ordering[Long].reverse)
+        val n = sorted.size
+        val t1 = sorted((n + 2) / 3 - 1)
+        val t2 = sorted((2 * n + 2) / 3 - 1)
+        def bucket(s: Long) =
+          if (s >= t1) "head" else if (s >= t2) "middle" else "tail"
+        ds.groupBy(d => bucket(d._2)).map { case (b, bs) =>
+          (lang, b) -> ((bs.size.toLong, bs.map(_._3).sum,
+            bs.map(_._2).min, bs.map(_._2).max, t1, t2))
+        }
+      }
+      val got = graft.ops.LmScore.tertileBuckets(
+        docs.toDF("lang", "score", "weight"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("weight_sum"),
+            r.getAs[Long]("min_score"), r.getAs[Long]("max_score"),
+            r.getAs[Long]("t1_micros"), r.getAs[Long]("t2_micros")))).toMap
+      assert(got == expected, s"docs=$docs")
+    }
+  }
+
+  test("extractQa ≡ brute-force bag intersection on seeded random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(777L)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    def text() = Seq.fill(rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    (1 to 5).foreach { _ =>
+      val urls = (1 to (2 + rng.nextInt(10)))
+        .map(i => s"https://h${i % 3}.example/p$i")
+      val ext = urls.map(u => (u, text()))
+      val ref = urls.map(u => (u, text()))
+      def bag(s: String) = s.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val refNonEmpty = ref.filter(_._2.split("\\s+").exists(_.nonEmpty))
+      val perDoc = ext.flatMap { case (u, et) =>
+        refNonEmpty.find(_._1 == u).map { case (_, rt) =>
+          val (eb, rb) = (bag(et), bag(rt))
+          val common = eb.iterator
+            .map { case (k, c) => math.min(c, rb.getOrElse(k, 0L)) }.sum
+          val (ne, nr) = (eb.values.sum, rb.values.sum)
+          (u.split("/")(2), ne, nr, common, 2000000L * common / (ne + nr))
+        }
+      }
+      val expected = perDoc.groupBy(_._1).map { case (h, ds) =>
+        val (ne, nr, c) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+        h -> ((ds.size.toLong, ne, nr, c, ds.map(_._5).sum,
+          if (ne == 0) 0L else 1000000L * c / ne,
+          1000000L * c / nr, 2000000L * c / (ne + nr)))
+      }
+      val got = graft.ops.ExtractQa.tokenAgreement(
+        ext.toDF("url", "extracted_text"), ref.toDF("url", "text"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("ext_toks"),
+            r.getAs[Long]("ref_toks"), r.getAs[Long]("common_toks"),
+            r.getAs[Long]("macro_f1_micros_sum"), r.getAs[Long]("micro_p_micros"),
+            r.getAs[Long]("micro_r_micros"), r.getAs[Long]("micro_f1_micros")))).toMap
+      assert(got == expected, s"ext=$ext ref=$ref")
+    }
+  }
+
   test("bpe word lengths: tokenized length per word under trained merges") {
     import spark.implicits._
     // pairs: (a,b) freq 2+2=4 wins round 1 -> merge "ab"
