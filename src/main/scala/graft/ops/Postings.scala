@@ -81,4 +81,42 @@ object Postings {
       .filter(col("n_terms") === terms.distinct.size)
       .select(col("doc_id"))
   }
+
+  /** POSITIONAL postings: (term, doc_id, positions) with 0-based token
+    * offsets sorted ascending — the index form phrase and proximity
+    * queries serve from (Lucene's positions stream). Row width is
+    * bounded by a term's frequency within ONE document (not its corpus
+    * df), so a billion-df stopword still fans out over its documents —
+    * the (term, doc) grain is what keeps the build's one exchange
+    * skew-safe without the block trick the boolean shards need. */
+  def positional(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextStats.lowerToks(col(textCol))))
+      .withColumnRenamed("col", "term")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Exact phrase retrieval served from a MATERIALIZED positional
+    * table: documents containing `terms` at consecutive positions,
+    * with the occurrence count per doc. The term filter is a literal
+    * IN over the scan (pushes down against a parquet dump), so reads
+    * touch only the query terms' rows; each subsequent term joins on
+    * doc_id against the first term's exploded occurrences and keeps
+    * those where positions[i] contains p + i — k-1 equi-joins over
+    * term-bounded tables, never the corpus. */
+  def matchPhrase(positionalTable: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val cand = positionalTable.filter(col("term").isin(terms.distinct: _*))
+    var occ = cand.filter(col("term") === terms.head)
+      .select(col("doc_id"), explode(col("positions")).as("p"))
+    terms.zipWithIndex.drop(1).foreach { case (t, i) =>
+      occ = occ
+        .join(cand.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as(s"pos_$i")), "doc_id")
+        .filter(array_contains(col(s"pos_$i"), col("p") + i))
+        .drop(s"pos_$i")
+    }
+    occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+  }
 }

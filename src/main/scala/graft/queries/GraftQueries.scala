@@ -1062,6 +1062,25 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  def positionalDumpPath(rows: Int): String =
+    s"/tmp/graft_postings_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Postings.Version}-pos-rows$rows"
+
+  /** The MATERIALIZED positional index (q106's serving surface):
+    * (term, doc_id, positions) from [[graft.ops.Postings.positional]].
+    * Like q89, the oracle never reads it — phrase answers are
+    * re-derived from the corpus text, so build AND serving are both
+    * value-checked. */
+  def positionalCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = positionalDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(graft.ops.Postings.positional(
+          extractedPagesDocs(spark, sfDir), "doc_id", "text"), path)
+    }
+    spark.read.parquet(path)
+  }
+
   // =====================================================================
   // Relational operator inventory (oracle-backed)
   // =====================================================================
@@ -1521,6 +1540,22 @@ object GraftQueries {
     // never reads the index — it answers from the TEXT, so q88+q89
     // together close the loop: the index is built right AND serves
     // right.
+    // exact-phrase retrieval OFF the materialized POSITIONAL index
+    // (q106): the phrase is the corpus's 3rd-ranked bigram (rank
+    // re-derived by both engines with the same tie-break), served by
+    // Postings.matchPhrase — term-IN-pruned scan of the positional
+    // dump, k-1 doc_id equi-joins with consecutive-position filters.
+    // The oracle answers from the corpus TEXT (positions re-enumerated,
+    // adjacency re-joined), so the positional build and the phrase
+    // serving are both value-checked.
+    "q106_phrase_retrieval" -> ((s, d) => {
+      val ph = bigramCountsCached(s, d)
+        .orderBy(col("n_ab").desc, col("a").asc, col("b").asc).limit(3)
+        .collect().last
+      graft.ops.Postings.matchPhrase(positionalCached(s, d),
+        Seq(ph.getString(0), ph.getString(1)))
+    }),
+
     "q89_bool_retrieval" -> ((s, d) => {
       val top = tokenCountsCached(s, d)
         .orderBy(col("n_t").desc, col("t").asc).limit(100)
@@ -2878,6 +2913,7 @@ object GraftQueries {
     semCached(spark, sfDir)
     anchorsCached(spark, sfDir)
     postingsCached(spark, sfDir)
+    positionalCached(spark, sfDir)
     sitemapsCached(spark, sfDir)
     charsetCached(spark, sfDir)
     headMetaCached(spark, sfDir)
@@ -3531,6 +3567,39 @@ object GraftQueries {
          |FROM (SELECT DISTINCT doc_id, tok FROM toks) dt
          |JOIN qterms USING (tok)
          |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+    // phrase retrieval re-derived from the TEXT: positions
+    // re-enumerated, the 3rd-ranked bigram re-selected with the same
+    // (count desc, a asc, b asc) tie-break, adjacency re-joined —
+    // the positional index never feeds its own oracle
+    "q106_phrase_retrieval" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |tl AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |occ AS (
+         |  SELECT doc_id, p.tok AS tok, p.pos AS pos
+         |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |          i -> struct_pack(tok := toks[i], pos := i))) AS p
+         |        FROM tl)),
+         |bi AS (
+         |  SELECT o1.tok AS a, o2.tok AS b, count(*) AS n
+         |  FROM occ o1 JOIN occ o2
+         |    ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+         |  GROUP BY 1, 2),
+         |ph AS (
+         |  SELECT a, b FROM bi
+         |  ORDER BY n DESC, a ASC, b ASC LIMIT 1 OFFSET 2)
+         |SELECT o1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM occ o1
+         |JOIN occ o2 ON o1.doc_id = o2.doc_id AND o2.pos = o1.pos + 1
+         |JOIN ph ON o1.tok = ph.a AND o2.tok = ph.b
+         |GROUP BY 1""".stripMargin,
 
     // canonicalization re-derived rule by rule (split_part/list slicing
     // in place of substring_index; same decoration CASE on doc_id % 5)

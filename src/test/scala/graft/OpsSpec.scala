@@ -1121,6 +1121,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase retrieval: consecutive positions, overlaps, repeated terms, k=3") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c"),   // phrase twice
+      (2L, "a c b"),         // terms present, never consecutive
+      (3L, "x a b c y"),     // once, mid-document
+      (4L, "b a b a b")      // for the repeated-term phrase below
+    ).toDF("doc_id", "text")
+    val pos = graft.ops.Postings.positional(docs, "doc_id", "text")
+    val abc = graft.ops.Postings.matchPhrase(pos, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc == Map(1L -> 2L, 3L -> 1L))
+    val bab = graft.ops.Postings.matchPhrase(pos, Seq("b", "a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bab == Map(4L -> 2L)) // overlapping occurrences at p=0 and p=2
+  }
+
   test("bpe word lengths: tokenized length per word under trained merges") {
     import spark.implicits._
     // pairs: (a,b) freq 2+2=4 wins round 1 -> merge "ab"

@@ -463,6 +463,15 @@ class PlanSpec extends AnyFunSuite {
       s"index serving must be scan+aggregate only:\n${p.take(800)}")
   }
 
+  test("q106 phrase retrieval prunes the positional scan to the phrase terms") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q106_phrase_retrieval")(spark, d))
+    assert(p.contains("PushedFilters: [") && p.contains("In(term"),
+      s"term IN filter must push into the positional scan:\n${p.take(1200)}")
+    assert(!p.contains("ScalaUDF"))
+    assert(!p.contains("CartesianProduct"),
+      s"phrase joins are doc_id equi-joins:\n${p.take(800)}")
+  }
+
   test("q94 sitemap audit: entry table broadcasts to the one corpus scan (no url-level shuffle, no cartesian)") {
     // 100 TB shape: the parsed entry table is host-bounded (NumHosts x
     // <=30 rows); the crawled url table is the corpus. The url==loc tag
