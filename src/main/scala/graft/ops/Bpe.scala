@@ -300,11 +300,13 @@ object Bpe {
        |FROM ef$rounds
        |GROUP BY 1 ORDER BY occurrences DESC, tok ASC LIMIT $topK""".stripMargin
 
-  /** The full CTE prefix shared by [[encodeSql]] and [[fertilitySql]]:
-    * training chain + full-corpus word count (cw) + per-round encode
-    * CTEs, ending with ef$rounds (every word fully tokenized). */
-  private def encodePrefixCtes(docsRel: String, rounds: Int,
-                               cap: Int): String = {
+  /** The full CTE prefix shared by [[encodeSql]], [[fertilitySql]] and
+    * the q107 train-export oracle: training chain + full-corpus word
+    * count (cw) + per-round encode CTEs, ending with ef$rounds (every
+    * word fully tokenized). Public so downstream oracles can compose
+    * their own tails over the re-derived tokenizer. */
+  def encodePrefixCtes(docsRel: String, rounds: Int = Rounds,
+                       cap: Int = VocabCap): String = {
     val encodeCtes = (1 to rounds).map { r =>
       s"""ep$r AS MATERIALIZED (
          |  SELECT word, freq, pos, tok,

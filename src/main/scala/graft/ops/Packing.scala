@@ -41,31 +41,48 @@ object Packing {
     * sequence rather than being dropped or split: packing must be
     * total — length filtering is a quality-gate decision upstream. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budget: Long, shardChars: Int = 1): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(
+                    budget: Long, shardChars: Int = 1): DataFrame =
+    packCountsGrouped(
+      docs.select(
         shardOf(col(idCol), shardChars).as("shard"),
         col(idCol).cast("long").as("doc_id"),
-        tokenCount(col(textCol)).as("n_tokens"))
-      // a shard lands whole in one partition; within the partition
-      // shards are contiguous sorted runs, so one streaming pass packs
-      // every shard with O(1) state and no group materialization
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
+        tokenCount(col(textCol)).as("n_tokens")),
+      "shard", "doc_id", "n_tokens", budget)
+      .withColumnRenamed("grp", "shard")
+
+  /** Next-fit packing over PRE-COMPUTED token counts, independently
+    * per group — the form the train-export rung uses, where counts
+    * come from the TRAINED tokenizer (BPE lengths) instead of the
+    * whitespace definition, and the group key composes split × shard.
+    * Same contract as [[packSequences]]: ascending doc_id within
+    * group, a group lands whole in one partition, one streaming pass,
+    * O(1) task state, bit-identical at any parallelism. */
+  def packCountsGrouped(counts: DataFrame, groupCol: String, idCol: String,
+                        nCol: String, budget: Long): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts.select(
+        col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("doc_id"),
+        col(nCol).cast("long").as("n_tokens"))
+      // a group lands whole in one partition; within the partition
+      // groups are contiguous sorted runs, so one streaming pass packs
+      // every group with O(1) state and no group materialization
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
       .as[(String, Long, Long)]
       .mapPartitions { it =>
-        var shard: String = null
+        var grp: String = null
         var fill = 0L
         var seq = 0L
-        it.map { case (sh, id, n) =>
-          if (sh != shard) { shard = sh; seq = 0L; fill = n }
+        it.map { case (g, id, n) =>
+          if (g != grp) { grp = g; seq = 0L; fill = n }
           else if (fill + n > budget) { seq += 1; fill = n }
           else fill += n
-          (sh, seq, id, n)
+          (g, seq, id, n)
         }
       }
-      .toDF("shard", "seq_id", "doc_id", "n_tokens")
+      .toDF("grp", "seq_id", "doc_id", "n_tokens")
   }
 
   /** Per-sequence roll-up of [[packSequences]]: how full the packed

@@ -1540,6 +1540,34 @@ object GraftQueries {
     // never reads the index — it answers from the TEXT, so q88+q89
     // together close the loop: the index is built right AND serves
     // right.
+    // train-export packing (q107 — the handoff artifact to the
+    // trainer): per-doc token counts under the TRAINED q85 tokenizer
+    // (word usage joined against the staged word→length model), md5
+    // split assignment (the q51 convention), then next-fit packing
+    // into 2048-token sequences independently per (split, shard) — a
+    // doc never spans two sequences, assignment is bit-identical at
+    // any parallelism (sharded streaming pass, O(1) task state). One
+    // row per packed sequence: the shard manifest a training loader
+    // consumes. Docs with no [a-z]+ vocabulary word have nothing to
+    // tokenize and are absent on both engines.
+    "q107_train_export" -> ((s, d) => {
+      val wl = bpeWordLengthsCached(s, d)
+      val docTokens = extractedPagesDocs(s, d)
+        .select(col("doc_id"),
+          explode(graft.ops.TextStats.lowerToks(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("freq"))
+        .join(wl, "word")
+        .groupBy(col("doc_id")).agg(sum(col("freq") * col("n_tokens")).as("n_bpe"))
+      val grouped = docTokens.withColumn("grp",
+        concat(graft.ops.Balance.splitAssign(col("doc_id")), lit("-"),
+          graft.ops.Packing.shardOf(col("doc_id"), 1)))
+      graft.ops.Packing
+        .packCountsGrouped(grouped, "grp", "doc_id", "n_bpe", budget = 2048L)
+        .groupBy(col("grp"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+    }),
+
     // exact-phrase retrieval OFF the materialized POSITIONAL index
     // (q106): the phrase is the corpus's 3rd-ranked bigram (rank
     // re-derived by both engines with the same tie-break), served by
@@ -2957,6 +2985,7 @@ object GraftQueries {
       queries("q102_extract_qa")(spark, warmSf).count(): Unit
       queries("q103_ppl_buckets")(spark, warmSf).count(): Unit
       queries("q105_bpe_fertility")(spark, warmSf).count(): Unit
+      queries("q107_train_export")(spark, warmSf).count(): Unit
     }
   }
 
@@ -3567,6 +3596,52 @@ object GraftQueries {
          |FROM (SELECT DISTINCT doc_id, tok FROM toks) dt
          |JOIN qterms USING (tok)
          |GROUP BY doc_id HAVING count(*) = 3""".stripMargin,
+
+    // the train-export manifest re-derived end to end: tokenizer
+    // re-trained, every word re-tokenized, per-doc counts re-summed,
+    // the md5 split and shard re-assigned, and the next-fit recursion
+    // replayed as a recursive CTE (the q62 pattern over BPE counts)
+    "q107_train_export" ->
+      s"""WITH RECURSIVE docs AS MATERIALIZED (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |${graft.ops.Bpe.encodePrefixCtes("docs")},
+         |wl AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM ef${graft.ops.Bpe.Rounds} GROUP BY 1),
+         |dw AS MATERIALIZED (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+         |        FROM docs)
+         |  WHERE regexp_full_match(word, '[a-z]+')
+         |  GROUP BY 1, 2),
+         |dt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(sum(freq * n_tokens) AS BIGINT) AS n_bpe
+         |  FROM dw JOIN wl USING (word) GROUP BY 1),
+         |base AS MATERIALIZED (
+         |  SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cd' THEN 'train'
+         |              WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+         |              ELSE 'test' END
+         |      || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS grp,
+         |    doc_id, n_bpe FROM dt),
+         |t2 AS MATERIALIZED (
+         |  SELECT grp, doc_id, n_bpe,
+         |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+         |  FROM base),
+         |pack AS (
+         |  SELECT grp, doc_id, n_bpe, rn, CAST(0 AS BIGINT) AS seq_id, n_bpe AS fill
+         |  FROM t2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t2.grp, t2.doc_id, t2.n_bpe, t2.rn,
+         |    CASE WHEN p.fill + t2.n_bpe > 2048 THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + t2.n_bpe > 2048 THEN t2.n_bpe ELSE p.fill + t2.n_bpe END
+         |  FROM pack p JOIN t2 ON t2.grp = p.grp AND t2.rn = p.rn + 1)
+         |SELECT grp, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS seq_tokens
+         |FROM pack GROUP BY 1, 2""".stripMargin,
 
     // phrase retrieval re-derived from the TEXT: positions
     // re-enumerated, the 3rd-ranked bigram re-selected with the same

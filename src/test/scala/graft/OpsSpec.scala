@@ -1121,6 +1121,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packCountsGrouped: next-fit over precomputed counts, per-group reset, oversize doc") {
+    import spark.implicits._
+    val counts = Seq(
+      ("a", 1L, 600L), ("a", 2L, 500L), ("a", 3L, 100L), // 600+500 > 1000 -> seq split
+      ("a", 4L, 1500L),                                   // oversized: own sequence
+      ("b", 5L, 10L)                                      // fresh group resets seq/fill
+    ).toDF("grp", "doc_id", "n")
+    val got = graft.ops.Packing
+      .packCountsGrouped(counts, "grp", "doc_id", "n", budget = 1000L)
+      .collect().map(r => r.getLong(2) -> ((r.getString(0), r.getLong(1)))).toMap
+    assert(got == Map(
+      1L -> (("a", 0L)), 2L -> (("a", 1L)), 3L -> (("a", 1L)),
+      4L -> (("a", 2L)), 5L -> (("b", 0L))))
+  }
+
   test("phrase retrieval: consecutive positions, overlaps, repeated terms, k=3") {
     import spark.implicits._
     val docs = Seq(

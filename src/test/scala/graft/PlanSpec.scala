@@ -463,6 +463,13 @@ class PlanSpec extends AnyFunSuite {
       s"index serving must be scan+aggregate only:\n${p.take(800)}")
   }
 
+  test("q107 train export: equi-join on word, no cartesian, single pack exchange") {
+    val df = graft.queries.GraftQueries.queries("q107_train_export")(spark, d)
+    val p = executedPlan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n${p.take(800)}")
+  }
+
   test("q106 phrase retrieval prunes the positional scan to the phrase terms") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q106_phrase_retrieval")(spark, d))
     assert(p.contains("PushedFilters: [") && p.contains("In(term"),
