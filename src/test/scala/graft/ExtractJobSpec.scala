@@ -403,6 +403,43 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(ExtractJob.readExtracted(spark, s"$dir/out").count() == 80)
   }
 
+  test("export job: packed shards + manifest, budget respected, doc conservation") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 300, s"$dir/pages", partitions = 2)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    val stats = graft.job.ExportJob.run(spark, s"$dir/out", s"$dir/export",
+      budget = 512L)
+    assert(graft.job.ExportJob.isComplete(s"$dir/export"))
+    val packed = spark.read.parquet(s"$dir/export/packed")
+    // every eligible doc exported exactly once
+    val eligible = ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter(col("error").isNull && col("payload_kind") === "html" &&
+        length(col("extracted_text")) > 0)
+      .select(explode(graft.ops.TextStats.lowerToks(col("extracted_text"))).as("w"),
+        col("url"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select("url").distinct().count()
+    assert(packed.select("url").distinct().count() == eligible)
+    assert(packed.count() == eligible)
+    // manifest totals == parquet totals
+    assert(stats.values.map(_.docs).sum == eligible)
+    assert(stats.values.map(_.tokens).sum ==
+      packed.agg(sum("n_tokens")).head.getLong(0))
+    assert(stats.keySet == Set("train", "val", "test"))
+    // a multi-doc sequence never exceeds the budget (an oversized doc
+    // may sit alone over budget by contract)
+    val over = packed.groupBy("grp", "seq_id")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .filter(col("t") > 512 && col("n") > 1).count()
+    assert(over == 0, "multi-doc sequence over budget")
+    // deterministic: re-export produces the identical assignment
+    graft.job.ExportJob.run(spark, s"$dir/out", s"$dir/export2", budget = 512L)
+    val a = packed.orderBy("doc_id").collect().toSeq
+    val b = spark.read.parquet(s"$dir/export2/packed").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("re-run on committed table is a no-op snapshot") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 100, s"$dir/pages")
