@@ -36,10 +36,18 @@ object ExportJob {
   def run(spark: SparkSession, extractRoot: String, exportDir: String,
           budget: Long = 2048L, shardChars: Int = 1): Map[String, ExportStats] = {
     require(budget > 0, "budget must be positive")
-    val docs = ExtractJob.readExtracted(spark, extractRoot)
+    val docs0 = ExtractJob.readExtracted(spark, extractRoot)
       .filter(col("error").isNull && col("payload_kind") === "html" &&
         length(col("extracted_text")) > 0)
       .select(col("url"), col("extracted_text").as("text"))
+    // within-batch url uniqueness (the CurateJob rung): a url
+    // re-crawled with changed content inside one ingestion batch would
+    // otherwise export BOTH texts' tokens under one doc id — identical
+    // rows collapse, among differing texts the min-digest row wins
+    val rows = docs0.dropDuplicates("url", "text")
+      .withColumn("h", md5(col("text")))
+    val urlKeeper = rows.groupBy(col("url")).agg(min(col("h")).as("h"))
+    val docs = rows.join(urlKeeper, Seq("url", "h"), "left_semi").drop("h")
 
     // tokenizer: train on this corpus (self-contained, like q85);
     // counts under the TRAINED merges, not the whitespace definition
@@ -49,22 +57,17 @@ object ExportJob {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val wl = graft.ops.Bpe.encodeWordLengthsFromCounts(words)
 
-    val perDoc = docs
-      .select(col("url"), xxhash64(col("url")).as("doc_id"),
-        explode(graft.ops.TextStats.lowerToks(col("text"))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy(col("url"), col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("freq"))
-      .join(wl, "word")
-      .groupBy(col("url"), col("doc_id"))
-      .agg(sum(col("freq") * col("n_tokens")).as("n_bpe"))
-      .withColumn("grp",
-        concat(graft.ops.Balance.splitAssign(col("doc_id")), lit("-"),
-          graft.ops.Packing.shardOf(col("doc_id"), shardChars)))
+    // the one oracle-checked token rule (Bpe.perDocTokenCounts — the
+    // q107 chain), keyed by (url, doc_id); the url PASSES THROUGH the
+    // pack kernel, so there is no re-attach join to fan out on an
+    // xxhash64 collision and the per-doc chain evaluates once
+    val perDoc = graft.ops.Bpe.perDocTokenCounts(
+        docs.withColumn("doc_id", xxhash64(col("url"))),
+        Seq("url", "doc_id"), "text", wl)
+      .withColumn("grp", graft.ops.Packing.splitShardGrp(col("doc_id"), shardChars))
 
     val packed = graft.ops.Packing
       .packCountsGrouped(perDoc, "grp", "doc_id", "n_bpe", budget)
-      .join(perDoc.select(col("doc_id"), col("url")), "doc_id")
       .select(col("grp"), col("seq_id"), col("doc_id"), col("url"), col("n_tokens"))
 
     import java.nio.file.{Files, Paths}

@@ -216,6 +216,25 @@ object Bpe {
     encodedLongForm(words, rounds, cap)
       .groupBy(col("word")).agg(count(lit(1)).as("n_tokens"))
 
+  /** Per-document token counts under a trained word→length model —
+    * THE one home of the q107/export token rule (keyed explode,
+    * `[a-z]+` word universe, model join, weighted sum): (keyCols…,
+    * n_bpe). One (doc, word) exchange joined against the model-sized
+    * table; docs with no vocabulary word are absent (both engines
+    * agree). Callers: q107 (keyed by doc_id) and ExportJob (keyed by
+    * (url, doc_id)). */
+  def perDocTokenCounts(docs: DataFrame, keyCols: Seq[String],
+                        textCol: String, wordLengths: DataFrame): DataFrame =
+    docs
+      .select(keyCols.map(col) :+
+        explode(TextStats.lowerToks(col(textCol))).as("word"): _*)
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy((keyCols.map(col) :+ col("word")): _*)
+      .agg(count(lit(1)).as("freq"))
+      .join(wordLengths, "word")
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("freq") * col("n_tokens")).as("n_bpe"))
+
   /** The training CTE chain shared by [[trainSql]] and [[encodeSql]]:
     * head-vocab word count (w0), its long form (lf0), and per-round
     * unrolled window CTEs p/b/m/mm/d/lf — b$r holds round r's argmax

@@ -30,6 +30,12 @@ object Packing {
   def shardOf(id: Column, chars: Int = 1): Column =
     substring(md5(id.cast("string")), 1, chars)
 
+  /** The q107/export pack-group convention: `<split>-<shard>` from the
+    * md5 split assignment and the md5 shard prefix — one home so the
+    * query and the job cannot drift. */
+  def splitShardGrp(id: Column, shardChars: Int = 1): Column =
+    concat(Balance.splitAssign(id), lit("-"), shardOf(id, shardChars))
+
   /** Whitespace token count (the q13 definition — mirrorable in SQL). */
   def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= "")).cast("long")
@@ -56,33 +62,48 @@ object Packing {
     * whitespace definition, and the group key composes split × shard.
     * Same contract as [[packSequences]]: ascending doc_id within
     * group, a group lands whole in one partition, one streaming pass,
-    * O(1) task state, bit-identical at any parallelism. */
+    * O(1) task state, bit-identical at any parallelism.
+    *
+    * Columns of `counts` beyond the three named ones PASS THROUGH
+    * unchanged (output: grp, seq_id, doc_id, n_tokens, extras…) and
+    * join the within-partition sort key after doc_id — so a caller
+    * carrying e.g. a url column keeps one row per input row with a
+    * TOTAL deterministic order even when a 64-bit id collides, and
+    * never needs a re-attach join against the (re-evaluated) input. */
   def packCountsGrouped(counts: DataFrame, groupCol: String, idCol: String,
                         nCol: String, budget: Long): DataFrame = {
-    val spark = counts.sparkSession
-    import spark.implicits._
-    counts.select(
-        col(groupCol).cast("string").as("grp"),
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val passthrough = counts.columns
+      .filterNot(c => c == groupCol || c == idCol || c == nCol).toSeq
+    val base = counts.select(
+      (Seq(col(groupCol).cast("string").as("grp"),
         col(idCol).cast("long").as("doc_id"),
-        col(nCol).cast("long").as("n_tokens"))
+        col(nCol).cast("long").as("n_tokens")) ++ passthrough.map(col)): _*)
       // a group lands whole in one partition; within the partition
       // groups are contiguous sorted runs, so one streaming pass packs
       // every group with O(1) state and no group materialization
       .repartition(col("grp"))
-      .sortWithinPartitions("grp", "doc_id")
-      .as[(String, Long, Long)]
-      .mapPartitions { it =>
-        var grp: String = null
-        var fill = 0L
-        var seq = 0L
-        it.map { case (g, id, n) =>
-          if (g != grp) { grp = g; seq = 0L; fill = n }
-          else if (fill + n > budget) { seq += 1; fill = n }
-          else fill += n
-          (g, seq, id, n)
-        }
+      .sortWithinPartitions(("grp" +: "doc_id" +: passthrough).map(col): _*)
+    val outSchema = StructType(
+      Seq(StructField("grp", StringType), StructField("seq_id", LongType),
+        StructField("doc_id", LongType), StructField("n_tokens", LongType)) ++
+        base.schema.fields.drop(3))
+    base.mapPartitions { it =>
+      // `first` (not a null sentinel) detects the group change so a
+      // null group key still resets seq/fill on its first row
+      var grp: String = null
+      var first = true
+      var fill = 0L
+      var seq = 0L
+      it.map { r =>
+        val g = r.getString(0); val n = r.getLong(2)
+        if (first || g != grp) { first = false; grp = g; seq = 0L; fill = n }
+        else if (fill + n > budget) { seq += 1; fill = n }
+        else fill += n
+        Row.fromSeq(Seq(g, seq, r.get(1), n) ++ (3 until r.length).map(r.get))
       }
-      .toDF("grp", "seq_id", "doc_id", "n_tokens")
+    }(Encoders.row(outSchema))
   }
 
   /** Per-sequence roll-up of [[packSequences]]: how full the packed

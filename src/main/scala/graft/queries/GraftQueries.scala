@@ -1551,19 +1551,12 @@ object GraftQueries {
     // consumes. Docs with no [a-z]+ vocabulary word have nothing to
     // tokenize and are absent on both engines.
     "q107_train_export" -> ((s, d) => {
-      val wl = bpeWordLengthsCached(s, d)
-      val docTokens = extractedPagesDocs(s, d)
-        .select(col("doc_id"),
-          explode(graft.ops.TextStats.lowerToks(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("freq"))
-        .join(wl, "word")
-        .groupBy(col("doc_id")).agg(sum(col("freq") * col("n_tokens")).as("n_bpe"))
-      val grouped = docTokens.withColumn("grp",
-        concat(graft.ops.Balance.splitAssign(col("doc_id")), lit("-"),
-          graft.ops.Packing.shardOf(col("doc_id"), 1)))
+      val docTokens = graft.ops.Bpe.perDocTokenCounts(
+          extractedPagesDocs(s, d), Seq("doc_id"), "text",
+          bpeWordLengthsCached(s, d))
+        .withColumn("grp", graft.ops.Packing.splitShardGrp(col("doc_id")))
       graft.ops.Packing
-        .packCountsGrouped(grouped, "grp", "doc_id", "n_bpe", budget = 2048L)
+        .packCountsGrouped(docTokens, "grp", "doc_id", "n_bpe", budget = 2048L)
         .groupBy(col("grp"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
     }),
@@ -1577,11 +1570,17 @@ object GraftQueries {
     // adjacency re-joined), so the positional build and the phrase
     // serving are both value-checked.
     "q106_phrase_retrieval" -> ((s, d) => {
-      val ph = bigramCountsCached(s, d)
+      val top = bigramCountsCached(s, d)
         .orderBy(col("n_ab").desc, col("a").asc, col("b").asc).limit(3)
-        .collect().last
-      graft.ops.Postings.matchPhrase(positionalCached(s, d),
-        Seq(ph.getString(0), ph.getString(1)))
+        .collect()
+      // a corpus with < 3 distinct bigrams has no rank-3 phrase: the
+      // oracle's LIMIT 1 OFFSET 2 is empty, so this side must be too
+      // (never a silently-wrong lower rank, never a throw)
+      if (top.length < 3)
+        s.range(0).select(col("id").as("doc_id"), col("id").as("n_occurrences"))
+      else
+        graft.ops.Postings.matchPhrase(positionalCached(s, d),
+          Seq(top(2).getString(0), top(2).getString(1)))
     }),
 
     "q89_bool_retrieval" -> ((s, d) => {

@@ -1136,6 +1136,21 @@ class OpsSpec extends AnyFunSuite {
       4L -> (("a", 2L)), 5L -> (("b", 0L))))
   }
 
+  test("packCountsGrouped: null group resets on first row; passthrough columns survive") {
+    import spark.implicits._
+    // oversized FIRST doc of a null group must still get seq_id 0
+    val counts = Seq((Option.empty[String], 1L, 2000L, "u1"),
+        (Option.empty[String], 2L, 10L, "u2"), (Some("b"), 3L, 5L, "u3"))
+      .toDF("grp", "doc_id", "n", "url")
+    val got = graft.ops.Packing
+      .packCountsGrouped(counts, "grp", "doc_id", "n", budget = 1000L)
+      .collect().map(r => r.getLong(2) ->
+        ((Option(r.getString(0)), r.getLong(1), r.getString(4)))).toMap
+    assert(got == Map(
+      1L -> ((None, 0L, "u1")), 2L -> ((None, 1L, "u2")),
+      3L -> ((Some("b"), 0L, "u3"))))
+  }
+
   test("phrase retrieval: consecutive positions, overlaps, repeated terms, k=3") {
     import spark.implicits._
     val docs = Seq(
