@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mojibake detection + repair -- the ftfy rung of a web-text pipeline
+  * (CCNet runs exactly this between charset decode and lang-id). The
+  * classic crawl defect: a page's UTF-8 bytes were decoded as
+  * Latin-1/Windows-1252 somewhere upstream, so every non-ASCII char
+  * arrives as a two-char signature (e-acute becomes "A-tilde,
+  * copyright-sign"). [[graft.html.CharsetSniff]] prevents this at OUR
+  * decode step (q97); this operator catches text that arrives
+  * pre-corrupted from an upstream feed, which no amount of local
+  * sniffing can prevent.
+  *
+  * Detection: the UTF-8-as-Latin-1 signature is a lead char (the
+  * Latin-1 image of a UTF-8 lead byte) followed by the right number
+  * of continuation chars in U+0080-U+00BF (the images of continuation
+  * bytes) -- one alternative per sequence length, so EVERY original
+  * char (a Latin-1 accent, curly punctuation like U+2019, an astral
+  * char) counts as exactly one hit. Genuine Latin-1 prose essentially
+  * never puts an accented capital directly before a C1-control/
+  * guillemet-class char, so false positives need adversarial input
+  * (spec-pinned). On this corpus detection is exact by construction:
+  * clean text's only continuation-class char is the copyright sign
+  * (footer "(c) year", always preceded by whitespace/ASCII) and its
+  * only lead-class char is a word-initial capital E-circumflex
+  * (always followed by an ASCII letter), so the adjacency cannot
+  * occur -- char-scanned at sf0.01: 0 clean docs match.
+  *
+  * Repair: re-encode the CURRENT chars as Latin-1 bytes (recovering
+  * the original UTF-8 byte stream -- Latin-1 is the identity on
+  * U+0000-U+00FF) and decode those bytes as UTF-8. Both steps are
+  * codegen'd builtin expressions (`encode`/`decode`), no UDF. The
+  * roundtrip is applied only when (a) the signature fired and (b) the
+  * text is entirely <= U+00FF -- chars above that have no Latin-1
+  * bytes (the encoder would substitute '?'), so mixed-plane text is
+  * left untouched and flagged unrepaired rather than lossily "fixed".
+  * Single-pass by design: doubly-encoded text repairs to
+  * singly-encoded (still flagged on the next run); ftfy's fixpoint
+  * loop is a driver concern, not an operator one.
+  *
+  * 100 TB shape: map-only, ZERO shuffles (PlanSpec-gated like q58) --
+  * detection is one regexp over the scan split, repair two codegen'd
+  * charset transforms; nothing moves between executors and the text
+  * column never leaves its split.
+  */
+object Mojibake {
+
+  /** Bump when detection/repair semantics change. */
+  val Version = "mj1"
+
+  /** One alternative per UTF-8 sequence length: a lead char (the
+    * Latin-1 image of lead bytes 0xC2-0xDF / 0xE0-0xEF / 0xF0-0xF4)
+    * followed by that length's continuation chars (images of bytes
+    * 0x80-0xBF). The three lead classes are disjoint, so each
+    * original char -- Latin-1 accent, punctuation like U+2019, or an
+    * astral char -- yields exactly ONE non-overlapping match. */
+  private val Signature =
+    "[\\u00C2-\\u00DF][\\u0080-\\u00BF]|" +
+    "[\\u00E0-\\u00EF][\\u0080-\\u00BF]{2}|" +
+    "[\\u00F0-\\u00F4][\\u0080-\\u00BF]{3}"
+
+  /** All chars representable in Latin-1 (encode is lossless) --
+    * starts at U+0000 so tab/newline in extracted text pass. */
+  private val AllLatin1 = "^[\\u0000-\\u00FF]*$"
+
+  /** Count of mojibake signature sequences in `text`. */
+  def signatureCount(text: Column): Column =
+    regexp_count(text, lit(Signature)).cast("long")
+
+  /** The repaired view of `text`: charset-roundtrip when the signature
+    * fired and the roundtrip is lossless; the input otherwise. */
+  def repair(text: Column): Column =
+    when(regexp_count(text, lit(Signature)) > 0 && text.rlike(AllLatin1),
+      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+
+  /** Per-doc mojibake report over (idCol, textCol):
+    * (doc_id, mojibake_detected, n_moji, repaired, text_md5) where
+    * text_md5 digests the post-repair text -- the value the oracle
+    * checks against the KNOWN-good original. */
+  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      (signatureCount(t) > 0).as("mojibake_detected"),
+      signatureCount(t).as("n_moji"),
+      (signatureCount(t) > 0 && t.rlike(AllLatin1)).as("repaired"),
+      md5(repair(t).cast("binary")).as("text_md5"))
+  }
+
+  /** The deterministic corruption decoration for the q108 input (the
+    * q64 pattern -- a messy view built in-query so both engines agree
+    * on it): docs with doc_id % 3 == 1 arrive UTF-8-as-Latin-1
+    * mangled; the rest arrive clean. */
+  def corruptEveryThird(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      when(pmod(col(idCol), lit(3)) === 1,
+        decode(encode(col(textCol), "UTF-8"), "ISO-8859-1"))
+        .otherwise(col(textCol)))
+}

@@ -2592,6 +2592,27 @@ object GraftQueries {
           (col("decoded_md5") === md5(expected)).as("roundtrip_ok"))
     }),
 
+    // mojibake detect + repair (q108 — the ftfy rung; CCNet runs it
+    // between charset decode and lang-id). q97 guards OUR decode step;
+    // this catches text that arrives pre-corrupted from upstream. The
+    // messy view is built in-query (the q64 decoration pattern): every
+    // doc_id % 3 == 1 doc is served UTF-8-as-Latin-1 mangled. The
+    // ENGINE repairs generically — signature regexp, then the
+    // encode(Latin-1)/decode(UTF-8) roundtrip, zero shuffles
+    // (PlanSpec-gated) — while the oracle never touches a charset:
+    // it knows the ground truth (corruption is deterministic, the
+    // banks' only non-ASCII chars are Latin-1, each corrupts to
+    // exactly one lead+continuation signature and no clean doc
+    // contains one), so detected/count reduce to a non-ASCII count on
+    // the ORIGINAL text and text_md5 must equal md5(original) — the
+    // repair is value-checked to the byte without the oracle ever
+    // performing one.
+    "q108_mojibake" -> ((s, d) =>
+      graft.ops.Mojibake.report(
+        graft.ops.Mojibake.corruptEveryThird(
+          extractedPagesDocs(s, d), "doc_id", "text"),
+        "doc_id", "text")),
+
     // snapshot-chain manifest audit (S10/W2 as a driver-visible query):
     // the fixture chain is built through the PRODUCTION entry points
     // (two file-granular increments, a 0-row resume, a compaction);
@@ -4512,6 +4533,33 @@ object GraftQueries {
          |         ELSE p.txt END)) AS roundtrip_ok
          |FROM d JOIN p USING (url)""".stripMargin
     },
+
+    // the repair value-checked WITHOUT the oracle performing one: the
+    // corruption is deterministic (doc_id % 3 == 1) and the corpus's
+    // only non-ASCII chars are Latin-1 (each corrupts to exactly one
+    // lead+continuation signature; no clean doc contains one), so
+    // detected/n_moji reduce to a non-ASCII count over the ORIGINAL
+    // text, and text_md5 must equal md5(original) — if the engine's
+    // charset roundtrip drops or garbles one byte, the digest compare
+    // fails
+    "q108_mojibake" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |n AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) AS BIGINT)
+         |      AS n_nonascii
+         |  FROM docs)
+         |SELECT doc_id,
+         |  (doc_id % 3 = 1 AND n_nonascii > 0) AS mojibake_detected,
+         |  CAST(CASE WHEN doc_id % 3 = 1 THEN n_nonascii ELSE 0 END AS BIGINT) AS n_moji,
+         |  (doc_id % 3 = 1 AND n_nonascii > 0) AS repaired,
+         |  md5(text) AS text_md5
+         |FROM n""".stripMargin,
 
     // the same manifest artifacts parsed by DuckDB's independent JSON
     // reader — the store's writer is the only code both sides share

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import graft.ops.Mojibake
+
+/** Planted-truth tests for the mojibake detect/repair rung (q108):
+  * roundtrip exactness per UTF-8 sequence length, the lossless guard
+  * (text above U+00FF is never lossily "repaired"), clean-text
+  * passthrough, and the documented adversarial false positive.
+  */
+class MojibakeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** UTF-8-as-Latin-1 mangle (the defect under repair). */
+  private def mangle(s: String): String =
+    new String(s.getBytes(StandardCharsets.UTF_8), StandardCharsets.ISO_8859_1)
+
+  private def reportOf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Mojibake.report(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getBoolean(3), r.getString(4))))
+      .toMap
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xFF}%02x").mkString
+
+  test("repairs 2/3/4-byte sequences exactly, one count per original char") {
+    // accents (2-byte), curly punctuation (3-byte), astral char (4-byte)
+    val orig = "café — résumé… ok 😀 end"
+    val m = reportOf(Seq(1L -> mangle(orig)))
+    val (det, n, rep, digest) = m(1L)
+    assert(det && rep, "mangled text must be detected and repaired")
+    // é, —, é, é, …, astral = 6 original non-ASCII chars
+    assert(n == 6L, s"one signature per original char, got $n")
+    assert(digest == md5Hex(orig), "repair must recover the original bytes")
+  }
+
+  test("clean ASCII and clean accented text pass through undetected") {
+    val accented = "système donnée página Être."
+    val m = reportOf(Seq(1L -> "plain ascii only", 2L -> accented))
+    assert(m(1L) == ((false, 0L, false, md5Hex("plain ascii only"))))
+    assert(m(2L) == ((false, 0L, false, md5Hex(accented))),
+      "genuine Latin-1 accents are not mojibake")
+  }
+
+  test("mixed-plane text is flagged but never lossily repaired") {
+    // signature present, but a char above U+00FF means the Latin-1
+    // encode would substitute '?' — the guard must refuse
+    val mixed = mangle("café") + " Āmacron"
+    val m = reportOf(Seq(1L -> mixed))
+    val (det, n, rep, digest) = m(1L)
+    assert(det && n == 1L, "signature still detected")
+    assert(!rep, "repair must refuse when the roundtrip would be lossy")
+    assert(digest == md5Hex(mixed), "text must pass through unmodified")
+  }
+
+  test("documented adversarial false positive: lead char before guillemet") {
+    // "Ê»" — an accented capital directly followed by a
+    // continuation-class char; no real prose does this, and the
+    // repair turns the pair into the single char the bytes spell
+    val adversarial = "X Ê» Y"
+    val m = reportOf(Seq(1L -> adversarial))
+    val (det, _, rep, digest) = m(1L)
+    assert(det && rep, "the documented FP fires (and is why CCNet " +
+      "gates this rung on a mojibake-rate threshold, not per-doc)")
+    val asBytes = new String(
+      adversarial.getBytes(StandardCharsets.ISO_8859_1), StandardCharsets.UTF_8)
+    assert(digest == md5Hex(asBytes))
+  }
+
+  test("double-encoded text repairs one level per pass (documented)") {
+    val orig = "café"
+    val twice = mangle(mangle(orig))
+    val m1 = reportOf(Seq(1L -> twice))
+    assert(m1(1L)._4 == md5Hex(mangle(orig)), "one pass peels one layer")
+    val m2 = reportOf(Seq(1L -> mangle(orig)))
+    assert(m2(1L)._4 == md5Hex(orig), "second pass recovers the original")
+  }
+
+  test("seeded randomized roundtrip: repair(mangle(s)) == s for any s") {
+    // repair inverts the mangle exactly whenever the signature fires
+    // (mangle(s) of any non-ASCII s contains one), and mangle is the
+    // identity on pure-ASCII s — so recovery is universal, even for
+    // originals that themselves look mojibake-shaped
+    val rng = new scala.util.Random(108)
+    val pool: IndexedSeq[String] =
+      (' ' to '~').map(_.toString) ++
+        "àéèêîçùûäöüßáíóúñ¿¡©«» Ã—…’€ĀΩ中😀".toCharArray
+          .foldLeft((List.empty[String], Option.empty[Char])) {
+            case ((acc, Some(hi)), c) => ((hi.toString + c) :: acc, None)
+            case ((acc, None), c) =>
+              if (c.isHighSurrogate) (acc, Some(c)) else (c.toString :: acc, None)
+          }._1
+    val docs = (0 until 300).map { i =>
+      val n = rng.nextInt(40)
+      (i.toLong, (0 until n).map(_ => pool(rng.nextInt(pool.size))).mkString)
+    }
+    val m = reportOf(docs.map { case (id, s) => (id, mangle(s)) })
+    docs.foreach { case (id, s) =>
+      assert(m(id)._4 == md5Hex(s), s"doc $id: '$s' not recovered")
+    }
+  }
+
+  test("corruptEveryThird corrupts exactly the doc_id % 3 == 1 docs") {
+    import spark.implicits._
+    val rows = Seq(0L -> "a café", 1L -> "b café", 2L -> "c plain",
+      3L -> "d — dash", 4L -> "e — dash")
+    val out = Mojibake.corruptEveryThird(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "a café" && out(3L) == "d — dash",
+      "non-selected docs unchanged")
+    assert(out(1L) == mangle("b café") && out(4L) == mangle("e — dash"),
+      "selected docs carry the UTF-8-as-Latin-1 view")
+    assert(out(2L) == "c plain", "ASCII corrupts to itself")
+  }
+}

@@ -190,6 +190,12 @@ class PlanSpec extends AnyFunSuite {
       s"pii scrubbing must not shuffle:\n${p.take(600)}")
   }
 
+  test("q108 mojibake repair is a zero-shuffle map-only plan") {
+    val p = executedPlan(graft.queries.GraftQueries.queries("q108_mojibake")(spark, d))
+    assert(!p.contains("Exchange"),
+      s"mojibake repair must not shuffle:\n${p.take(600)}")
+  }
+
   test("q59/q60: shuffles carry digests, never the document/line text") {
     // the 100 TB property: groupBy keys are md5 digests, so no Exchange
     // in either plan may reference the raw text attribute (`line#N` /
