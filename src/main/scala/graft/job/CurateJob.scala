@@ -9,6 +9,13 @@ import graft.ops.{Balance, Dedup, Hosts, Repetition, TextStats}
   * each oracle-backed on the query surface into one dataset build:
   *
   *   extraction snapshots (ExtractJob/SnapshotStore output)
+  *     → mojibake repair rung          q108 kernel (Mojibake.repair),
+  *                                     on by default: the ftfy pass
+  *                                     runs BEFORE dedup so a clean doc
+  *                                     and its upstream-mangled twin
+  *                                     share one digest (mojibake
+  *                                     otherwise defeats exact dedup);
+  *                                     map-side, a no-op on clean text
   *     → url blocklist/score rung      q80 kernel (UrlFilter), optional:
   *                                     the RefinedWeb FIRST stage — the
   *                                     cheapest signal drops docs before
@@ -43,6 +50,8 @@ object CurateJob {
   final case class Funnel(
       extracted: Long,  // rows in the extraction table
       html: Long,       // clean html docs entering curation
+      mojibakeRepaired: Long, // docs the ftfy rung transformed (0 on a
+                              // clean corpus; repair never drops rows)
       urlFiltered: Long, // after the url blocklist/score rung (== html
                          // when no blocklist was supplied)
       deduped: Long,    // after exact content dedup
@@ -69,12 +78,24 @@ object CurateJob {
           perHostCap: Int = 1000, fuzzyThreshold: Double = 0.6,
           embeddings: Option[org.apache.spark.sql.DataFrame] = None,
           semThreshold: Double = 0.9, semCells: Int = 16,
-          urlBlocklist: Option[Seq[String]] = None): Funnel = {
+          urlBlocklist: Option[Seq[String]] = None,
+          repairMojibake: Boolean = true): Funnel = {
     val table = ExtractJob.readExtracted(spark, extractRoot)
-    val base0 = table
+    val baseRaw = table
       .filter(col("error").isNull && col("payload_kind") === "html" &&
         length(col("extracted_text")) > 0)
       .select(col("url"), col("extracted_text"))
+
+    // ftfy rung FIRST (q108 kernel): mojibake defeats every digest
+    // downstream — a mangled twin of a clean doc would survive exact
+    // dedup, land in different LSH buckets, and double-count its host.
+    // Map-side, no rows dropped, a no-op wherever the signature is
+    // absent; the funnel records how many docs were transformed.
+    val base0 =
+      if (repairMojibake)
+        baseRaw.withColumn("extracted_text",
+          graft.ops.Mojibake.repair(col("extracted_text")))
+      else baseRaw
 
     // url rung (first, like the published recipes: cheapest signal
     // drops payload before any content-sized work)
@@ -175,6 +196,11 @@ object CurateJob {
       val funnel = Funnel(
         extracted = table.count(),
         html = base0.count(),
+        mojibakeRepaired =
+          if (repairMojibake)
+            baseRaw.filter(
+              graft.ops.Mojibake.wouldRepair(col("extracted_text"))).count()
+          else 0L,
         urlFiltered = if (urlBlocklist.isDefined) base.count() else base0.count(),
         deduped = deduped.count(),
         fuzzyDeduped = fuzzyDeduped.count(),
@@ -182,7 +208,7 @@ object CurateJob {
         gated = gated.count(),
         kept = if (wroteFiles) spark.read.parquet(s"$outRoot/data").count() else 0L)
       val json =
-        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"url_filtered":${funnel.urlFiltered},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"semantic_deduped":${funnel.semanticDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
+        s"""{"extracted":${funnel.extracted},"html":${funnel.html},"mojibake_repaired":${funnel.mojibakeRepaired},"url_filtered":${funnel.urlFiltered},"deduped":${funnel.deduped},"fuzzy_deduped":${funnel.fuzzyDeduped},"semantic_deduped":${funnel.semanticDeduped},"gated":${funnel.gated},"kept":${funnel.kept},"per_host_cap":$perHostCap,"fuzzy_buckets_dropped":$fuzzyBucketsDropped}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outRoot))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outRoot, "funnel.json"), json + "\n")

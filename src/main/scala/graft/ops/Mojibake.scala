@@ -69,10 +69,15 @@ object Mojibake {
   def signatureCount(text: Column): Column =
     regexp_count(text, lit(Signature)).cast("long")
 
+  /** True where [[repair]] would transform the text: the signature
+    * fired AND the Latin-1 roundtrip is lossless. */
+  def wouldRepair(text: Column): Column =
+    regexp_count(text, lit(Signature)) > 0 && text.rlike(AllLatin1)
+
   /** The repaired view of `text`: charset-roundtrip when the signature
     * fired and the roundtrip is lossless; the input otherwise. */
   def repair(text: Column): Column =
-    when(regexp_count(text, lit(Signature)) > 0 && text.rlike(AllLatin1),
+    when(wouldRepair(text),
       decode(encode(text, "ISO-8859-1"), "UTF-8"))
       .otherwise(text)
 

@@ -86,6 +86,42 @@ class CurateJobSpec extends AnyFunSuite {
       "curation is not deterministic")
   }
 
+  test("curate: ftfy rung folds upstream-mangled twins into their clean originals") {
+    val dir = tmp()
+    ExtractJob.generatePages(spark, 300, s"$dir/pages", partitions = 3)
+    ExtractJob.run(spark, s"$dir/pages", s"$dir/out")
+    // plant 5 upstream-mangled twins: same content under a different
+    // url, served UTF-8-as-Latin-1 mangled (the q108 defect). Exact
+    // dedup can only fold them into their originals if the repair rung
+    // runs first — mangled bytes hash differently. The rlike filter
+    // keeps only docs with a non-ASCII char, so the mangle is never an
+    // identity (an identical twin would fold with or without repair).
+    val twins = ExtractJob.readExtracted(spark, s"$dir/out")
+      .filter(col("error").isNull && col("payload_kind") === "html" &&
+        col("extracted_text").rlike("[^\\x00-\\x7F]"))
+      .orderBy(col("url")).limit(5)
+      .withColumn("url", concat(col("url"), lit("?feed=mangled")))
+      .withColumn("extracted_text",
+        decode(encode(col("extracted_text"), "UTF-8"), "ISO-8859-1"))
+    assert(twins.count() == 5, "expected 5 non-ASCII html docs to twin")
+    twins.write.mode("append").parquet(SnapshotStore.dataDirs(s"$dir/out").head)
+
+    val f = CurateJob.run(spark, s"$dir/out", s"$dir/curated", perHostCap = 1000)
+    assert(f.mojibakeRepaired == 5, f.toString)
+    val manifest = Files.readString(
+      java.nio.file.Paths.get(s"$dir/curated/funnel.json"))
+    assert(manifest.contains("\"mojibake_repaired\":5"), manifest)
+
+    // rung disabled: the twins' digests differ from their originals, so
+    // exact dedup keeps all 5 extra docs — the defect the rung exists for
+    val f2 = CurateJob.run(spark, s"$dir/out", s"$dir/curated2",
+      perHostCap = 1000, repairMojibake = false)
+    assert(f2.mojibakeRepaired == 0L)
+    assert(f2.deduped == f.deduped + 5,
+      s"unrepaired mangled twins must defeat exact dedup: " +
+        s"repaired-run deduped=${f.deduped}, unrepaired=${f2.deduped}")
+  }
+
   test("curate: optional url rung drops blocklisted-host docs first, funnel records it") {
     val dir = tmp()
     ExtractJob.generatePages(spark, 400, s"$dir/pages", partitions = 3)
