@@ -28,14 +28,20 @@ import org.apache.spark.sql.functions._
   * (always followed by an ASCII letter), so the adjacency cannot
   * occur -- char-scanned at sf0.01: 0 clean docs match.
   *
-  * Repair: re-encode the CURRENT chars as Latin-1 bytes (recovering
-  * the original UTF-8 byte stream -- Latin-1 is the identity on
-  * U+0000-U+00FF) and decode those bytes as UTF-8. Both steps are
-  * codegen'd builtin expressions (`encode`/`decode`), no UDF. The
-  * roundtrip is applied only when (a) the signature fired and (b) the
-  * text is entirely <= U+00FF -- chars above that have no Latin-1
-  * bytes (the encoder would substitute '?'), so mixed-plane text is
-  * left untouched and flagged unrepaired rather than lossily "fixed".
+  * Repair: first map the 27 printable Windows-1252 images of bytes
+  * 0x80-0x9F back to those C1 code points (one codegen'd `translate`
+  * -- cp1252 is THE common wrong decode, and this reduces it to the
+  * Latin-1 case char for char; the translate is the identity on
+  * Latin-1-decoded mojibake), then re-encode the view's chars as
+  * Latin-1 bytes (recovering the original UTF-8 byte stream --
+  * Latin-1 is the identity on U+0000-U+00FF) and decode those bytes
+  * as UTF-8. All steps are codegen'd builtin expressions
+  * (`translate`/`encode`/`decode`), no UDF. The roundtrip is applied
+  * only when (a) the signature fired on the byte-image view and
+  * (b) that view is entirely <= U+00FF -- chars above that have no
+  * Latin-1 bytes (the encoder would substitute '?'), so mixed-plane
+  * text is left untouched and flagged unrepaired rather than lossily
+  * "fixed".
   * Single-pass by design: doubly-encoded text repairs to
   * singly-encoded (still flagged on the next run); ftfy's fixpoint
   * loop is a driver concern, not an operator one.
@@ -48,7 +54,27 @@ import org.apache.spark.sql.functions._
 object Mojibake {
 
   /** Bump when detection/repair semantics change. */
-  val Version = "mj1"
+  val Version = "mj2"
+
+  /** The 27 printable Windows-1252 images of bytes 0x80-0x9F (the five
+    * undefined bytes 81/8D/8F/90/9D decode to C1 controls in the
+    * WHATWG/JVM mapping and need no translation), and those bytes as
+    * C1 chars. cp1252 is THE common mojibake decode ("\u00e2\u20ac\u2122"
+    * for a curly apostrophe); translating the printables back to their
+    * code points reduces the cp1252 case to the Latin-1 case, char by
+    * char, with one codegen'd `translate`. */
+  private val Cp1252Printables =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160\u2039\u0152\u017D" +
+    "\u2018\u2019\u201C\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val C1Images =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B\u008C\u008E" +
+    "\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** The candidate byte-image view: cp1252 printables mapped back to
+    * the C1 code points their bytes spell. Identity on Latin-1-decoded
+    * mojibake and on clean text without cp1252-printable chars. */
+  def asByteImages(text: Column): Column =
+    translate(text, Cp1252Printables, C1Images)
 
   /** One alternative per UTF-8 sequence length: a lead char (the
     * Latin-1 image of lead bytes 0xC2-0xDF / 0xE0-0xEF / 0xF0-0xF4)
@@ -65,20 +91,25 @@ object Mojibake {
     * starts at U+0000 so tab/newline in extracted text pass. */
   private val AllLatin1 = "^[\\u0000-\\u00FF]*$"
 
-  /** Count of mojibake signature sequences in `text`. */
+  /** Count of mojibake signature sequences in `text` (counted on the
+    * byte-image view, so cp1252- and Latin-1-decoded defects score
+    * identically). */
   def signatureCount(text: Column): Column =
-    regexp_count(text, lit(Signature)).cast("long")
+    regexp_count(asByteImages(text), lit(Signature)).cast("long")
 
   /** True where [[repair]] would transform the text: the signature
-    * fired AND the Latin-1 roundtrip is lossless. */
-  def wouldRepair(text: Column): Column =
-    regexp_count(text, lit(Signature)) > 0 && text.rlike(AllLatin1)
+    * fired on the byte-image view AND the Latin-1 roundtrip of that
+    * view is lossless. */
+  def wouldRepair(text: Column): Column = {
+    val v = asByteImages(text)
+    regexp_count(v, lit(Signature)) > 0 && v.rlike(AllLatin1)
+  }
 
   /** The repaired view of `text`: charset-roundtrip when the signature
     * fired and the roundtrip is lossless; the input otherwise. */
   def repair(text: Column): Column =
     when(wouldRepair(text),
-      decode(encode(text, "ISO-8859-1"), "UTF-8"))
+      decode(encode(asByteImages(text), "ISO-8859-1"), "UTF-8"))
       .otherwise(text)
 
   /** Per-doc mojibake report over (idCol, textCol):
@@ -91,18 +122,25 @@ object Mojibake {
       col(idCol).cast("long").as("doc_id"),
       (signatureCount(t) > 0).as("mojibake_detected"),
       signatureCount(t).as("n_moji"),
-      (signatureCount(t) > 0 && t.rlike(AllLatin1)).as("repaired"),
+      wouldRepair(t).as("repaired"),
       md5(repair(t).cast("binary")).as("text_md5"))
   }
 
   /** The deterministic corruption decoration for the q108 input (the
     * q64 pattern -- a messy view built in-query so both engines agree
     * on it): docs with doc_id % 3 == 1 arrive UTF-8-as-Latin-1
-    * mangled; the rest arrive clean. */
+    * mangled, docs with doc_id % 3 == 2 arrive UTF-8-as-cp1252
+    * mangled (the Latin-1 view with C1 code points shown as their
+    * cp1252 printables -- byte-identical to a real windows-1252
+    * decode, undefined bytes included); doc_id % 3 == 0 docs arrive
+    * clean. */
   def corruptEveryThird(docs: DataFrame, idCol: String,
-                        textCol: String): DataFrame =
+                        textCol: String): DataFrame = {
+    val latin1View = decode(encode(col(textCol), "UTF-8"), "ISO-8859-1")
     docs.withColumn(textCol,
-      when(pmod(col(idCol), lit(3)) === 1,
-        decode(encode(col(textCol), "UTF-8"), "ISO-8859-1"))
+      when(pmod(col(idCol), lit(3)) === 1, latin1View)
+        .when(pmod(col(idCol), lit(3)) === 2,
+          translate(latin1View, C1Images, Cp1252Printables))
         .otherwise(col(textCol)))
+  }
 }

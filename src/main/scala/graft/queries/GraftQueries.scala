@@ -2595,18 +2595,20 @@ object GraftQueries {
     // mojibake detect + repair (q108 — the ftfy rung; CCNet runs it
     // between charset decode and lang-id). q97 guards OUR decode step;
     // this catches text that arrives pre-corrupted from upstream. The
-    // messy view is built in-query (the q64 decoration pattern): every
-    // doc_id % 3 == 1 doc is served UTF-8-as-Latin-1 mangled. The
-    // ENGINE repairs generically — signature regexp, then the
+    // messy view is built in-query (the q64 decoration pattern):
+    // doc_id % 3 == 1 docs are served UTF-8-as-Latin-1 mangled,
+    // % 3 == 2 docs UTF-8-as-cp1252 mangled (the iconic "â€™" class).
+    // The ENGINE repairs generically — cp1252-printables translated
+    // back to their byte code points, signature regexp, then the
     // encode(Latin-1)/decode(UTF-8) roundtrip, zero shuffles
     // (PlanSpec-gated) — while the oracle never touches a charset:
-    // it knows the ground truth (corruption is deterministic, the
-    // banks' only non-ASCII chars are Latin-1, each corrupts to
-    // exactly one lead+continuation signature and no clean doc
-    // contains one), so detected/count reduce to a non-ASCII count on
-    // the ORIGINAL text and text_md5 must equal md5(original) — the
-    // repair is value-checked to the byte without the oracle ever
-    // performing one.
+    // it knows the ground truth (corruption is deterministic, each
+    // original non-ASCII char corrupts to exactly one signature under
+    // EITHER wrong decode, and no clean doc contains one), so
+    // detected/count reduce to a non-ASCII count on the ORIGINAL text
+    // and text_md5 must equal md5(original) — the repair is
+    // value-checked to the byte without the oracle ever performing
+    // one.
     "q108_mojibake" -> ((s, d) =>
       graft.ops.Mojibake.report(
         graft.ops.Mojibake.corruptEveryThird(
@@ -4555,9 +4557,9 @@ object GraftQueries {
          |      AS n_nonascii
          |  FROM docs)
          |SELECT doc_id,
-         |  (doc_id % 3 = 1 AND n_nonascii > 0) AS mojibake_detected,
-         |  CAST(CASE WHEN doc_id % 3 = 1 THEN n_nonascii ELSE 0 END AS BIGINT) AS n_moji,
-         |  (doc_id % 3 = 1 AND n_nonascii > 0) AS repaired,
+         |  (doc_id % 3 <> 0 AND n_nonascii > 0) AS mojibake_detected,
+         |  CAST(CASE WHEN doc_id % 3 <> 0 THEN n_nonascii ELSE 0 END AS BIGINT) AS n_moji,
+         |  (doc_id % 3 <> 0 AND n_nonascii > 0) AS repaired,
          |  md5(text) AS text_md5
          |FROM n""".stripMargin,
 

@@ -24,6 +24,11 @@ class MojibakeSpec extends AnyFunSuite {
   private def mangle(s: String): String =
     new String(s.getBytes(StandardCharsets.UTF_8), StandardCharsets.ISO_8859_1)
 
+  /** UTF-8-as-cp1252 mangle (the iconic "â€™" defect). */
+  private def mangle1252(s: String): String =
+    new String(s.getBytes(StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+
   private def reportOf(rows: Seq[(Long, String)]) = {
     import spark.implicits._
     Mojibake.report(rows.toDF("doc_id", "text"), "doc_id", "text")
@@ -46,6 +51,18 @@ class MojibakeSpec extends AnyFunSuite {
     // é, —, é, é, …, astral = 6 original non-ASCII chars
     assert(n == 6L, s"one signature per original char, got $n")
     assert(digest == md5Hex(orig), "repair must recover the original bytes")
+  }
+
+  test("repairs the cp1252 decode class: the iconic curly-apostrophe case") {
+    val orig = "it\u2019s caf\u00e9 \u2014 co\u00fbt \u20ac9"
+    val mangled = mangle1252(orig)
+    // the defect really does read "â€™" for the apostrophe
+    assert(mangled.contains("\u00e2\u20ac\u2122"), mangled)
+    val m = reportOf(Seq(1L -> mangled))
+    val (det, n, rep, digest) = m(1L)
+    assert(det && rep)
+    assert(n == 5L, s"\u2019, \u00e9, \u2014, \u00fb, \u20ac = 5 chars, got $n")
+    assert(digest == md5Hex(orig), "cp1252 repair must recover the original")
   }
 
   test("clean ASCII and clean accented text pass through undetected") {
@@ -108,23 +125,27 @@ class MojibakeSpec extends AnyFunSuite {
       val n = rng.nextInt(40)
       (i.toLong, (0 until n).map(_ => pool(rng.nextInt(pool.size))).mkString)
     }
-    val m = reportOf(docs.map { case (id, s) => (id, mangle(s)) })
+    val m = reportOf(docs.map { case (id, s) =>
+      (id, if (id % 2 == 0) mangle(s) else mangle1252(s))
+    })
     docs.foreach { case (id, s) =>
       assert(m(id)._4 == md5Hex(s), s"doc $id: '$s' not recovered")
     }
   }
 
-  test("corruptEveryThird corrupts exactly the doc_id % 3 == 1 docs") {
+  test("corruptEveryThird: %3==1 Latin-1-mangled, %3==2 cp1252-mangled, rest clean") {
     import spark.implicits._
     val rows = Seq(0L -> "a café", 1L -> "b café", 2L -> "c plain",
-      3L -> "d — dash", 4L -> "e — dash")
+      3L -> "d — dash", 4L -> "e — dash", 5L -> "f it\u2019s \u2014 ok")
     val out = Mojibake.corruptEveryThird(
         rows.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L) == "a café" && out(3L) == "d — dash",
       "non-selected docs unchanged")
     assert(out(1L) == mangle("b café") && out(4L) == mangle("e — dash"),
-      "selected docs carry the UTF-8-as-Latin-1 view")
+      "%3==1 docs carry the UTF-8-as-Latin-1 view")
     assert(out(2L) == "c plain", "ASCII corrupts to itself")
+    assert(out(5L) == mangle1252("f it\u2019s \u2014 ok"),
+      "%3==2 docs are byte-identical to a real windows-1252 decode")
   }
 }
