@@ -58,8 +58,10 @@ object Mojibake {
 
   /** The 27 printable Windows-1252 images of bytes 0x80-0x9F (the five
     * undefined bytes 81/8D/8F/90/9D decode to C1 controls in the
-    * WHATWG/JVM mapping and need no translation), and those bytes as
-    * C1 chars. cp1252 is THE common mojibake decode ("\u00e2\u20ac\u2122"
+    * WHATWG mapping — which this operator follows, because the JVM
+    * charset's U+FFFD substitution destroys the byte and would make
+    * the defect unrepairable — and need no translation), and those
+    * bytes as C1 chars. cp1252 is THE common mojibake decode ("\u00e2\u20ac\u2122"
     * for a curly apostrophe); translating the printables back to their
     * code points reduces the cp1252 case to the Latin-1 case, char by
     * char, with one codegen'd `translate`. */
@@ -132,8 +134,8 @@ object Mojibake {
     * mangled, docs with doc_id % 3 == 2 arrive UTF-8-as-cp1252
     * mangled (the Latin-1 view with C1 code points shown as their
     * cp1252 printables -- byte-identical to a real windows-1252
-    * decode, undefined bytes included); doc_id % 3 == 0 docs arrive
-    * clean. */
+    * decode on every defined byte, with the WHATWG C1 passthrough on
+    * the five undefined ones); doc_id % 3 == 0 docs arrive clean. */
   def corruptEveryThird(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val latin1View = decode(encode(col(textCol), "UTF-8"), "ISO-8859-1")

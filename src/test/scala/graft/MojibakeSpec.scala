@@ -133,6 +133,35 @@ class MojibakeSpec extends AnyFunSuite {
     }
   }
 
+  test("cp1252 view matches the JVM charset on every defined byte; WHATWG on the rest") {
+    import spark.implicits._
+    def cp1252View(s: String): String =
+      Mojibake.corruptEveryThird(
+          Seq((2L, s)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()(0).getString(1)
+    // every Latin-1 code point whose UTF-8 bytes avoid the five
+    // cp1252-undefined values: engine view must equal the REAL JVM
+    // windows-1252 decode byte for byte — this exhaustively verifies
+    // all 27 printable translate entries against an independent table
+    val undefBytes = Set(0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    val defined = (0 until 256)
+      .filterNot(cp => undefBytes.contains(cp) ||
+        (cp >= 0xC0 && undefBytes.contains(0x80 + (cp & 0x3F))))
+      .map(_.toChar).mkString
+    assert(cp1252View(defined) == mangle1252(defined),
+      "translate-based cp1252 view must equal Charset windows-1252 decode")
+    // the five undefined bytes: the JVM charset substitutes U+FFFD
+    // (destroying the byte — unrepairable), so the engine follows
+    // WHATWG instead and passes them through as C1 code points, which
+    // the Latin-1 roundtrip then inverts exactly
+    val undef = "\u0081\u008D\u008F\u0090\u009D"
+    assert(cp1252View(undef) == mangle(undef),
+      "undefined cp1252 bytes must pass through as C1 (WHATWG), not U+FFFD")
+    val m = reportOf(Seq(9L -> cp1252View(defined), 10L -> cp1252View(undef)))
+    assert(m(9L)._4 == md5Hex(defined), "full-alphabet cp1252 repair roundtrip")
+    assert(m(10L)._4 == md5Hex(undef), "undefined-byte repair roundtrip")
+  }
+
   test("corruptEveryThird: %3==1 Latin-1-mangled, %3==2 cp1252-mangled, rest clean") {
     import spark.implicits._
     val rows = Seq(0L -> "a café", 1L -> "b café", 2L -> "c plain",
