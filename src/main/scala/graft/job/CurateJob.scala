@@ -97,8 +97,8 @@ object CurateJob {
           graft.ops.Mojibake.repair(col("extracted_text")))
       else baseRaw
 
-    // url rung (first, like the published recipes: cheapest signal
-    // drops payload before any content-sized work)
+    // url rung (first DROPPING stage, like the published recipes: the
+    // cheapest signal drops payload before any content-sized work)
     val base = urlBlocklist match {
       case Some(bl) =>
         graft.ops.UrlFilter.verdicts(base0, "url", bl)
@@ -193,15 +193,22 @@ object CurateJob {
       val wroteFiles = Option(new java.io.File(s"$outRoot/data").listFiles())
         .getOrElse(Array.empty)
         .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      // html + mojibake counts in ONE pass over the raw base (repair
+      // drops no rows, so html == |baseRaw|; a second corpus-sized
+      // scan purely for the repair stat would be waste)
+      val htmlStats = baseRaw.agg(
+        count(lit(1)).as("n_html"),
+        (if (repairMojibake)
+           coalesce(  // sum over zero rows is NULL, not 0
+             sum(when(graft.ops.Mojibake.wouldRepair(col("extracted_text")),
+               1L).otherwise(0L)), lit(0L))
+         else lit(0L)).as("n_moji")).first()
       val funnel = Funnel(
         extracted = table.count(),
-        html = base0.count(),
-        mojibakeRepaired =
-          if (repairMojibake)
-            baseRaw.filter(
-              graft.ops.Mojibake.wouldRepair(col("extracted_text"))).count()
-          else 0L,
-        urlFiltered = if (urlBlocklist.isDefined) base.count() else base0.count(),
+        html = htmlStats.getLong(0),
+        mojibakeRepaired = htmlStats.getLong(1),
+        urlFiltered =
+          if (urlBlocklist.isDefined) base.count() else htmlStats.getLong(0),
         deduped = deduped.count(),
         fuzzyDeduped = fuzzyDeduped.count(),
         semanticDeduped = feats.count(),

@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   * as UTF-8. All steps are codegen'd builtin expressions
   * (`translate`/`encode`/`decode`), no UDF. The roundtrip is applied
   * only when (a) the signature fired on the byte-image view and
-  * (b) that view is entirely <= U+00FF -- chars above that have no
-  * Latin-1 bytes (the encoder would substitute '?'), so mixed-plane
-  * text is left untouched and flagged unrepaired rather than lossily
-  * "fixed".
+  * (b) the WHOLE view is ASCII plus complete well-formed UTF-8
+  * sequences (see [[RepairableShape]]) -- so the recovered byte
+  * stream is valid UTF-8 by construction (Spark 4.1's decode RAISES
+  * on malformed bytes by default; a doc mixing genuine Latin-1 chars
+  * with a signature must never reach it), and text that merely
+  * contains a signature amid real accented prose is flagged
+  * unrepaired rather than lossily "fixed".
   * Single-pass by design: doubly-encoded text repairs to
   * singly-encoded (still flagged on the next run); ftfy's fixpoint
   * loop is a driver concern, not an operator one.
@@ -89,8 +92,11 @@ object Mojibake {
     "[\\u00E0-\\u00EF][\\u0080-\\u00BF]{2}|" +
     "[\\u00F0-\\u00F4][\\u0080-\\u00BF]{3}"
 
-  /** All chars representable in Latin-1 (encode is lossless) --
-    * starts at U+0000 so tab/newline in extracted text pass. */
+  /** All chars representable in Latin-1 (encode is lossless) -- a
+    * plain char-class star, which Java's regex engine runs
+    * iteratively (a star over an alternation GROUP recurses one stack
+    * frame per char and overflows on KB-size documents -- the shape
+    * of guard this operator must NOT use). */
   private val AllLatin1 = "^[\\u0000-\\u00FF]*$"
 
   /** Count of mojibake signature sequences in `text` (counted on the
@@ -100,11 +106,22 @@ object Mojibake {
     regexp_count(asByteImages(text), lit(Signature)).cast("long")
 
   /** True where [[repair]] would transform the text: the signature
-    * fired on the byte-image view AND the Latin-1 roundtrip of that
-    * view is lossless. */
+    * fired on the byte-image view, the view is entirely <= U+00FF
+    * (so the Latin-1 encode is byte-exact, never the '?' substitute),
+    * AND the recovered byte stream is VALID UTF-8 per Spark's native
+    * validator (rejects truncated sequences, overlongs, surrogates).
+    * The validity check is the crash guard -- Spark 4.1's
+    * `decode(..., 'UTF-8')` RAISES on malformed input by default, so
+    * a doc mixing one genuine Latin-1 char with one signature must
+    * never reach the roundtrip -- and the ftfy evidence standard:
+    * repair fires only when the whole document re-encodes to bytes a
+    * valid UTF-8 writer could have produced, which genuine accented
+    * prose essentially never satisfies. rlike, not regexp_count:
+    * existence is enough here and stops at the first match. */
   def wouldRepair(text: Column): Column = {
     val v = asByteImages(text)
-    regexp_count(v, lit(Signature)) > 0 && v.rlike(AllLatin1)
+    v.rlike(Signature) && v.rlike(AllLatin1) &&
+      is_valid_utf8(encode(v, "ISO-8859-1"))
   }
 
   /** The repaired view of `text`: charset-roundtrip when the signature
@@ -122,7 +139,7 @@ object Mojibake {
     val t = col(textCol)
     docs.select(
       col(idCol).cast("long").as("doc_id"),
-      (signatureCount(t) > 0).as("mojibake_detected"),
+      asByteImages(t).rlike(Signature).as("mojibake_detected"),
       signatureCount(t).as("n_moji"),
       wouldRepair(t).as("repaired"),
       md5(repair(t).cast("binary")).as("text_md5"))

@@ -84,6 +84,34 @@ class MojibakeSpec extends AnyFunSuite {
     assert(digest == md5Hex(mixed), "text must pass through unmodified")
   }
 
+  test("mixed genuine-Latin-1 + signature text is flagged but untouched (no crash)") {
+    // the review-found crash class: a genuine accented char (its
+    // Latin-1 byte is NOT valid UTF-8 alone) co-occurring with a real
+    // signature. The old <=U+00FF guard would have sent this to
+    // decode('UTF-8'), which RAISES on Spark 4.1 defaults; the
+    // well-formed-shape guard must refuse instead.
+    val mixed = "na\u00efve " + mangle("it\u2019s")  // genuine ï + mangled ’
+    val copyright = "\u00a9 2026 Host " + mangle("caf\u00e9")  // genuine © + signature
+    val m = reportOf(Seq(1L -> mixed, 2L -> copyright))
+    assert(m(1L)._1 && !m(1L)._3, "detected but refused")
+    assert(m(1L)._4 == md5Hex(mixed), "text must pass through unmodified")
+    assert(m(2L)._1 && !m(2L)._3, "detected but refused")
+    assert(m(2L)._4 == md5Hex(copyright))
+  }
+
+  test("overlong/surrogate byte-image shapes are never sent to the decoder") {
+    // E0 80 80 (overlong NUL) and ED A0 80 (surrogate D800) are
+    // signature-shaped but NOT well-formed UTF-8 — the RFC 3629 guard
+    // must refuse both (a decode would raise or substitute)
+    val overlong = "x " + "\u00e0\u0080\u0080" + " y"
+    val surrogate = "x " + "\u00ed\u00a0\u0080" + " y"
+    val m = reportOf(Seq(1L -> overlong, 2L -> surrogate))
+    assert(m(1L)._1 && !m(1L)._3, "overlong: detected, refused")
+    assert(m(1L)._4 == md5Hex(overlong))
+    assert(m(2L)._1 && !m(2L)._3, "surrogate: detected, refused")
+    assert(m(2L)._4 == md5Hex(surrogate))
+  }
+
   test("documented adversarial false positive: lead char before guillemet") {
     // "Ê»" — an accented capital directly followed by a
     // continuation-class char; no real prose does this, and the
