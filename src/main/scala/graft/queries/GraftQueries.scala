@@ -1081,6 +1081,27 @@ object GraftQueries {
     spark.read.parquet(path)
   }
 
+  def winnowDumpPath(rows: Int): String =
+    s"/tmp/graft_postings_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Winnowing.Version}-rows$rows"
+
+  /** The MATERIALIZED winnowing fingerprint table (q109's serving
+    * surface): (doc_id, fp, sel_pos) from
+    * [[graft.ops.Winnowing.fingerprints]] — the copy-detection index a
+    * pipeline builds once beside its postings (the q88/q89
+    * build-once/serve-many split). The oracle never reads it: pair
+    * answers are re-derived from the corpus text, so the fingerprint
+    * build AND the pair serving are both value-checked. */
+  def winnowCached(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = graft.gen.PageGen.rowsForDir(sfDir)
+    val path = winnowDumpPath(rows)
+    genLock.synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists())
+        atomicDump(graft.ops.Winnowing.fingerprints(
+          extractedPagesDocs(spark, sfDir), "doc_id", "text"), path)
+    }
+    spark.read.parquet(path)
+  }
+
   // =====================================================================
   // Relational operator inventory (oracle-backed)
   // =====================================================================
@@ -2615,6 +2636,21 @@ object GraftQueries {
           extractedPagesDocs(s, d), "doc_id", "text"),
         "doc_id", "text")),
 
+    // winnowing fingerprints (q109 — Schleimer et al. 2003, the MOSS
+    // algorithm): guaranteed-detection overlap pairs over the
+    // extraction corpus. ops/Winnowing.scala documents the selection
+    // rule (window minimum, rightmost tie via one integer min over
+    // hash*2^20 + reversed-pos), the md5-slice hash both engines
+    // compute bit-identically, and the audited boilerplate-bucket cap
+    // (oversized fingerprint buckets drop WHOLE, deterministically —
+    // the oracle applies the same HAVING). The oracle re-derives
+    // tokenization, k-grams, window minima, the cap and the pair
+    // counts end to end from the text. (The engine's 2^20 position
+    // bound is vacuous here — no extracted doc approaches a million
+    // tokens — so both engines see identical k-gram sets.)
+    "q109_winnowing" -> ((s, d) =>
+      graft.ops.Winnowing.pairs(winnowCached(s, d))),
+
     // snapshot-chain manifest audit (S10/W2 as a driver-visible query):
     // the fixture chain is built through the PRODUCTION entry points
     // (two file-granular increments, a 0-row resume, a compaction);
@@ -2964,6 +3000,7 @@ object GraftQueries {
     anchorsCached(spark, sfDir)
     postingsCached(spark, sfDir)
     positionalCached(spark, sfDir)
+    winnowCached(spark, sfDir)
     sitemapsCached(spark, sfDir)
     charsetCached(spark, sfDir)
     headMetaCached(spark, sfDir)
@@ -3005,6 +3042,9 @@ object GraftQueries {
       // combinable groupBys) measured 5.6 s cold vs 1.1 s steady at
       // sf0.1 — same C2 story, same fix
       queries("q102_extract_qa")(spark, warmSf).count(): Unit
+      // q109's pair join compiles fresh aggregate/join kernels; one
+      // sf0.01 pass leaves the bench row measuring the serving plan
+      queries("q109_winnowing")(spark, warmSf).count(): Unit
       queries("q103_ppl_buckets")(spark, warmSf).count(): Unit
       queries("q105_bpe_fertility")(spark, warmSf).count(): Unit
       queries("q107_train_export")(spark, warmSf).count(): Unit
@@ -4562,6 +4602,47 @@ object GraftQueries {
          |  (doc_id % 3 <> 0 AND n_nonascii > 0) AS repaired,
          |  md5(text) AS text_md5
          |FROM n""".stripMargin,
+
+    // winnowing re-derived end to end: same tokenization, the same
+    // 4-gram md5-slice hash, the same w=8 window minimum with the
+    // rightmost-tie integer encoding, the same full-window rule, the
+    // same 64-doc bucket drop, the same >=2 shared-count filter
+    "q109_winnowing" ->
+      s"""WITH docs AS (
+         |  SELECT CAST(regexp_extract(url, '/page/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |         extracted_text AS text
+         |  FROM read_parquet('${extractedDumpPath(oracleRows)}/*.parquet')
+         |  WHERE error IS NULL AND payload_kind = 'html'),
+         |tl AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM docs),
+         |th AS (
+         |  SELECT doc_id,
+         |    list_transform(toks, x -> CAST('0x' || substr(md5(x), 1, 10) AS BIGINT)) AS v
+         |  FROM tl),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ((((v[i] * 1048573 + v[i+1]) % 1099511627776) * 1048573 + v[i+2])
+         |      % 1099511627776 * 1048573 + v[i+3]) % 1099511627776 AS h
+         |  FROM (SELECT doc_id, v, unnest(generate_series(1, len(v) - 3)) AS i
+         |        FROM th WHERE len(v) >= 4)),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, win_min // 1048576 AS fp
+         |  FROM (
+         |    SELECT doc_id, pos,
+         |      min(h * 1048576 + (1048575 - pos)) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min,
+         |      max(pos) OVER (PARTITION BY doc_id) AS n_grams
+         |    FROM grams)
+         |  WHERE pos <= n_grams - 7),
+         |kept AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64),
+         |m AS (SELECT doc_id, fp FROM sel JOIN kept USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // the same manifest artifacts parsed by DuckDB's independent JSON
     // reader — the store's writer is the only code both sides share

@@ -196,6 +196,17 @@ class PlanSpec extends AnyFunSuite {
       s"mojibake repair must not shuffle:\n${p.take(600)}")
   }
 
+  test("q109 winnowing: shuffles carry (doc, pos, hash), never tokens or text") {
+    // the 100 TB property: the text explodes map-side and only 8-byte
+    // hashes enter the per-doc exchange — no Exchange may reference the
+    // raw text or token attributes
+    val p = executedPlan(graft.queries.GraftQueries.queries("q109_winnowing")(spark, d))
+    val bad = p.linesIterator.filter(_.contains("Exchange"))
+      .filter(l => l.contains("extracted_text#") || l.contains("text#") ||
+        l.contains("tok#") || l.contains("kgram#")).toSeq
+    assert(bad.isEmpty, s"q109 shuffles raw text/tokens:\n${bad.mkString("\n")}")
+  }
+
   test("q59/q60: shuffles carry digests, never the document/line text") {
     // the 100 TB property: groupBy keys are md5 digests, so no Exchange
     // in either plan may reference the raw text attribute (`line#N` /
