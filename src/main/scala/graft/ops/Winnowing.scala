@@ -138,6 +138,23 @@ object Winnowing {
       .groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") > cap).count()
 
+  /** Write the cap audit beside a materialized fingerprint dump and
+    * announce any drop (the Dedup.auditBucketCap pattern -- a
+    * boilerplate fingerprint shared by > cap docs drops WHOLE in
+    * [[pairs]], and that must be visible somewhere durable). */
+  def auditFingerprintCap(fps: DataFrame, destDir: String,
+                          cap: Int = BucketCap): Long = {
+    val n = oversizedFingerprints(fps, cap)
+    val p = java.nio.file.Paths.get(destDir, "_fp_bucket_audit.json")
+    if (java.nio.file.Files.isDirectory(p.getParent)) {
+      java.nio.file.Files.writeString(p,
+        s"""{"oversized_fp_buckets_dropped":$n,"bucket_cap":$cap}""" + "\n")
+    }
+    if (n > 0) println(s"[graft] winnowing cap will drop $n boilerplate " +
+      s"fingerprint buckets (cap=$cap) -- recorded in $p")
+    n
+  }
+
   /** Document pairs sharing >= minShared distinct fingerprint hashes:
     * (doc_a, doc_b, n_shared), doc_a < doc_b. Hashes held by more than
     * `cap` docs are dropped whole (boilerplate fingerprints). */

@@ -1082,7 +1082,7 @@ object GraftQueries {
   }
 
   def winnowDumpPath(rows: Int): String =
-    s"/tmp/graft_postings_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Winnowing.Version}-rows$rows"
+    s"/tmp/graft_postings_cache/g${graft.gen.PageGen.GenVersion}-${graft.core.ExtractionVersion.current}-${graft.ops.Winnowing.Version}-k${graft.ops.Winnowing.K}w${graft.ops.Winnowing.W}-rows$rows"
 
   /** The MATERIALIZED winnowing fingerprint table (q109's serving
     * surface): (doc_id, fp, sel_pos) from
@@ -1095,9 +1095,14 @@ object GraftQueries {
     val rows = graft.gen.PageGen.rowsForDir(sfDir)
     val path = winnowDumpPath(rows)
     genLock.synchronized {
-      if (!new java.io.File(s"$path/_SUCCESS").exists())
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
         atomicDump(graft.ops.Winnowing.fingerprints(
           extractedPagesDocs(spark, sfDir), "doc_id", "text"), path)
+        // never a silent drop: record how many boilerplate fingerprint
+        // buckets the serving cap will exclude from this dump
+        graft.ops.Winnowing.auditFingerprintCap(
+          spark.read.parquet(path), path): Unit
+      }
     }
     spark.read.parquet(path)
   }
@@ -2902,6 +2907,11 @@ object GraftQueries {
     tokenCountsCached(s, d)
       .filter(col("t").rlike("^[a-z]+$"))
       .select(col("t").as("word"), col("n_t").as("freq"))
+
+  /** Public view of [[extractedPagesDocs]] for plan gates that must
+    * build an operator's dump plan directly (PlanSpec q109). */
+  def extractedDocsFor(s: SparkSession, d: String): DataFrame =
+    extractedPagesDocs(s, d)
 
   /** The extraction corpus as (doc_id, text) — q32's dedup input. */
   private def extractedPagesDocs(s: SparkSession, d: String): DataFrame =

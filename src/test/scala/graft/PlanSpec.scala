@@ -196,15 +196,25 @@ class PlanSpec extends AnyFunSuite {
       s"mojibake repair must not shuffle:\n${p.take(600)}")
   }
 
-  test("q109 winnowing: shuffles carry (doc, pos, hash), never tokens or text") {
-    // the 100 TB property: the text explodes map-side and only 8-byte
-    // hashes enter the per-doc exchange — no Exchange may reference the
-    // raw text or token attributes
+  test("q109 winnowing fingerprint BUILD is a zero-shuffle map-only plan") {
+    // the 100 TB property, gated on the BUILD (the serving query reads
+    // the staged parquet dump, whose exchanges are small by
+    // construction — gating only that would be vacuous): tokenizing,
+    // k-gram hashing and window selection all run inside the scan
+    // split, so the plan that materializes the fingerprint table must
+    // contain NO Exchange at all. This is the gate that caught the
+    // first-cut lead()-window form, which shuffled every token row.
+    val p = executedPlan(graft.ops.Winnowing.fingerprints(
+      graft.queries.GraftQueries.extractedDocsFor(spark, d), "doc_id", "text"))
+    assert(!p.contains("Exchange"),
+      s"the fingerprint build must not shuffle:\n${p.take(600)}")
+  }
+
+  test("q109 winnowing serving: exchanges carry only (doc_id, fp) — never text") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q109_winnowing")(spark, d))
     val bad = p.linesIterator.filter(_.contains("Exchange"))
-      .filter(l => l.contains("extracted_text#") || l.contains("text#") ||
-        l.contains("tok#") || l.contains("kgram#")).toSeq
-    assert(bad.isEmpty, s"q109 shuffles raw text/tokens:\n${bad.mkString("\n")}")
+      .filter(l => l.contains("extracted_text#") || l.contains("toks#")).toSeq
+    assert(bad.isEmpty, s"q109 serving shuffles raw text/tokens:\n${bad.mkString("\n")}")
   }
 
   test("q59/q60: shuffles carry digests, never the document/line text") {
