@@ -69,6 +69,54 @@ class WinnowingSpec extends AnyFunSuite {
       "the drop must be auditable, never silent")
   }
 
+  test("seeded randomized equivalence vs a plain-Scala reference implementation") {
+    // the Spark kernel is one nested higher-order expression -- pin it
+    // against an independent JVM implementation of the paper on random
+    // token sequences (small vocab forces repeats, ties and shared
+    // runs; lowercase single-word tokens make lowerToks the identity)
+    def tokHash(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    def reference(toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+      if (toks.size < k + w - 1) return Set.empty
+      val th = toks.map(tokHash)
+      val grams = (0 to toks.size - k).map { i =>
+        (1 until k).foldLeft(th(i)) { (acc, j) =>
+          (acc * 1048573L + th(i + j)) % (1L << 40)
+        }
+      }
+      (0 to grams.size - w).map { s =>
+        // window minimum, rightmost tie
+        var best = -1
+        var bi = s
+        while (bi < s + w) {
+          if (best < 0 || grams(bi) < grams(best) ||
+            (grams(bi) == grams(best) && bi > best)) best = bi
+          bi += 1
+        }
+        (grams(best), best.toLong)
+      }.toSet
+    }
+    val rng = new scala.util.Random(109)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 200).map { id =>
+      val n = rng.nextInt(60)
+      (id.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.size))))
+    }
+    val got = fps(docs.map { case (id, ts) => (id, ts.mkString(" ")) })
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet).toMap
+    docs.foreach { case (id, ts) =>
+      val want = reference(ts, Winnowing.K, Winnowing.W)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id (${ts.size} toks): engine ${got.getOrElse(id, Set.empty).size} " +
+          s"vs reference ${want.size} fingerprints")
+    }
+  }
+
   test("disjoint documents share nothing") {
     assert(pairsOf(Seq(1L -> filler("aa", 80), 2L -> filler("bb", 80))).isEmpty)
   }
