@@ -26,6 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  // Heap sizing (optimization guide §5): local-mode Spark runs all 32
+  // executor task slots inside this ONE JVM, so the old fixed 8g default
+  // gave ~150 MB of execution memory per concurrent task on a 32-core
+  // box and the wide aggregation/sort queries (q69/q74/q105/q107/q109)
+  // spilled under memory pressure. Size the heap to HALF the machine's
+  // RAM (cgroup-aware, so the same build works on any sandbox size —
+  // never a hard-coded -Xmx that could exceed a smaller host), leaving
+  // the other half to the OS page cache that serves the parquet scans.
+  // SPARK_DRIVER_MEM still overrides with an explicit -Xmx when set.
+) ++ (sys.env.get("SPARK_DRIVER_MEM") match {
+  case Some(m) => Seq(s"-Xmx$m")
+  case None => Seq("-XX:MaxRAMPercentage=50", "-XX:InitialRAMPercentage=25")
+}) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
   .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

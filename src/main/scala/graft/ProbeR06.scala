@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 dev profiler (guide §1.4): time isolated SUBPLANS of the
+  * slow queries with the noop sink so the expensive stage inside each
+  * is identified before restructuring. Not part of the bench contract.
+  *
+  * `runMain graft.ProbeR06 <probe>[,<probe>...]` with probes:
+  *   q74_occ      — bigram explode only
+  *   q74_join     — explode + both broadcast joins (no agg)
+  *   q74_full     — whole scoring plan
+  *   q109_distinct / q109_member / q109_full
+  *   q77_verify / q77_cc / q77_full
+  *   counts       — corpus cardinalities (tokens, bigrams, tf, vocab)
+  */
+object ProbeR06 {
+  def main(args: Array[String]): Unit = {
+    val probes = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+    graft.queries.GraftQueries.setSf(sfDir)
+    graft.queries.GraftQueries.pagesPath(spark, sfDir)
+
+    import graft.queries.GraftQueries._
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      (1 to 2).foreach { rep =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"""{"probe":"$name","rep":$rep,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      }
+    }
+
+    val docs = extractedDocsFor(spark, sfDir)
+
+    probes.foreach {
+      case "counts" =>
+        val toks = docs.select(explode(graft.ops.TextStats.lowerToks(col("text"))).as("t"))
+        println("docs=" + docs.count())
+        println("tokens=" + toks.count())
+        println("vocab=" + toks.distinct().count())
+        println("tf_pairs=" + docs.select(col("doc_id"),
+          explode(graft.ops.TextStats.lowerToks(col("text"))).as("t"))
+          .groupBy("doc_id", "t").count().count())
+        val fps = winnowCached(spark, sfDir)
+        println("winnow_fps=" + fps.count())
+        println("winnow_distinct=" + fps.select("fp", "doc_id").distinct().count())
+        println("sem_pairs=" + spark.read.parquet(
+          annDumpPath("semdedup-c16-pairs", graft.gen.PageGen.rowsForDir(sfDir))).count())
+      case "q74_occ" =>
+        time("q74_occ")(graft.ops.LmScore.bigramOccurrences(docs, "doc_id", "text"))
+      case "q74_join" =>
+        val occ = graft.ops.LmScore.bigramOccurrences(docs, "doc_id", "text")
+        val bi = bigramCountsCached(spark, sfDir)
+        val margin = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+        val pruned = bi.filter(col("n_ab") >= 5)
+        time("q74_join")(occ
+          .join(broadcast(pruned), Seq("a", "b"), "left")
+          .join(broadcast(margin), Seq("a")))
+      case "q74_full" =>
+        time("q74_full")(queries("q74_lm_score")(spark, sfDir))
+      case "q109_distinct" =>
+        time("q109_distinct")(
+          winnowCached(spark, sfDir).select(col("fp"), col("doc_id")).distinct())
+      case "q109_member" =>
+        val byFp = winnowCached(spark, sfDir).select(col("fp"), col("doc_id")).distinct()
+        val kept = byFp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= 64).select(col("fp"))
+        time("q109_member")(byFp.join(kept, Seq("fp"), "left_semi"))
+      case "q109_full" =>
+        time("q109_full")(queries("q109_winnowing")(spark, sfDir))
+      case "q77_verify" =>
+        val rows = graft.gen.PageGen.rowsForDir(sfDir)
+        val pairs = spark.read.parquet(annDumpPath("semdedup-c16-pairs", rows))
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        time("q77_verify")(pairs
+          .join(e.select(col("id").as("a_id"), col("embedding").as("a_vec")), "a_id")
+          .join(e.select(col("id").as("b_id"), col("embedding").as("b_vec")), "b_id")
+          .filter(graft.ops.Similarity.cosine(col("a_vec"), col("b_vec")) >= 0.35)
+          .select(col("a_id"), col("b_id")))
+      case "q77_full" =>
+        time("q77_full")(queries("q77_semantic_dedup")(spark, sfDir))
+      case other =>
+        System.err.println(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}

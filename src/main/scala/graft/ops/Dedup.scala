@@ -400,16 +400,28 @@ object Dedup {
     var done = edges.isEmpty
     while (!done && iter < maxIters) {
       val nbr = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-      val prop = labels.union(nbr).groupBy("id").agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"), lit(false).as("self"))
+      // r6: `prop` is referenced twice below (as itself and as the
+      // parent side of the pointer jump) and Spark does not CSE across
+      // a self-join — unstaged, the union+aggregate executed twice per
+      // round. The min-label fold also carries each node's OLD label
+      // (the max over the self-tagged row) so convergence is read off
+      // a `moved` flag on the checkpointed output instead of a full
+      // next⋈labels re-join per round.
+      val prop = labels.select(col("id"), col("label"), lit(true).as("self"))
+        .union(nbr)
+        .groupBy("id").agg(min(col("label")).as("label"),
+          max(when(col("self"), col("label"))).as("old"))
+        .localCheckpoint(true)
       val parents = prop.select(col("id").as("p_id"), col("label").as("p_label"))
       val jumped = prop.join(parents, prop("label") === parents("p_id"))
-        .select(prop("id"), least(prop("label"), col("p_label")).as("label"))
+        .select(prop("id"), least(prop("label"), col("p_label")).as("label"),
+          (least(prop("label"), col("p_label")) =!= col("old")).as("moved"))
       val next = jumped.localCheckpoint(true)
-      // convergence probe: any label still moving? (limit(1) short-circuits)
-      done = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).isEmpty
-      labels = next
+      // convergence probe: any label still moving? (limit(1)
+      // short-circuits over the in-memory checkpoint — no join)
+      done = next.filter(col("moved")).limit(1).isEmpty
+      labels = next.drop("moved")
       iter += 1
     }
     edges.unpersist(blocking = false)

@@ -50,24 +50,35 @@ object Hits {
   /** x div max(total div Scale, 1) over column v, total via a 1-row
     * broadcast (the scalar-broadcast pattern PlanSpec gates elsewhere). */
   private def l1norm(df: DataFrame): DataFrame = {
-    val tot = df.agg(greatest(expr(s"sum(v) div $Scale"), lit(1L)).as("nrm"))
-    df.crossJoin(broadcast(tot))
+    // r6: materialize the pre-norm sums ONCE per half-step — the plan
+    // references `df` twice (under the normalizer's broadcast build AND
+    // under the crossJoin), and Spark does not common-subexpression-
+    // eliminate across a broadcast boundary, so the edge join +
+    // aggregate executed TWICE per half-step (32 extra join/agg runs
+    // over the 16 rounds) before this checkpoint.
+    val m = df.localCheckpoint(true)
+    val tot = m.agg(greatest(expr(s"sum(v) div $Scale"), lit(1L)).as("nrm"))
+    m.crossJoin(broadcast(tot))
       .select(col("host"), expr("v div nrm").as("v"))
   }
 
-  /** One HITS half-step: propagate `scores` across `edges` from the
-    * `from` endpoint onto the `to` endpoint, then L1-normalize. One
-    * equi-join + one partial+final aggregate + the 1-row normalizer
-    * broadcast. Exposed private[graft] so PlanSpec can gate the lazy
-    * one-round shape (the full [[scores]] plan is opaque behind the
-    * eager per-round localCheckpoints). */
-  private[graft] def halfStep(edges: DataFrame, nodes: DataFrame,
+  /** The pre-normalization propagation: one equi-join + one
+    * partial+final aggregate. Exposed private[graft] so PlanSpec can
+    * gate this LAZY shape (the full half-step materializes it through
+    * l1norm's checkpoint, after which the plan is an opaque RDD scan). */
+  private[graft] def propagate(edges: DataFrame, nodes: DataFrame,
       scores: DataFrame, from: String, to: String): DataFrame =
-    l1norm(nodes.join(
+    nodes.join(
       edges.join(scores.withColumnRenamed("host", from), from)
         .groupBy(col(to).as("host")).agg(sum("v").as("s")),
       Seq("host"), "left")
-      .select(col("host"), coalesce(col("s"), lit(0L)).as("v")))
+      .select(col("host"), coalesce(col("s"), lit(0L)).as("v"))
+
+  /** One HITS half-step: [[propagate]], then L1-normalize (the 1-row
+    * normalizer broadcast over the once-materialized sums). */
+  private[graft] def halfStep(edges: DataFrame, nodes: DataFrame,
+      scores: DataFrame, from: String, to: String): DataFrame =
+    l1norm(propagate(edges, nodes, scores, from, to))
 
   /** Hub/authority scores after [[Iters]] full rounds over the DISTINCT
     * (src, dst) edge set. Input columns: src, dst. Output:
@@ -83,8 +94,12 @@ object Hits {
     var auth = nodes.withColumn("v", lit(0L))
     var t = 0
     while (t < Iters) {
-      auth = halfStep(edges, nodes, hub, "src", "dst").localCheckpoint(true)
-      hub = halfStep(edges, nodes, auth, "dst", "src").localCheckpoint(true)
+      // r6: the lineage-truncating checkpoints are LAZY now — l1norm
+      // already materializes each half-step's join+aggregate eagerly,
+      // so the eager outer checkpoint only re-materialized the final
+      // divide projection (16 extra blocking actions per run)
+      auth = halfStep(edges, nodes, hub, "src", "dst").localCheckpoint(false)
+      hub = halfStep(edges, nodes, auth, "dst", "src").localCheckpoint(false)
       t += 1
     }
     nodes

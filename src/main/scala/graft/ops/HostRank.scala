@@ -48,8 +48,11 @@ object HostRank {
       .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // contribution per edge is a pure function of (src rank, outdeg) —
-    // stage the per-src quotient once per round, then join to edges
-    val srcSide = edges.join(outdeg, "src")
+    // stage the per-src quotient once per round, then join to edges.
+    // r6: materialized ONCE — unstaged, every one of the 10 rounds
+    // re-ran the edges⋈outdeg join (and outdeg's aggregate) from
+    // scratch before joining the round's ranks.
+    val srcSide = edges.join(outdeg, "src").localCheckpoint(true)
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host")))
       .distinct().localCheckpoint(true)

@@ -49,14 +49,18 @@ object Redirects {
         .join(ptr.as("b"), col("a.next") === col("b.node"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("b.next"), col("a.next")).as("next"),
-          (col("a.hops") + coalesce(col("b.hops"), lit(0L))).as("hops"))
+          (col("a.hops") + coalesce(col("b.hops"), lit(0L))).as("hops"),
+          // r6: fold the convergence signal into the jump itself — a
+          // pointer advanced this round iff its b-side matched (b.hops
+          // ≥ 1 always, and hops is strictly monotone while a chain is
+          // unfinished), so the old probe's full next⋈ptr re-join is
+          // equivalent to scanning this flag on the checkpointed output
+          col("b.node").isNotNull.as("moved"))
       val next = jumped.localCheckpoint(true)
-      // convergence probe: any pointer still advancing? (hops is
-      // strictly monotone while a chain is unfinished; limit(1)
-      // short-circuits the probe)
-      done = next.as("n").join(ptr.as("o"), Seq("node"))
-        .filter(col("n.hops") =!= col("o.hops")).limit(1).isEmpty
-      ptr = next
+      // convergence probe: any pointer still advancing? (limit(1)
+      // short-circuits over the in-memory checkpoint — no join)
+      done = next.filter(col("moved")).limit(1).isEmpty
+      ptr = next.drop("moved")
       iter += 1
     }
     // a node whose final target is still a redirect SOURCE did not

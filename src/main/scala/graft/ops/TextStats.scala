@@ -132,6 +132,46 @@ object TextStats {
   def lowerToks(text: Column): Column =
     filter(split(lower(text), "\\s+"), x => x =!= "")
 
+  /** Per-document top-tf term candidates, computed ENTIRELY map-side
+    * over a token-array attribute named `toks` (r6 optimization, guide
+    * §2.3/§2.4): run-length-encode the sorted token array into
+    * (term, tf) pairs, then keep every pair whose tf is ≥ the 5th
+    * largest tf value in the doc (counting duplicates) — exactly the
+    * rows with rank() ≤ k under ORDER BY tf DESC, which is a provable
+    * SUPERSET of the final top-k under ANY tie-break refinement
+    * (a final top-k row has < k rows strictly greater on tf). q69's
+    * old plan shuffled the full corpus-token tf table twice (checkpoint
+    * + tf⋈df sort-merge + a corpus-wide ranking window); with this
+    * kernel only ~k rows per doc ever reach an exchange.
+    *
+    * Expression-shape hazards handled (the [[Winnowing.selsExpr]]
+    * lessons): every intermediate array is LET-BOUND via
+    * `transform(array(x), v -> body)[0]` so alias inlining can't
+    * re-evaluate it per element; the empty-token case is guarded
+    * before `sequence` (which would run DESCENDING from 0 to -1); all
+    * element accesses are index-guarded for ANSI mode. */
+  def topTfCandidatesExpr(k: Int): String = {
+    // idxs = run starts of the sorted array; pairs = (term, tf) runs;
+    // thr = k-th largest tf (1 when fewer than k distinct terms)
+    s"""transform(array(array_sort(toks)), st ->
+       |  CASE WHEN size(st) = 0 THEN
+       |    cast(array() as array<struct<term: string, tf: bigint>>)
+       |  ELSE
+       |    transform(array(filter(sequence(0, size(st) - 1),
+       |        i -> IF(i = 0, true, st[i] != st[i - 1]))), idxs ->
+       |      transform(array(transform(sequence(0, size(idxs) - 1), j ->
+       |          named_struct('term', st[idxs[j]],
+       |            'tf', cast(IF(j = size(idxs) - 1, size(st),
+       |                          idxs[j + 1]) - idxs[j] as bigint)))), pairs ->
+       |        transform(array(IF(size(pairs) <= $k, 1L,
+       |            -array_sort(transform(pairs, q -> -q.tf))[${k - 1}])), thr ->
+       |          filter(pairs, p -> p.tf >= thr))[0]
+       |      )[0]
+       |    )[0]
+       |  END
+       |)[0]""".stripMargin.replaceAll("\\s+", " ").trim
+  }
+
   // ---- quality scoring (pure SQL expressions — codegen'd) -------------
 
   /** Shallow quality features, Gopher/C4-style: length, token stats,

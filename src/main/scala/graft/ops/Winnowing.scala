@@ -157,7 +157,20 @@ object Winnowing {
 
   /** Document pairs sharing >= minShared distinct fingerprint hashes:
     * (doc_a, doc_b, n_shared), doc_a < doc_b. Hashes held by more than
-    * `cap` docs are dropped whole (boilerplate fingerprints). */
+    * `cap` docs are dropped whole (boilerplate fingerprints).
+    *
+    * r6 shape (guide §2.4/§3): the pair fan-out used to run as a
+    * member⋈member SELF-JOIN on fp — two sorts of the 8M-row
+    * fingerprint table plus the join machinery. The semi-join already
+    * bounds every surviving bucket at `cap` docs, so the members now
+    * collect into ONE sorted ≤cap array per fp (co-partitioned with
+    * the semi-join — no extra exchange; the bound is what makes
+    * collect_list safe at any corpus size) and the a<b pairs generate
+    * MAP-SIDE as an array comprehension. Fan-out count is identical
+    * (bucketCap²/2 per bucket, audited as before); what disappears is
+    * the double sort + merge. The count-then-filter capping path is
+    * UNCHANGED — counts aggregate map-side, so a boilerplate
+    * fingerprint never concentrates raw rows before being dropped. */
   def pairs(fps: DataFrame, minShared: Int = MinShared,
             cap: Int = BucketCap): DataFrame = {
     val byFp = fps.select(col("fp"), col("doc_id")).distinct()
@@ -166,9 +179,15 @@ object Winnowing {
       .filter(col("n") <= cap)
       .select(col("fp"))
     val member = byFp.join(kept, Seq("fp"), "left_semi")
-    member.as("a").join(member.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    member.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> " +
+          "transform(sequence(i + 1, size(ds) - 1), j -> " +
+          "named_struct('doc_a', ds[i], 'doc_b', ds[j]))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -382,21 +382,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the count-aggregate shuffle:\n${finalSection.take(800)}")
   }
 
-  test("q69 key-terms computes tf once (checkpoint scan, no tokenizer re-explode) + one window") {
+  test("q69 key-terms: map-side candidate cut — no corpus-token exchange, one window") {
     val df = graft.queries.GraftQueries.queries("q69_doc_keyterms")(spark, d)
     val p = executedPlan(df).split("== Initial Plan ==").head
-    // the tf table must enter the plan as a checkpointed scan — the DAG
-    // references it twice, and without the checkpoint the token explode
-    // + first aggregate run twice (measured 1.7x the whole query)
-    assert(p.contains("Scan ExistingRDD") || p.contains("RDDScanExec"),
-      s"expected the checkpointed tf scan:\n${p.take(1200)}")
-    assert(!p.contains("Generate explode"),
-      "the tokenizer explode must happen before the checkpoint, not in this plan")
-    // a doc's term group is bounded by the extraction clamp — ONE
-    // ranking window, no salted shard pass (that's for unbounded groups
-    // like q52's zipfian hosts)
+    // r6 shape: the per-doc top-tf candidate selection runs INSIDE the
+    // scan split (TextStats.topTfCandidatesExpr) — no checkpointed tf
+    // materialization, no corpus-token tf shuffle. The only exchanges
+    // carry the ~5-rows/doc candidates, the vocab-sized df aggregate
+    // and the ranking window's doc_id partitioning.
+    assert(!p.contains("Scan ExistingRDD") && !p.contains("RDDScanExec"),
+      "the corpus tf table must NOT be materialized/checkpointed any more")
+    // exchanges must never carry the raw token array — candidates are
+    // cut before anything reaches a shuffle
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exch.nonEmpty && !exch.exists(_.contains("toks")),
+      s"no exchange may carry the token array:\n${exch.mkString("\n")}")
+    // a doc's candidate group is ≤ ~k rows — ONE ranking window, no
+    // salted shard pass (that's for unbounded groups like q52's hosts)
     val windows = p.split("Window \\[", -1).length - 1
     assert(windows == 1, s"expected exactly one ranking window; got $windows")
+    assert(!p.contains("CartesianProduct"))
     assert(!hasParseUrl(df))
   }
 
@@ -569,13 +574,21 @@ class PlanSpec extends AnyFunSuite {
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host"))).distinct()
     val hub = nodes.withColumn("v", lit(graft.ops.Hits.Scale))
+    // r6: the propagation (join + aggregate) and the normalizer are
+    // gated separately — halfStep now materializes the propagation
+    // ONCE through l1norm's checkpoint (it used to execute twice, once
+    // under the broadcast build and once under the crossJoin), so the
+    // half-step's own plan is the broadcast-normalized divide over
+    // that RDD scan.
+    val pp = executedPlan(graft.ops.Hits.propagate(edges, nodes, hub, "src", "dst"))
+    assert(pp.split("HashAggregate").length - 1 >= 2,
+      "edge-propagation sum must be partial+final (map-side combine)")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("ScalaUDF"))
     val p = executedPlan(graft.ops.Hits.halfStep(edges, nodes, hub, "src", "dst"))
     assert(!p.contains("CartesianProduct"),
       s"the 1-row L1 normalizer must broadcast, not cartesian:\n${p.take(800)}")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "expected the normalizer scalar as a broadcast join")
-    assert(p.split("HashAggregate").length - 1 >= 2,
-      "edge-propagation sum must be partial+final (map-side combine)")
     assert(!p.contains("ScalaUDF"), "fixed-point arithmetic must stay codegen'd")
   }
 
