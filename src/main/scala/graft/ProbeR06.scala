@@ -58,6 +58,12 @@ object ProbeR06 {
         println("winnow_distinct=" + fps.select("fp", "doc_id").distinct().count())
         println("sem_pairs=" + spark.read.parquet(
           annDumpPath("semdedup-c16-pairs", graft.gen.PageGen.rowsForDir(sfDir))).count())
+      case "q74_toks" =>
+        time("q74_toks")(docs.select(col("doc_id"),
+          graft.ops.TextStats.lowerToks(col("text")).as("toks")))
+      case "q74_agg" =>
+        time("q74_agg")(graft.ops.LmScore.bigramOccurrences(docs, "doc_id", "text")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
       case "q74_occ" =>
         time("q74_occ")(graft.ops.LmScore.bigramOccurrences(docs, "doc_id", "text"))
       case "q74_join" =>

@@ -65,25 +65,27 @@ object Bm25 {
     val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .toDF("query_id", "term")
 
-    val perDoc = docs.select(col(idCol).cast("long").as("doc_id"),
+    // the ONE corpus-sized pass (r6: it used to run twice — once for
+    // the corpus stats, once for the tf explode — because both consumed
+    // the lazy tokenize plan): per doc, tokenize, take the length, and
+    // keep only the query-matching tokens (a codegen'd literal-set
+    // filter INSIDE the array, so non-query tokens never materialize
+    // as rows). The surviving (doc_id, dl, matched-tokens) table is
+    // ~#docs rows of a few matched terms each — checkpointing it is
+    // cheap, and stats + tf then both read it without re-tokenizing.
+    val allTerms = queries.flatMap(_._2).distinct
+    val slim = docs.select(col(idCol).cast("long").as("doc_id"),
       TextStats.lowerToks(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        col("toks"))
+        filter(col("toks"), t => t.isInCollection(allTerms)).as("mtoks"))
+      .localCheckpoint(true)
 
     // 1-row corpus stats, broadcast (the Balance percentile pattern)
-    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+    val stats = slim.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len"))
 
-    // the one corpus-sized pass: non-query tokens die INSIDE the array
-    // (a codegen'd literal-set filter in the scan stage), so the
-    // explode emits only matching tokens — the broadcast join then maps
-    // term → query_id over the surviving sliver instead of having every
-    // corpus token materialized as a row on its probe side
-    val allTerms = queries.flatMap(_._2).distinct
-    val tf = perDoc
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => t.isInCollection(allTerms)))
-          .as("term"))
+    val tf = slim
+      .select(col("doc_id"), col("dl"), explode(col("mtoks")).as("term"))
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))

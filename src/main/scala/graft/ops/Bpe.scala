@@ -225,12 +225,19 @@ object Bpe {
     * (url, doc_id)). */
   def perDocTokenCounts(docs: DataFrame, keyCols: Seq[String],
                         textCol: String, wordLengths: DataFrame): DataFrame =
+    // r6 (guide §2.3/§2.4): the (doc, word) counts fold MAP-SIDE via
+    // the sorted-array RLE (the doc's tokens all live in its row), so
+    // the old groupBy(doc, word) exchange of ~9M corpus rows disappears
+    // outright — the pre-counted rows go straight into the model join.
+    // Bit-identical to the exploded groupBy; oracles untouched.
     docs
       .select(keyCols.map(col) :+
-        explode(TextStats.lowerToks(col(textCol))).as("word"): _*)
-      .filter(col("word").rlike("^[a-z]+$"))
-      .groupBy((keyCols.map(col) :+ col("word")): _*)
-      .agg(count(lit(1)).as("freq"))
+        TextStats.lowerToks(col(textCol)).as("toks"): _*)
+      .select(keyCols.map(col) :+
+        explode(expr(TextStats.rlePairsExpr)).as("p"): _*)
+      .filter(col("p.term").rlike("^[a-z]+$"))
+      .select(keyCols.map(col) :+ col("p.term").as("word") :+
+        col("p.tf").as("freq"): _*)
       .join(wordLengths, "word")
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("freq") * col("n_tokens")).as("n_bpe"))

@@ -232,17 +232,25 @@ object Dedup {
     val memberIds = candidates.select(col("a_id").as("id"))
       .union(candidates.select(col("b_id").as("id")))
       .distinct()
-    val texts = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    // r6 (guide §2.3): shingle each MEMBER once, map-side, before the
+    // pair joins — the old shape joined raw text and re-ran
+    // shingleHashes per PAIR occurrence, so a doc in k candidate pairs
+    // was tokenized and hashed k times (and its text crossed the join
+    // twice). The joins now carry the 8-byte hash arrays instead of
+    // text; the per-pair kernel is the identical jaccard() over the
+    // identical hash sets, so the output is bit-for-bit unchanged.
+    val sh = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .join(memberIds, Seq("id"), "left_semi")
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleHashes(t, shingleN)) })
+      .toDF("id", "sh")
     val joined = candidates
-      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), Seq("a_id"))
-      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
-      .as[(String, String, String, String)]
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .as[(String, String, Array[Long], Array[Long])]
     joined.mapPartitions { it =>
-      it.map { case (a, b, ta, tb) =>
-        (a, b, jaccard(shingleHashes(ta, shingleN), shingleHashes(tb, shingleN)))
-      }
+      it.map { case (a, b, ha, hb) => (a, b, jaccard(ha, hb)) }
     }.toDF("a_id", "b_id", "jaccard")
       .filter(col("jaccard") >= threshold)
   }
@@ -265,17 +273,20 @@ object Dedup {
     val memberIds = candidates.select(col("a_id").as("id"))
       .union(candidates.select(col("b_id").as("id")))
       .distinct()
-    val texts = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
+    // r6: same member-once shingling as [[jaccardVerify]] — hash arrays
+    // join instead of raw text, the containment kernel is unchanged.
+    val sh = docs.select(col(idCol).cast("string").as("id"), col(textCol).as("text"))
       .join(memberIds, Seq("id"), "left_semi")
+      .as[(String, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleHashes(t, shingleN)) })
+      .toDF("id", "sh")
     val joined = candidates
-      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), Seq("a_id"))
-      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
-      .as[(String, String, String, String)]
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("sh", "a_sh"), Seq("a_id"))
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("sh", "b_sh"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .as[(String, String, Array[Long], Array[Long])]
     joined.mapPartitions { it =>
-      it.map { case (a, b, ta, tb) =>
-        val sa = shingleHashes(ta, shingleN)
-        val sb = shingleHashes(tb, shingleN)
+      it.map { case (a, b, sa, sb) =>
         val hs = new java.util.HashSet[Long]()
         sa.foreach(hs.add)
         var inter = 0

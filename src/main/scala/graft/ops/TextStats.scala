@@ -150,25 +150,34 @@ object TextStats {
     * re-evaluate it per element; the empty-token case is guarded
     * before `sequence` (which would run DESCENDING from 0 to -1); all
     * element accesses are index-guarded for ANSI mode. */
+  /** Exact per-document word counts as ONE map-side array expression
+    * over a token-array attribute named `toks`: run-length-encode the
+    * sorted token array into (term, tf) structs — bit-identical to
+    * `groupBy(doc, term).count()` but with zero shuffle (the whole doc
+    * lives in its row). The shared RLE core of [[topTfCandidatesExpr]]
+    * (q69) and the q105/q107 per-doc word-count rewires. */
+  def rlePairsExpr: String =
+    """transform(array(array_sort(toks)), st ->
+      |  CASE WHEN size(st) = 0 THEN
+      |    cast(array() as array<struct<term: string, tf: bigint>>)
+      |  ELSE
+      |    transform(array(filter(sequence(0, size(st) - 1),
+      |        i -> IF(i = 0, true, st[i] != st[i - 1]))), idxs ->
+      |      transform(sequence(0, size(idxs) - 1), j ->
+      |        named_struct('term', st[idxs[j]],
+      |          'tf', cast(IF(j = size(idxs) - 1, size(st),
+      |                        idxs[j + 1]) - idxs[j] as bigint)))
+      |    )[0]
+      |  END
+      |)[0]""".stripMargin.replaceAll("\\s+", " ").trim
+
   def topTfCandidatesExpr(k: Int): String = {
-    // idxs = run starts of the sorted array; pairs = (term, tf) runs;
-    // thr = k-th largest tf (1 when fewer than k distinct terms)
-    s"""transform(array(array_sort(toks)), st ->
-       |  CASE WHEN size(st) = 0 THEN
-       |    cast(array() as array<struct<term: string, tf: bigint>>)
-       |  ELSE
-       |    transform(array(filter(sequence(0, size(st) - 1),
-       |        i -> IF(i = 0, true, st[i] != st[i - 1]))), idxs ->
-       |      transform(array(transform(sequence(0, size(idxs) - 1), j ->
-       |          named_struct('term', st[idxs[j]],
-       |            'tf', cast(IF(j = size(idxs) - 1, size(st),
-       |                          idxs[j + 1]) - idxs[j] as bigint)))), pairs ->
-       |        transform(array(IF(size(pairs) <= $k, 1L,
-       |            -array_sort(transform(pairs, q -> -q.tf))[${k - 1}])), thr ->
-       |          filter(pairs, p -> p.tf >= thr))[0]
-       |      )[0]
-       |    )[0]
-       |  END
+    // pairs = the RLE runs; thr = k-th largest tf (1 when fewer than
+    // k distinct terms)
+    s"""transform(array($rlePairsExpr), pairs ->
+       |  transform(array(IF(size(pairs) <= $k, 1L,
+       |      -array_sort(transform(pairs, q -> -q.tf))[${k - 1}])), thr ->
+       |    filter(pairs, p -> p.tf >= thr))[0]
        |)[0]""".stripMargin.replaceAll("\\s+", " ").trim
   }
 

@@ -1507,12 +1507,21 @@ object GraftQueries {
     // the (lang, word) count it already pays for the vocab family.
     "q105_bpe_fertility" -> ((s, d) => {
       val wl = bpeWordLengthsCached(s, d)
+      // r6 (guide §2.3): per-doc word counts fold MAP-SIDE first
+      // (TextStats.rlePairsExpr — the whole doc lives in its token
+      // array), so the (lang, word) aggregate sums ~9M pre-counted RLE
+      // rows instead of hashing 37.7M exploded tokens, and the [a-z]+
+      // regex runs once per distinct word per doc instead of once per
+      // token. Bit-identical counts; the oracle SQL is untouched.
       val lw = extractedCached(s, d)
         .filter(col("error").isNull && col("payload_kind") === "html")
         .select(col("lang"),
-          explode(graft.ops.TextStats.lowerToks(col("extracted_text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("freq"))
+          graft.ops.TextStats.lowerToks(col("extracted_text")).as("toks"))
+        .select(col("lang"),
+          explode(expr(graft.ops.TextStats.rlePairsExpr)).as("p"))
+        .filter(col("p.term").rlike("^[a-z]+$"))
+        .select(col("lang"), col("p.term").as("word"), col("p.tf").as("tf"))
+        .groupBy(col("lang"), col("word")).agg(sum(col("tf")).as("freq"))
       lw.join(wl, "word")
         .groupBy(col("lang"))
         .agg(sum(col("freq")).as("n_words"),
