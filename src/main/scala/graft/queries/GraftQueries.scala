@@ -1311,10 +1311,16 @@ object GraftQueries {
     // exactly the naive one-window-per-host answer the oracle runs,
     // but no zipfian head host ever funnels through a single task.
     "q52_host_cap" -> ((s, d) => {
+      // r6 (guide §2.3 "project before the exchange"): the sort key is
+      // length(extracted_text), and passing the raw column into the
+      // salted windows made BOTH topK shuffles carry the full document
+      // text. The length is computed map-side now; the exchanges carry
+      // (host, url, len) only. Identical ordering, identical output.
       val e = extractedCached(s, d).filter(col("error").isNull)
-        .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+        .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          col("url"), length(col("extracted_text")).as("len"))
       Balance.topKPerGroup(e, col("host"), col("url"),
-          Seq(length(col("extracted_text")).desc, col("url").asc), k = 20)
+          Seq(col("len").desc, col("url").asc), k = 20)
         .select(col("host"), col("url"), col("rk"))
     }),
 
@@ -1720,15 +1726,27 @@ object GraftQueries {
     // shuffle. Ties at the vocab boundary break on (count desc, token
     // asc) so both engines pick the identical 1000 tokens.
     "q66_vocab_coverage" -> ((s, d) => {
-      val toks = extractedPagesDocs(s, d).select(col("doc_id"),
-        explode(graft.ops.TextStats.lowerToks(col("text"))).as("tok"))
-      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
-        .select(col("tok"), lit(1L).as("in_vocab"))
-      toks.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      // r6 (guide §2.3/§2.4): the old plan tokenized + exploded the
+      // corpus TWICE (once to derive the vocab, once for the coverage
+      // join) and shuffled 37.7M (doc_id, tok) rows through the
+      // coverage aggregate. The vocab now comes off the SHARED staged
+      // unigram dump (the q70/q72/q89 pattern — same tokenizer, same
+      // counts) and its 1000 rows collect to a literal IN-set (bounded,
+      // model-sized — the q89 bounded-sample rule), so coverage is a
+      // ZERO-join, zero-explode map-side projection over the token
+      // array: per doc, size(toks) and size(vocab-filtered toks).
+      // Bit-identical rows (0-token docs stay absent); oracle untouched.
+      val vocab = tokenCountsCached(s, d)
+        .orderBy(col("n_t").desc, col("t").asc).limit(1000)
+        .collect().map(_.getString(0)).toSeq
+      extractedPagesDocs(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextStats.lowerToks(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => t.isInCollection(vocab)))
+            .cast("long").as("n_in_vocab"))
     }),
 
     // host link graph off the extractor's out_links surface (the

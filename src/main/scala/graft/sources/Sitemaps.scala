@@ -69,8 +69,12 @@ object Sitemaps {
         val loc = tagText("loc", u, limit)
         if (loc != null && loc.nonEmpty) {
           val lastmod = Option(tagText("lastmod", u, limit)).getOrElse("")
+          // r5 ADVICE #2: a malformed <priority> ('high', '0.5.1')
+          // falls back to the protocol default instead of throwing
+          // NumberFormatException out of the tolerant parser
           val prio = Option(tagText("priority", u, limit)) match {
-            case Some(p) if p.nonEmpty => math.round(p.toDouble * 1e6)
+            case Some(p) if p.nonEmpty =>
+              p.toDoubleOption.map(d => math.round(d * 1e6)).getOrElse(500000L)
             case _ => 500000L
           }
           out += Entry(unescape(loc), lastmod, prio)

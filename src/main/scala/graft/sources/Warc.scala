@@ -198,11 +198,23 @@ object Warc {
     * ever see absent or complete segments, never a torn write. Keep
     * every fix to this discipline HERE so the two writers can't drift. */
   private[sources] def atomicWrite(target: java.nio.file.Path,
-                                   bytes: Array[Byte], attemptTag: Long): Unit = {
+                                   bytes: Array[Byte], attemptTag: Long): Unit =
+    atomicWriteStream(target, attemptTag)(_.write(bytes))
+
+  /** Streaming form of [[atomicWrite]] (r5 ADVICE #4): the writer
+    * callback streams records straight into the temp file, so a
+    * ~1 GB segment never has to exist as one in-heap byte array
+    * before the atomic move. Same temp-name, move and cleanup
+    * semantics as the byte-array form. */
+  private[sources] def atomicWriteStream(target: java.nio.file.Path,
+                                         attemptTag: Long)
+                                        (write: java.io.OutputStream => Unit): Unit = {
     val tmp = target.resolveSibling(
       "_tmp-" + target.getFileName.toString + "." + attemptTag)
     try {
-      java.nio.file.Files.write(tmp, bytes)
+      val os = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp), 1 << 20)
+      try write(os) finally os.close()
       java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -97,20 +97,26 @@ object Wet {
     val ext = if (compress) ".warc.wet.gz" else ".warc.wet"
     val doGzip = compress
     val counts = recs.mapPartitions { it =>
-      val rs = it.toSeq
-      if (rs.isEmpty) Iterator.empty
+      // r5 ADVICE #4: records stream one at a time into the temp file
+      // (gzip member per record, same byte layout) instead of first
+      // materializing the whole partition (it.toSeq) AND the whole
+      // segment (ByteArrayOutputStream) — ~2x the segment no longer
+      // sits in executor heap per task at CC-scale segment sizes.
+      if (!it.hasNext) Iterator.empty
       else {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId()
         val segName = f"segment-$pid%05d$ext"
-        val out = new java.io.ByteArrayOutputStream()
-        rs.foreach { r =>
-          val rec = recordBytes(r)
-          out.write(if (doGzip) Warc.gzip(rec) else rec)
+        var n = 0L
+        Warc.atomicWriteStream(java.nio.file.Paths.get(dir, segName),
+          tc.taskAttemptId()) { out =>
+          it.foreach { r =>
+            val rec = recordBytes(r)
+            out.write(if (doGzip) Warc.gzip(rec) else rec)
+            n += 1
+          }
         }
-        Warc.atomicWrite(java.nio.file.Paths.get(dir, segName),
-          out.toByteArray, tc.taskAttemptId())
-        Iterator.single(rs.size.toLong)
+        Iterator.single(n)
       }
     }.collect()
     val n = counts.sum

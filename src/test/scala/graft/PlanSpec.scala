@@ -364,12 +364,14 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n${keyExchanges.mkString("\n")}")
   }
 
-  test("q66 vocab coverage broadcasts the vocab (no sort-merge join on tokens)") {
+  test("q66 vocab coverage is a zero-join map-side projection (vocab as literal IN-set)") {
+    // r6: the 1000-row vocab collects to a literal IN-set (bounded,
+    // model-sized), so coverage plans as a scan + array projection —
+    // no join of any kind, no token explode, no exchange at all
     val p = executedPlan(graft.queries.GraftQueries.queries("q66_vocab_coverage")(spark, d))
-    assert(p.contains("BroadcastHashJoin"),
-      s"the 1000-row vocab must broadcast:\n${p.take(600)}")
-    assert(!p.contains("SortMergeJoin"),
-      "token×vocab must never sort-merge (full token shuffle at 100 TB)")
+    assert(!p.contains("Join"), s"coverage must not plan a join:\n${p.take(600)}")
+    assert(!p.contains("Exchange"), s"coverage must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Generate"), "coverage must not explode tokens — counts come from size()")
   }
 
   test("q67 link graph is explode + codegen host projection + one aggregate (no UDF, no parse_url)") {
