@@ -76,6 +76,112 @@ object ProbeR06 {
           .join(broadcast(margin), Seq("a")))
       case "q74_full" =>
         time("q74_full")(queries("q74_lm_score")(spark, sfDir))
+      case "q74_model" =>
+        (1 to 3).foreach { rep =>
+          val t0 = System.nanoTime()
+          val bi = bigramCountsCached(spark, sfDir)
+          val m = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a")).collect()
+          val p = bi.filter(col("n_ab") >= 5).collect()
+          println(f"""{"probe":"q74_model","rep":$rep,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"m":${m.length},"p":${p.length}}""")
+        }
+      case "q74_count" =>
+        // the real consumption shape: count() after the generate
+        (1 to 3).foreach { rep =>
+          val t0 = System.nanoTime()
+          val n = queries("q74_lm_score")(spark, sfDir).count()
+          println(f"""{"probe":"q74_count","rep":$rep,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows":$n}""")
+        }
+      case "q68_ab" =>
+        // interleaved A/B of the round-checkpoint eagerness: old = eager
+        // localCheckpoint per round, new = the shipped lazy form
+        def ranksEager(edgesIn: DataFrame): DataFrame = {
+          import graft.ops.HostRank._
+          val edges = edgesIn.select(col("src"), col("dst")).distinct()
+            .localCheckpoint(true)
+          val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          val srcSide = edges.join(outdeg, "src").localCheckpoint(true)
+          val nodes = edges.select(col("src").as("host"))
+            .union(edges.select(col("dst").as("host")))
+            .distinct().localCheckpoint(true)
+          var rank = nodes.withColumn("rank_micros", lit(InitMicros))
+          var t = 0
+          while (t < Iters) {
+            val contrib = srcSide
+              .join(rank.withColumnRenamed("host", "src"), "src")
+              .select(col("dst").as("host"),
+                expr(s"(rank_micros * $DampNum) div ($DampDen * outdeg)").as("c"))
+            rank = nodes
+              .join(contrib.groupBy("host").agg(sum("c").as("in_c")), Seq("host"), "left")
+              .select(col("host"),
+                (lit(BaseMicros) + coalesce(col("in_c"), lit(0L))).as("rank_micros"))
+              .localCheckpoint(true)
+            t += 1
+          }
+          rank
+        }
+        val edges = hostEdgesAll(spark, sfDir).localCheckpoint(true)
+        (1 to 4).foreach { rep =>
+          var t0 = System.nanoTime()
+          val nOld = ranksEager(edges).count()
+          val tOld = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val nNew = graft.ops.HostRank.ranks(edges).count()
+          val tNew = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"q68_ab","rep":$rep,"old":$tOld%.3f,"new":$tNew%.3f,"rows":[$nOld,$nNew]}""")
+        }
+      case "q109_ab" =>
+        import graft.ops.Winnowing.{BucketCap, MinShared}
+        def pairsOld(fps: DataFrame): DataFrame = {
+          val byFp = fps.select(col("fp"), col("doc_id")).distinct()
+          val kept = byFp
+            .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+            .filter(col("n") <= BucketCap)
+            .select(col("fp"))
+          val member = byFp.join(kept, Seq("fp"), "left_semi")
+          member.groupBy(col("fp"))
+            .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+            .filter(size(col("ds")) >= 2)
+            .select(explode(expr(
+              "flatten(transform(sequence(0, size(ds) - 2), i -> " +
+                "transform(sequence(i + 1, size(ds) - 1), j -> " +
+                "named_struct('doc_a', ds[i], 'doc_b', ds[j]))))")).as("p"))
+            .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= MinShared)
+        }
+        val fps = winnowCached(spark, sfDir)
+        (1 to 5).foreach { rep =>
+          var t0 = System.nanoTime()
+          val nOld = pairsOld(fps).count()
+          val tOld = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val nNew = graft.ops.Winnowing.pairs(fps).count()
+          val tNew = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"q109_ab","rep":$rep,"old":$tOld%.3f,"new":$tNew%.3f,"rows":[$nOld,$nNew]}""")
+        }
+      case "q74_old" =>
+        // the pre-r6 join-form scoring plan, for A/B
+        val occ = graft.ops.LmScore.bigramOccurrences(docs, "doc_id", "text")
+        val bi = bigramCountsCached(spark, sfDir)
+        val margin = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+        val pruned = bi.filter(col("n_ab") >= 5)
+        val vocab = margin.agg(count(lit(1)).as("v"))
+        (1 to 3).foreach { rep =>
+          val t0 = System.nanoTime()
+          val n = occ
+            .join(broadcast(pruned), Seq("a", "b"), "left")
+            .join(broadcast(margin), Seq("a"))
+            .crossJoin(broadcast(vocab))
+            .withColumn("p_micros",
+              expr("((coalesce(n_ab, 0) + 1) * 1000000) div (n_a + v)"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              sum(col("p_micros")).as("sum_p_micros"))
+            .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
+            .count()
+          println(f"""{"probe":"q74_old","rep":$rep,"sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows":$n}""")
+        }
       case "q109_distinct" =>
         time("q109_distinct")(
           winnowCached(spark, sfDir).select(col("fp"), col("doc_id")).distinct())

@@ -64,11 +64,16 @@ object HostRank {
         .join(rank.withColumnRenamed("host", "src"), "src")
         .select(col("dst").as("host"),
           expr(s"(rank_micros * $DampNum) div ($DampDen * outdeg)").as("c"))
+      // r6b: LAZY checkpoint — each round's result is referenced exactly
+      // once (by the next round), so nothing needs an eager blocking job
+      // per round; the final action materializes the chain and the
+      // checkpoint hook truncates lineage as each round's RDD computes.
+      // 10 driver-blocking jobs collapse into the terminal action.
       rank = nodes
         .join(contrib.groupBy("host").agg(sum("c").as("in_c")), Seq("host"), "left")
         .select(col("host"),
           (lit(BaseMicros) + coalesce(col("in_c"), lit(0L))).as("rank_micros"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       t += 1
     }
     rank

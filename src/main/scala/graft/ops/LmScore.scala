@@ -60,28 +60,80 @@ object LmScore {
     * with < 2 tokens are absent (no bigrams, both engines agree).
     * `precomputedBi` skips the training pass when the (a, b, n_ab)
     * count table is already materialized (the shared token-family
-    * dump) — the standard train-once / score-many split. */
+    * dump) — the standard train-once / score-many split.
+    *
+    * r6 (guide §1.2 step 1 + §2.4): the SCORE pass used to explode
+    * every bigram occurrence (37.6M struct rows at sf0.1) through TWO
+    * broadcast hash joins and a per-doc aggregation exchange. The
+    * pruned model + margins are vocabulary-sized (72k + 236k rows at
+    * sf0.1) and were already collected to the driver by the two
+    * BroadcastExchanges — so collect them explicitly, fold them into
+    * ONE composite broadcast table ([[graft.functions.LmModel]]:
+    * context → (margin, pruned-RHS slice)), and score each document
+    * map-side inside a single native expression
+    * ([[graft.functions.LmDocScore]]). The scoring plan is now a pure
+    * scan-project with ZERO exchanges and one hash probe per
+    * occurrence; arithmetic is unchanged exact integer, so outputs are
+    * bit-identical (OpsSpec differential + the untouched DuckDB
+    * oracle). */
   def score(df: DataFrame, idCol: String, textCol: String,
             minCount: Int = 5,
             precomputedBi: Option[DataFrame] = None): DataFrame = {
-    val occ = bigramOccurrences(df, idCol, textCol)
+    val spark = df.sparkSession
     // TRAIN: the one corpus-sized exchange, then vocabulary-sized tables
     val bi = precomputedBi.getOrElse(
-      occ.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
-    val margin = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
-    val pruned = bi.filter(col("n_ab") >= minCount)
-    val vocab = margin.agg(count(lit(1)).as("v"))
-    // SCORE: model broadcasts, corpus streams map-side, one skinny agg
-    occ
-      .join(broadcast(pruned), Seq("a", "b"), "left")
-      .join(broadcast(margin), Seq("a"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("p_micros",
-        expr("((coalesce(n_ab, 0) + 1) * 1000000) div (n_a + v)"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("p_micros")).as("sum_p_micros"))
-      .withColumn("avg_p_micros", expr("sum_p_micros div n_bigrams"))
+      bigramOccurrences(df, idCol, textCol)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+    // model-sized collects (the KenLM-binary analog; the previous plan's
+    // BroadcastExchanges pulled the same rows through the driver)
+    val marginRows = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+      .collect()
+    val prunedRows = bi.filter(col("n_ab") >= minCount)
+      .select(col("a"), col("b"), col("n_ab")).collect()
+    val nCtx = marginRows.length
+    val aKeys = new Array[String](nCtx)
+    val nA = new Array[Long](nCtx)
+    val idx = new java.util.HashMap[String, Integer](nCtx * 2)
+    var i = 0
+    while (i < nCtx) {
+      val r = marginRows(i)
+      aKeys(i) = r.getString(0)
+      nA(i) = r.getLong(1)
+      idx.put(aKeys(i), Integer.valueOf(i))
+      i += 1
+    }
+    // CSR layout of the pruned RHS slices, grouped by LHS context
+    val perCtx = new Array[Int](nCtx)
+    prunedRows.foreach { r =>
+      val j = idx.get(r.getString(0)); if (j != null) perCtx(j.intValue) += 1
+    }
+    val bOff = new Array[Int](nCtx + 1)
+    i = 0
+    while (i < nCtx) { bOff(i + 1) = bOff(i) + perCtx(i); i += 1 }
+    val cursor = java.util.Arrays.copyOf(bOff, nCtx)
+    val bKeys = new Array[String](prunedRows.length)
+    val nAb = new Array[Long](prunedRows.length)
+    prunedRows.foreach { r =>
+      val j = idx.get(r.getString(0))
+      if (j != null) {
+        val c = cursor(j.intValue)
+        bKeys(c) = r.getString(1)
+        nAb(c) = r.getLong(2)
+        cursor(j.intValue) = c + 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.LmModel(aKeys, nA, bOff, bKeys, nAb, nCtx.toLong))
+    // SCORE: zero-exchange map-side walk, one probe per occurrence.
+    // The explode is load-bearing: GenerateExec is the CollapseProject
+    // barrier that keeps the document scored ONCE (see LmDocScore's
+    // Scaladoc), and the empty array reproduces the inner-join drop.
+    df.select(col(idCol),
+        explode(graft.functions.LmDocScore(toks(textCol), bc)).as("s"))
+      .select(col(idCol),
+        col("s.n_bigrams").as("n_bigrams"),
+        col("s.sum_p_micros").as("sum_p_micros"),
+        col("s.avg_p_micros").as("avg_p_micros"))
   }
 
   /** DuckDB mirror of [[score]]: same tokenizer, same bigram

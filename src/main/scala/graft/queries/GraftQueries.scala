@@ -2943,7 +2943,7 @@ object GraftQueries {
     * column — one row per absolute href occurrence (q67 counts them;
     * HostRank distincts them). Map-side only: explode + codegen'd
     * substring_index host projections, no UDF, no parse_url. */
-  private def hostEdgesAll(s: SparkSession, d: String): DataFrame =
+  private[graft] def hostEdgesAll(s: SparkSession, d: String): DataFrame =
     extractedCached(s, d)
       .filter(col("error").isNull && col("payload_kind") === "html")
       .select(graft.ops.Hosts.hostOf(col("url")).as("src"),

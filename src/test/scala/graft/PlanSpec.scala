@@ -440,13 +440,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected the SpanDigests expression inside the plan:\n${p.take(600)}")
   }
 
-  test("q74 lm score broadcasts the vocab scalar (no cartesian), all integer arithmetic") {
+  test("q74 lm score: zero-exchange map-side scoring under the broadcast model") {
     val p = executedPlan(graft.queries.GraftQueries.queries("q74_lm_score")(spark, d))
-    assert(!p.contains("CartesianProduct"),
-      s"the 1-row vocab must broadcast, not cartesian:\n${p.take(800)}")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "expected the vocab scalar as a broadcast join")
-    assert(!p.contains("ScalaUDF"), "bigram construction must stay codegen'd")
+    // r6: the scoring pass is one scan-project through the native
+    // LmDocScore expression — no explode, no joins, no aggregation
+    // exchange; the model travels as an sc.broadcast, not a join side
+    assert(!p.contains("Exchange"),
+      s"scoring must not shuffle the corpus:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"model lookups are map-side:\n${p.take(800)}")
+    assert(p.toLowerCase.contains("lmdocscore"),
+      s"expected the LmDocScore expression inside the plan:\n${p.take(600)}")
+    assert(!p.contains("ScalaUDF"), "scoring must stay a native expression")
   }
 
   test("q75 pq ann: codebooks + query slices broadcast, codes scan map-side") {
