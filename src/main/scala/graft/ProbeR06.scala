@@ -129,6 +129,64 @@ object ProbeR06 {
           val tNew = (System.nanoTime() - t0) / 1e9
           println(f"""{"probe":"q68_ab","rep":$rep,"old":$tOld%.3f,"new":$tNew%.3f,"rows":[$nOld,$nNew]}""")
         }
+      case "tok_ab" =>
+        // native LowerToksWs vs the expression form, interleaved; the
+        // count(explode) consumption keeps the array from being
+        // optimized away while avoiding noop's row-materialization bias
+        (1 to 6).foreach { rep =>
+          var t0 = System.nanoTime()
+          val nNew = docs.select(explode(
+            graft.ops.TextStats.lowerToks(col("text"))).as("t"))
+            .groupBy().count().collect()(0).getLong(0)
+          val tNew = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val nOld = docs.select(explode(
+            graft.ops.TextStats.lowerToksExprForm(col("text"))).as("t"))
+            .groupBy().count().collect()(0).getLong(0)
+          val tOld = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"tok_ab","rep":$rep,"old":$tOld%.3f,"new":$tNew%.3f,"toks":[$nOld,$nNew]}""")
+        }
+      case "q90_ab" =>
+        // eager-l1norm HITS (pre-r6b) vs the shipped lazy form
+        def scoresEager(edgesIn: DataFrame): DataFrame = {
+          import graft.ops.Hits._
+          def l1normE(df: DataFrame): DataFrame = {
+            val m = df.localCheckpoint(true)
+            val tot = m.agg(greatest(expr(s"sum(v) div $Scale"), lit(1L)).as("nrm"))
+            m.crossJoin(broadcast(tot))
+              .select(col("host"), expr("v div nrm").as("v"))
+          }
+          def halfStepE(edges: DataFrame, nodes: DataFrame,
+              scores: DataFrame, from: String, to: String): DataFrame =
+            l1normE(graft.ops.Hits.propagate(edges, nodes, scores, from, to))
+          val edges = edgesIn.select(col("src"), col("dst")).distinct()
+            .localCheckpoint(true)
+          val nodes = edges.select(col("src").as("host"))
+            .union(edges.select(col("dst").as("host")))
+            .distinct().localCheckpoint(true)
+          var hub = nodes.withColumn("v", lit(Scale))
+          var auth = nodes.withColumn("v", lit(0L))
+          var t = 0
+          while (t < Iters) {
+            auth = halfStepE(edges, nodes, hub, "src", "dst").localCheckpoint(false)
+            hub = halfStepE(edges, nodes, auth, "dst", "src").localCheckpoint(false)
+            t += 1
+          }
+          nodes
+            .join(auth.withColumnRenamed("v", "auth_micros"), "host")
+            .join(hub.withColumnRenamed("v", "hub_micros"), "host")
+            .select(col("host"), col("auth_micros"), col("hub_micros"))
+        }
+        val he = hostEdgesAll(spark, sfDir).localCheckpoint(true)
+        (1 to 5).foreach { rep =>
+          var t0 = System.nanoTime()
+          val nOld = scoresEager(he).count()
+          val tOld = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val nNew = graft.ops.Hits.scores(he).count()
+          val tNew = (System.nanoTime() - t0) / 1e9
+          println(f"""{"probe":"q90_ab","rep":$rep,"old":$tOld%.3f,"new":$tNew%.3f,"rows":[$nOld,$nNew]}""")
+        }
       case "q109_ab" =>
         import graft.ops.Winnowing.{BucketCap, MinShared}
         def pairsOld(fps: DataFrame): DataFrame = {

@@ -61,35 +61,10 @@ object Bpe {
                  cap: Int = VocabCap): DataFrame =
     headVocab(rawWordCounts(docs, textCol), cap)
 
-  /** (word, freq) → (word, freq, pos, tok): one row per character,
-    * 1-based pos — the long form every training/encode round works on. */
-  private def longForm(words: DataFrame): DataFrame =
-    words
-      .select(col("word"), col("freq"),
-        posexplode(filter(split(col("word"), ""), t => t =!= "")))
-      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
-        col("col").as("tok"))
-
-  /** One merge application: fold adjacent (l, r) token pairs into "lr"
-    * everywhere in the long form, first-of-chain rule (see the deviation
-    * note above) — the transform shared verbatim by training rounds and
-    * corpus-wide encoding, mirrored 1:1 in the DuckDB CTEs. */
-  private def mergeOnce(lf: DataFrame, l: String, r: String): DataFrame = {
-    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
-    lf
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .withColumn("pm", coalesce(
-        col("tok") === lit(l) && col("nxt") === lit(r), lit(false)))
-      .withColumn("mark",
-        col("pm") && !coalesce(lag(col("pm"), 1).over(w), lit(false)))
-      .withColumn("dropped",
-        coalesce(lag(col("mark"), 1).over(w), lit(false)))
-      .filter(!col("dropped"))
-      .select(col("word"), col("freq"),
-        row_number().over(w).cast("long").as("pos"),
-        when(col("mark"), concat(col("tok"), col("nxt")))
-          .otherwise(col("tok")).as("tok"))
-  }
+  // (the per-round DataFrame long-form/mergeOnce window pipeline that
+  // lived here moved into the sequential kernel shared with the native
+  // expression: graft.functions.BpeEncodeWord.mergeOnce + the unrolled
+  // oracle CTEs keep the window semantics pinned)
 
   /** Learned merges: (round, lhs, rhs, pair_count). Trains [[Rounds]]
     * rounds (early-stops when no adjacent pair remains). */
@@ -101,51 +76,102 @@ object Bpe {
     * with a staged corpus unigram dump (the extract-once/read-many
     * pattern) enter here, so reps measure the merge rounds (the
     * training plan itself), not a re-derivation of the shared
-    * word-count exchange. */
+    * word-count exchange.
+    *
+    * r6b (guide §1.2 step 1): training runs DRIVER-SIDE over the
+    * collected head vocabulary. The head cut is ≤ [[VocabCap]]
+    * (word, freq) rows — the standard BPE trainer input, and exactly
+    * the table the old distributed form materialized anyway; every
+    * published trainer (subword-nmt, HF tokenizers) runs this loop on
+    * one machine because the state is model-sized by construction.
+    * The old form ran R rounds of TWO corpus-cluster window passes, a
+    * pair aggregate, a 1-row collect and an eager checkpoint — ~20
+    * driver-blocking jobs to fold ~30k rows. Arithmetic, chain-skip
+    * counting, argmax tie-break and the first-of-chain merge rule are
+    * replicated exactly (differential OpsSpec + the unrolled oracle
+    * CTEs value-check both training and application). */
   def trainMergesFromCounts(words: DataFrame, rounds: Int = Rounds,
                             cap: Int = VocabCap): DataFrame = {
     val spark = words.sparkSession
-    val w = Window.partitionBy(col("word")).orderBy(col("pos"))
-
-    // long form: (word, freq, pos, tok) — vocab-sized from here on
-    var lf = longForm(headVocab(words, cap))
-      .localCheckpoint(true)
-
-    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val paired = lf
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .withColumn("prv", lag(col("tok"), 1).over(w))
-      // chain-skip count: position i counts unless pair(i-1) == pair(i)
-      // (⟺ prv==tok ∧ tok==nxt — see the deviation note above)
-      val best = paired
-        .filter(col("nxt").isNotNull &&
-          !coalesce(col("prv") === col("tok") && col("tok") === col("nxt"),
-            lit(false)))
-        .groupBy(col("tok").as("l"), col("nxt").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect() // 1-row model collect per round (bytes)
-      if (best.isEmpty) exhausted = true
-      else {
-        val (bl, br, cnt) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((r, bl, br, cnt))
-        lf = mergeOnce(lf, bl, br).localCheckpoint(true)
-      }
-      r += 1
-    }
-
+    val merges = trainMergesLocal(collectHeadVocab(words, cap), rounds)
     val schema = StructType(Seq(
       StructField("round", IntegerType, nullable = false),
       StructField("lhs", StringType), StructField("rhs", StringType),
       StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        merges.toList.map(m => Row(m._1, m._2, m._3, m._4)), 1), schema)
+        merges.map(m => Row(m._1, m._2, m._3, m._4)), 1), schema)
   }
+
+  /** The deterministic head cut, collected: one model-sized driver
+    * pull (≤ cap rows; the KenLM-binary precedent — the same rows the
+    * old plan's `limit(cap)` already pulled through the driver). */
+  private def collectHeadVocab(words: DataFrame, cap: Int): Seq[(String, Long)] =
+    headVocab(words, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** The sequential trainer over the head vocab: per round, count
+    * adjacent pairs with the chain-skip rule (position i counts unless
+    * prv==tok==nxt), take the (cnt DESC, l ASC, r ASC) argmax with
+    * UNSIGNED-BYTE string order (UTF8String's comparator, so the
+    * tie-break matches the old distributed orderBy bit-for-bit), merge
+    * first-of-chain everywhere, repeat; early-stops when no countable
+    * pair remains. */
+  private[graft] def trainMergesLocal(vocab: Seq[(String, Long)],
+                                      rounds: Int): List[(Int, String, String, Long)] = {
+    import graft.functions.BpeEncodeWord.mergeOnce
+    var words = vocab.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty), f)
+    }.toArray
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (toks, freq) =>
+        var i = 0
+        val n = toks.length
+        while (i + 1 < n) {
+          // chain-skip: prv == tok == nxt drops the middle position
+          val skip = i > 0 && toks(i - 1) == toks(i) && toks(i) == toks(i + 1)
+          if (!skip) {
+            val k = (toks(i), toks(i + 1))
+            val c = counts.get(k)
+            counts.put(k, if (c == null) freq else c.longValue + freq)
+          }
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (l2, r2) = e.getKey
+          val c = e.getValue.longValue
+          if (c > bc ||
+            (c == bc && (binaryLt(l2, bl) ||
+              (l2 == bl && binaryLt(r2, br))))) {
+            bl = l2; br = r2; bc = c
+          }
+        }
+        merges += ((r, bl, br, bc))
+        words = words.map { case (toks, f) =>
+          (if (toks.length >= 2) mergeOnce(toks, bl, br) else toks, f)
+        }
+      }
+      r += 1
+    }
+    merges.toList
+  }
+
+  /** a < b in UNSIGNED UTF-8 byte order — the comparator Spark's
+    * string sort uses (identical to Java order on the ASCII scope, but
+    * pinned to the engine's semantics regardless). */
+  private def binaryLt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
 
   /** Result rows kept by [[encodeTokenStats]] (deterministic ties:
     * occurrences DESC, tok ASC). */
@@ -191,20 +217,27 @@ object Bpe {
 
   /** Every distinct word fully tokenized under the trained merges:
     * (word, freq, pos, tok) — the shared tail of [[encodeTokenStats]]
-    * and [[encodeWordLengthsFromCounts]]. */
+    * and [[encodeWordLengthsFromCounts]].
+    *
+    * r6b: application is ONE map-side pass through the native
+    * [[graft.functions.BpeEncodeWord]] expression (the R merges are a
+    * handful of driver-side strings baked into the expression), where
+    * it used to be R window rounds over the corpus-wide long form —
+    * each an exchange + sort + eager checkpoint of every
+    * (word, pos, tok) row. The explode keeps the expression evaluated
+    * once per word (the LmDocScore CollapseProject lesson). */
   private def encodedLongForm(words: DataFrame, rounds: Int,
                               cap: Int): DataFrame = {
     // one materialization feeds both the head-vocab training cut and
     // the full-list encode below (words may itself be a derived plan)
     val corpusWords = words.localCheckpoint(true)
-    val model = trainMergesFromCounts(corpusWords, rounds, cap)
-      .orderBy(col("round")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    var ef = longForm(corpusWords).localCheckpoint(true)
-    model.foreach { case (l, r) =>
-      ef = mergeOnce(ef, l, r).localCheckpoint(true)
-    }
-    ef
+    val model = trainMergesLocal(collectHeadVocab(corpusWords, cap), rounds)
+      .map(m => (m._2, m._3))
+    corpusWords
+      .select(col("word"), col("freq"),
+        posexplode(graft.functions.BpeEncodeWord(col("word"), model)))
+      .select(col("word"), col("freq"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
   }
 
   /** (word, n_tokens): each distinct word's token count under the

@@ -428,7 +428,11 @@ object Dedup {
       val jumped = prop.join(parents, prop("label") === parents("p_id"))
         .select(prop("id"), least(prop("label"), col("p_label")).as("label"),
           (least(prop("label"), col("p_label")) =!= col("old")).as("moved"))
-      val next = jumped.localCheckpoint(true)
+      // r6b: LAZY checkpoint — the convergence probe right below is the
+      // action that materializes the round (the checkpoint hook
+      // finishes any partitions limit(1) short-circuited past), so the
+      // separate eager blocking job per round disappears.
+      val next = jumped.localCheckpoint(false)
       // convergence probe: any label still moving? (limit(1)
       // short-circuits over the in-memory checkpoint — no join)
       done = next.filter(col("moved")).limit(1).isEmpty

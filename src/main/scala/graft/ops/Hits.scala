@@ -56,7 +56,12 @@ object Hits {
     // eliminate across a broadcast boundary, so the edge join +
     // aggregate executed TWICE per half-step (32 extra join/agg runs
     // over the 16 rounds) before this checkpoint.
-    val m = df.localCheckpoint(true)
+    // r6b: LAZY — the normalizer's broadcast BUILD is the action that
+    // materializes m (its aggregate reads every partition, so the
+    // checkpoint completes there), and the crossJoin then scans the
+    // persisted blocks; the separate eager blocking job per half-step
+    // (16 per run) folds into the build.
+    val m = df.localCheckpoint(false)
     val tot = m.agg(greatest(expr(s"sum(v) div $Scale"), lit(1L)).as("nrm"))
     m.crossJoin(broadcast(tot))
       .select(col("host"), expr("v div nrm").as("v"))

@@ -56,7 +56,10 @@ object Redirects {
           // unfinished), so the old probe's full next⋈ptr re-join is
           // equivalent to scanning this flag on the checkpointed output
           col("b.node").isNotNull.as("moved"))
-      val next = jumped.localCheckpoint(true)
+      // r6b: LAZY checkpoint — the convergence probe is the
+      // materializing action (same pattern as connectedComponents), so
+      // the eager blocking job per doubling round disappears.
+      val next = jumped.localCheckpoint(false)
       // convergence probe: any pointer still advancing? (limit(1)
       // short-circuits over the in-memory checkpoint — no join)
       done = next.filter(col("moved")).limit(1).isEmpty

@@ -130,6 +130,12 @@ object TextStats {
     * a drift between any Spark site and its SQL mirror breaks the
     * hash compare, so the rule lives in exactly one place per engine. */
   def lowerToks(text: Column): Column =
+    graft.functions.LowerToksWs(text)
+
+  /** The pre-r6b expression form of [[lowerToks]] — kept as the
+    * differential reference the native tokenizer is pinned against
+    * (TextKernelSpec). */
+  def lowerToksExprForm(text: Column): Column =
     filter(split(lower(text), "\\s+"), x => x =!= "")
 
   /** Per-document top-tf term candidates, computed ENTIRELY map-side

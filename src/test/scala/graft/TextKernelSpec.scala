@@ -79,4 +79,36 @@ class TextKernelSpec extends AnyFunSuite {
         s"doc $id: final top-5 $finalTop5 not all in candidates $have")
     }
   }
+
+  test("native LowerToksWs == filter(split(lower, \\s+), nonEmpty) on adversarial + random docs") {
+    import spark.implicits._
+    // edge cases: every \s separator byte, runs, leading/trailing ws,
+    // empty, ws-only, non-ASCII case mapping (sigma, sharp s, accents,
+    // full-width, CJK), multi-byte UTF-8 adjacent to separators
+    val edge = Seq(
+      "", " ", " \t\n\f\r ", "a", " a ", "a b", "a  b", "\ta\nb\r",
+      "HeLLo WoRLD", "ÉCOLE Straße ΣΙΣΥΦΟΣ İstanbul", "ﬁ ＡＢ ①",
+      "日本語 テスト", "ab\fc", "Ａ　Ｂ" /* ideographic space U+3000 is NOT \s */,
+      "café\tnaïve\ncoöp", "x" * 500, ("y " * 300).trim)
+    val rnd = (1 to 400).map { _ =>
+      val n = rng.nextInt(80)
+      (0 until n).map { _ =>
+        val r = rng.nextInt(8)
+        if (r == 0) "\t" else if (r == 1) "\n" else if (r == 2) "  "
+        else if (r == 3) "Straße" else if (r == 4) "ΣΟΣ"
+        else s"W${rng.nextInt(30)}"
+      }.mkString(rng.nextInt(3) match {
+        case 0 => " "; case 1 => ""; case _ => "\r\n"
+      })
+    }
+    val df = (edge ++ rnd).zipWithIndex.map(_.swap).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextStats.lowerToks(col("text")).as("a"),
+        TextStats.lowerToksExprForm(col("text")).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"row ${r.getInt(0)}: native ${r.getSeq[String](1)} != expr ${r.getSeq[String](2)}")
+    }
+  }
 }
