@@ -84,42 +84,46 @@ object LmScore {
     val bi = precomputedBi.getOrElse(
       bigramOccurrences(df, idCol, textCol)
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
-    // model-sized collects (the KenLM-binary analog; the previous plan's
-    // BroadcastExchanges pulled the same rows through the driver)
-    val marginRows = bi.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
-      .collect()
-    val prunedRows = bi.filter(col("n_ab") >= minCount)
-      .select(col("a"), col("b"), col("n_ab")).collect()
-    val nCtx = marginRows.length
+    // ONE model-sized collect (the KenLM-binary analog; the previous
+    // plan's BroadcastExchanges pulled the same rows through the
+    // driver): margins fold driver-side from the bigram table itself —
+    // a second aggregate job + second collect bought nothing
+    val biRows = bi.select(col("a"), col("b"), col("n_ab")).collect()
+    val marginMap = new java.util.LinkedHashMap[String, Array[Long]]()
+    biRows.foreach { r =>
+      val a = r.getString(0)
+      var cell = marginMap.get(a)
+      if (cell == null) { cell = Array(0L, 0L); marginMap.put(a, cell) }
+      val n = r.getLong(2)
+      cell(0) += n                          // n_a margin
+      if (n >= minCount) cell(1) += 1L      // pruned-slice size
+    }
+    val nCtx = marginMap.size
     val aKeys = new Array[String](nCtx)
     val nA = new Array[Long](nCtx)
+    val bOff = new Array[Int](nCtx + 1)
     val idx = new java.util.HashMap[String, Integer](nCtx * 2)
     var i = 0
-    while (i < nCtx) {
-      val r = marginRows(i)
-      aKeys(i) = r.getString(0)
-      nA(i) = r.getLong(1)
+    val mit = marginMap.entrySet().iterator()
+    while (mit.hasNext) {
+      val e = mit.next()
+      aKeys(i) = e.getKey
+      nA(i) = e.getValue()(0)
+      bOff(i + 1) = bOff(i) + e.getValue()(1).toInt
       idx.put(aKeys(i), Integer.valueOf(i))
       i += 1
     }
-    // CSR layout of the pruned RHS slices, grouped by LHS context
-    val perCtx = new Array[Int](nCtx)
-    prunedRows.foreach { r =>
-      val j = idx.get(r.getString(0)); if (j != null) perCtx(j.intValue) += 1
-    }
-    val bOff = new Array[Int](nCtx + 1)
-    i = 0
-    while (i < nCtx) { bOff(i + 1) = bOff(i) + perCtx(i); i += 1 }
     val cursor = java.util.Arrays.copyOf(bOff, nCtx)
-    val bKeys = new Array[String](prunedRows.length)
-    val nAb = new Array[Long](prunedRows.length)
-    prunedRows.foreach { r =>
-      val j = idx.get(r.getString(0))
-      if (j != null) {
-        val c = cursor(j.intValue)
+    val nPruned = bOff(nCtx)
+    val bKeys = new Array[String](nPruned)
+    val nAb = new Array[Long](nPruned)
+    biRows.foreach { r =>
+      if (r.getLong(2) >= minCount) {
+        val j = idx.get(r.getString(0)).intValue
+        val c = cursor(j)
         bKeys(c) = r.getString(1)
         nAb(c) = r.getLong(2)
-        cursor(j.intValue) = c + 1
+        cursor(j) = c + 1
       }
     }
     val bc = spark.sparkContext.broadcast(
